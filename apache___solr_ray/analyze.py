@@ -1,0 +1,122 @@
+"""Analysis chain: StandardTokenizer-equivalent → StopFilter → LowerCaseFilter.
+
+Rebuilds the reference's default ``text_general`` chain
+(``solr/server/solr/configsets/_default/conf/managed-schema.xml:299-315``):
+``StandardTokenizer → StopFilter(stopwords.txt, ignoreCase) → LowerCaseFilter``
+— where the shipped ``stopwords.txt`` is empty, so stop filtering is a no-op
+by default (conformance-relevant: head terms stay in the index).
+
+Tokenizer semantics: a documented approximation of UAX#29 word boundaries as
+used by Lucene's StandardTokenizer (reference docs
+``solr/solr-ref-guide/modules/indexing-guide/pages/tokenizers.adoc:115-127``):
+
+- a token is a maximal run of word characters (``\\w``: letters, digits,
+  underscore — underscore joins like UAX#29 ExtendNumLet),
+- ``.`` ``'`` ``’`` join two letters (MidNumLet/MidLetter: ``example.com``,
+  ``don't`` are single tokens),
+- ``.`` ``,`` join two digits (MidNum: ``3.14``, ``1,000``),
+- hyphens, ``@``, and all other punctuation split,
+- tokens longer than 255 chars are emitted in 255-char pieces
+  (``maxTokenLength`` semantics),
+- LowerCaseFilter == ``str.lower()`` applied after tokenization.
+
+``doc_len`` (the BM25 length norm input) counts tokens after the full chain
+(post-stop-filter), matching Lucene's norm calculation with
+discountOverlaps=true (no overlapping tokens are produced by this chain).
+
+The batch path is vectorized: per-doc C-regex findall, then Arrow
+dictionary-encode + numpy unique for (term, doc, tf) aggregation — no Python
+loops over tokens.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAX_TOKEN_LENGTH = 255
+
+TOKEN_RE = re.compile(
+    r"\w+(?:(?:(?<=\d)[.,](?=\d)|(?<=[^\W\d_])['’.](?=[^\W\d_]))\w+)*",
+    re.UNICODE,
+)
+
+
+def tokenize(text: str) -> list[str]:
+    """StandardTokenizer-equivalent: raw (pre-filter) tokens, original case."""
+    toks = TOKEN_RE.findall(text)
+    out = []
+    for t in toks:
+        if len(t) <= MAX_TOKEN_LENGTH:
+            out.append(t)
+        else:
+            out.extend(t[i : i + MAX_TOKEN_LENGTH] for i in range(0, len(t), MAX_TOKEN_LENGTH))
+    return out
+
+
+@dataclass
+class Analyzer:
+    """The full chain. Construct once per actor/task; reuse across batches."""
+
+    stopwords: frozenset[str] = field(default_factory=frozenset)  # default: empty, like the reference
+
+    def analyze(self, text: str) -> list[str]:
+        toks = [t.lower() for t in tokenize(text)]
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        return toks
+
+    # -- vectorized batch path ------------------------------------------------
+
+    def term_freqs(
+        self, texts: list[str] | pa.Array
+    ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+        """Batch → per-(doc,term) tf tuples.
+
+        Returns ``(terms, doc_idx, tf, doc_len)`` where ``terms`` is a
+        pa.StringArray aligned with ``doc_idx``/``tf`` (one row per distinct
+        (doc, term) pair, doc-major then term-sorted within doc is NOT
+        guaranteed), and ``doc_len[d]`` is the analyzed token count of doc d.
+        """
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = texts.to_pylist()
+        toks_per_doc = [tokenize(t or "") for t in texts]
+        counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+        flat: list[str] = [t for toks in toks_per_doc for t in toks]
+        if not flat:
+            empty = pa.array([], type=pa.string())
+            return empty, np.array([], np.int64), np.array([], np.int64), counts
+        arr = pa.array(flat, type=pa.string())
+        arr = pc.utf8_lower(arr)
+        dict_arr = pc.dictionary_encode(arr)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dict_arr.dictionary
+        doc_of_token = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if self.stopwords:
+            stop_mask = np.array([v in self.stopwords for v in vocab.to_pylist()], dtype=bool)
+            keep = ~stop_mask[codes]
+            codes = codes[keep]
+            doc_of_token = doc_of_token[keep]
+            counts = np.bincount(doc_of_token, minlength=len(counts)).astype(np.int64)
+        # combined (doc, term) key -> tf
+        nvocab = len(vocab)
+        key = doc_of_token * nvocab + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        doc_idx = uniq // nvocab
+        term_codes = (uniq % nvocab).astype(np.int64)
+        terms = pc.take(vocab, pa.array(term_codes))
+        return terms, doc_idx, tf.astype(np.int64), counts
+
+
+#: Simple tokenizer used by the SQL-oracle-checked text operators: lowercase
+#: ``[a-z0-9]+`` runs — exactly DuckDB's
+#: ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` minus empty strings.
+SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def simple_tokenize(text: str) -> list[str]:
+    return SIMPLE_TOKEN_RE.findall(text.lower())
