@@ -1,0 +1,439 @@
+"""The distributed index build — a Ray Data pipeline.
+
+Ray-native restatement of the reference indexing path (SURVEY §3.1:
+``/update`` → URP chain → analysis → IndexWriter RAM buffer → flushed
+segments → merge), re-planned for batch Parquet input:
+
+Phase A  (per doc-partition; Dataset of partition descriptors →
+``map_batches`` tasks, one per partition):
+    stream the partition's row groups → HTML→text extract → analyze
+    (tokenize/lower/stop) → assign dense doc ids → write
+    ``docs/part-*.parquet`` (url, doc_id, doc_len, norm, lang),
+    ``postings_raw/part-*.parquet`` (term, doc_id, tf, norm) and
+    ``termdf/part-*.parquet`` (term, df partial), plus a lineage manifest.
+    A partition whose manifest matches its input fingerprint is skipped on
+    resume — the "no re-tokenizing completed partitions" checkpoint; the
+    persisted postings_raw is the Lucene flushed-segment analog.
+
+Phase B  (the term shuffle):
+    a tiny ``groupby(term).sum(df)`` over the termdf partials finds head
+    terms (global df > salt_threshold); ``read_parquet(postings_raw)``
+    → ``map_batches`` stamps each row's shuffle key
+    ``skey = tkey * (P+1) + salt`` (tkey = hash(term) % T; salt = doc
+    partition + 1 for head terms, 0 otherwise — head terms' giant groups are
+    split into per-doc-partition sub-lists that remain doc-ordered and
+    concatenate cheaply at read; SURVEY §4 "skew")
+    → ``groupby(skey).map_groups`` sorts each group by (term, doc_id) and
+    writes one immutable segment directory.
+
+Commit: ``stats.json`` (docCount, sumTotalTermFreq — the ExactStatsCache
+global stats, reference ``CollectionStats.java:24-27``) and an atomic
+``index_manifest.json`` (the segments_N pointer-swap analog).
+
+Doc-id assignment: ``doc_id = part_id << 32 | row_in_partition`` where
+partitions are deterministic (sorted file paths × row-group ranges). Unlike
+the reference's murmur3 HTTP routing (``HashBasedRouter.java:28-62``), a
+batch build reads immutable files, so arrival order IS a stable identity —
+no doc shuffle is needed at all, which removes the largest all-to-all
+exchange from the job. Scores never depend on placement, only tie-break
+order does, and that is fixed by the deterministic partition plan.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import Counter
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from apache___solr_ray.analyze import Analyzer
+from apache___solr_ray.extract import extract_batch
+from apache___solr_ray.lucene import int_to_byte4_array
+from apache___solr_ray.manifest import (
+    input_fingerprint,
+    is_valid,
+    read_json,
+    write_json_atomic,
+)
+from apache___solr_ray.segment import build_segment_from_group
+
+HASH_KEY = "0123456789abcdef"  # fixed key for pd.util.hash_array (determinism)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Build configuration (the solrconfig.xml/schema analog)."""
+
+    term_partitions: int = 32          # T: term-hash shuffle width
+    salt_threshold: int = 2_000_000    # global df above which a term is salted
+    target_docs_per_part: int = 65_536  # phase-A doc-partition size
+    read_batch_rows: int = 2_048       # streamed read batch (html rows are wide)
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    text_from_html: bool = True        # extract text from html (the real path)
+
+    def fingerprint(self) -> str:
+        return (
+            f"T={self.term_partitions};salt={self.salt_threshold};"
+            f"part={self.target_docs_per_part};stop={sorted(self.stopwords)};"
+            f"html={self.text_from_html}"
+        )
+
+
+def term_hash(terms: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of term strings.
+
+    pandas' hash_array with a fixed key — vectorized, stable across runs and
+    processes. (The reference's router murmur3 is provided in lucene.py for
+    parity; the choice of hash affects only placement, never scores.)
+    """
+    return pd.util.hash_array(np.asarray(terms, dtype=object), hash_key=HASH_KEY, categorize=False)
+
+
+def plan_partitions(paths: list[str], target_docs: int) -> list[dict]:
+    """Deterministic partition plan: sorted files × row-group ranges."""
+    parts = []
+    pid = 0
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        start = 0
+        while start < len(rg_rows):
+            end, rows = start, 0
+            while end < len(rg_rows) and (rows == 0 or rows + rg_rows[end] <= target_docs):
+                rows += rg_rows[end]
+                end += 1
+            parts.append(
+                {
+                    "part_id": pid,
+                    "path": path,
+                    "rg_start": start,
+                    "rg_end": end,
+                    "n_rows": rows,
+                    "fingerprint": input_fingerprint(path, start, end, rows),
+                }
+            )
+            pid += 1
+            start = end
+    if len(parts) >= 1 << 20:
+        raise ValueError("too many partitions for 32-bit local doc ids")
+    return parts
+
+
+def _paths_of(input_path: str | list[str]) -> list[str]:
+    if isinstance(input_path, (list, tuple)):
+        return sorted(input_path)
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    return [input_path]
+
+
+# ---------------------------------------------------------------------------
+# Phase A
+# ---------------------------------------------------------------------------
+
+
+def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
+    part_id = int(desc["part_id"])
+    man_path = os.path.join(index_dir, "manifests", f"part-{part_id:06d}.json")
+    existing = is_valid(man_path, desc["fingerprint"])
+    if existing is not None:
+        existing["resumed"] = True
+        return existing
+
+    t0 = time.time()
+    analyzer = Analyzer(stopwords=cfg.stopwords)
+    pf = pq.ParquetFile(desc["path"])
+    columns = ["url", "lang", "html"] if cfg.text_from_html else ["url", "lang", "text"]
+
+    post_path = os.path.join(index_dir, "postings_raw", f"part-{part_id:06d}.parquet")
+    os.makedirs(os.path.dirname(post_path), exist_ok=True)
+    post_schema = pa.schema(
+        [("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int32()), ("norm", pa.uint8())]
+    )
+    tmp_post = post_path + ".tmp"
+    writer = pq.ParquetWriter(tmp_post, post_schema)
+
+    urls: list[pa.Array] = []
+    langs: list[pa.Array] = []
+    lens: list[np.ndarray] = []
+    term_df: Counter = Counter()
+    row_base = 0
+    n_postings = 0
+    for batch in pf.iter_batches(
+        batch_size=cfg.read_batch_rows,
+        row_groups=range(desc["rg_start"], desc["rg_end"]),
+        columns=columns,
+    ):
+        tbl = pa.Table.from_batches([batch])
+        if cfg.text_from_html:
+            text = extract_batch(tbl.column("html"))
+        else:
+            text = tbl.column("text").combine_chunks()
+        terms, doc_idx, tf, doc_len = analyzer.term_freqs(text)
+        doc_ids = (part_id << 32) + row_base + doc_idx
+        norms_per_doc = int_to_byte4_array(doc_len)
+        writer.write_table(
+            pa.table(
+                {
+                    "term": terms,
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "tf": pa.array(tf.astype(np.int32)),
+                    "norm": pa.array(norms_per_doc[doc_idx]),
+                },
+                schema=post_schema,
+            )
+        )
+        n_postings += len(doc_ids)
+        term_df.update(terms.to_pylist())
+        urls.append(tbl.column("url").combine_chunks())
+        langs.append(tbl.column("lang").combine_chunks())
+        lens.append(doc_len)
+        row_base += tbl.num_rows
+    writer.close()
+    os.replace(tmp_post, post_path)
+
+    doc_len_all = np.concatenate(lens) if lens else np.zeros(0, np.int64)
+    docs_path = os.path.join(index_dir, "docs", f"part-{part_id:06d}.parquet")
+    os.makedirs(os.path.dirname(docs_path), exist_ok=True)
+    tmp = docs_path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in urls])
+                if urls
+                else pa.array([], pa.string()),
+                "doc_id": pa.array((part_id << 32) + np.arange(row_base, dtype=np.int64)),
+                "doc_len": pa.array(doc_len_all, pa.int64()),
+                "norm": pa.array(int_to_byte4_array(doc_len_all)),
+                "lang": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in langs])
+                if langs
+                else pa.array([], pa.string()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, docs_path)
+
+    tdf_path = os.path.join(index_dir, "termdf", f"part-{part_id:06d}.parquet")
+    os.makedirs(os.path.dirname(tdf_path), exist_ok=True)
+    tmp = tdf_path + ".tmp"
+    items = sorted(term_df.items())
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array([k for k, _ in items], pa.string()),
+                "df": pa.array([v for _, v in items], pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, tdf_path)
+
+    summary = {
+        "part_id": part_id,
+        "input_fingerprint": desc["fingerprint"],
+        "n_docs": int(row_base),
+        "sum_doc_len": int(doc_len_all.sum()),
+        "n_postings": int(n_postings),
+        "n_terms_partial": len(term_df),
+        "wall_sec": round(time.time() - t0, 3),
+        "resumed": False,
+    }
+    write_json_atomic(man_path, summary)
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# Phase B
+# ---------------------------------------------------------------------------
+
+
+def _make_skey_fn(heads_ref, n_term_parts: int, n_doc_parts: int):
+    import ray
+
+    state: dict = {}
+
+    def add_skey(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "heads" not in state:
+            state["heads"] = ray.get(heads_ref) if heads_ref is not None else frozenset()
+        heads = state["heads"]
+        denc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        tkey = (term_hash(vocab) % np.uint64(n_term_parts)).astype(np.int64)
+        salted = np.fromiter((v in heads for v in vocab), dtype=bool, count=len(vocab))
+        part = (tbl.column("doc_id").combine_chunks().to_numpy() >> 32).astype(np.int64)
+        salt = np.where(salted[codes], part + 1, 0)
+        skey = tkey[codes] * (n_doc_parts + 1) + salt
+        return tbl.append_column("skey", pa.array(skey, pa.int64()))
+
+    return add_skey
+
+
+def _make_segment_writer(index_dir: str, n_doc_parts: int):
+    def write_group(group: pa.Table) -> pa.Table:
+        skey = int(group.column("skey")[0].as_py())
+        tkey, salt = divmod(skey, n_doc_parts + 1)
+        seg_dir = os.path.join(index_dir, "segments", f"seg-{tkey:05d}-{salt:05d}")
+        meta_path = os.path.join(seg_dir, "meta.json")
+        existing = read_json(meta_path)
+        if (
+            existing is not None
+            and existing.get("n_postings") == group.num_rows
+            and existing.get("tkey") == tkey
+            and existing.get("salt") == salt
+        ):
+            meta = existing  # resume: segment already written for this group
+        else:
+            meta = build_segment_from_group(group, seg_dir, tkey, salt)
+        return pa.table(
+            {
+                "skey": pa.array([skey], pa.int64()),
+                "tkey": pa.array([tkey], pa.int64()),
+                "salt": pa.array([salt], pa.int64()),
+                "n_terms": pa.array([meta["n_terms"]], pa.int64()),
+                "n_postings": pa.array([meta["n_postings"]], pa.int64()),
+                "bytes": pa.array([meta["bytes"]], pa.int64()),
+            }
+        )
+
+    return write_group
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def build_index(
+    input_path: str | list[str],
+    index_dir: str,
+    cfg: IndexConfig = IndexConfig(),
+) -> dict:
+    """Run the full build; resumable; returns the committed manifest."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    t_start = time.time()
+    paths = _paths_of(input_path)
+    parts = plan_partitions(paths, cfg.target_docs_per_part)
+    fingerprints = [p["fingerprint"] for p in parts]
+
+    committed = read_json(os.path.join(index_dir, "index_manifest.json"))
+    if (
+        committed is not None
+        and committed.get("input_fingerprints") == fingerprints
+        and committed.get("config") == cfg.fingerprint()
+    ):
+        return committed  # fully built & committed — nothing to do
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    # ---- Phase A: one task per deterministic doc partition ----
+    def run_part(batch: pa.Table) -> pa.Table:
+        out = [
+            _process_partition(
+                {k: batch.column(k)[i].as_py() for k in batch.column_names},
+                index_dir,
+                cfg,
+            )
+            for i in range(batch.num_rows)
+        ]
+        return pa.table(
+            {
+                "part_id": pa.array([s["part_id"] for s in out], pa.int64()),
+                "n_docs": pa.array([s["n_docs"] for s in out], pa.int64()),
+                "sum_doc_len": pa.array([s["sum_doc_len"] for s in out], pa.int64()),
+                "n_postings": pa.array([s["n_postings"] for s in out], pa.int64()),
+                "resumed": pa.array([s["resumed"] for s in out], pa.bool_()),
+            }
+        )
+
+    part_ds = rd.from_arrow(
+        pa.table(
+            {
+                "part_id": pa.array([p["part_id"] for p in parts], pa.int64()),
+                "path": pa.array([p["path"] for p in parts], pa.string()),
+                "rg_start": pa.array([p["rg_start"] for p in parts], pa.int64()),
+                "rg_end": pa.array([p["rg_end"] for p in parts], pa.int64()),
+                "n_rows": pa.array([p["n_rows"] for p in parts], pa.int64()),
+                "fingerprint": pa.array([p["fingerprint"] for p in parts], pa.string()),
+            }
+        )
+    ).repartition(len(parts))
+    summaries = part_ds.map_batches(run_part, batch_format="pyarrow", batch_size=1).take_all()
+    n_docs = sum(s["n_docs"] for s in summaries)
+    sum_doc_len = sum(s["sum_doc_len"] for s in summaries)
+    phase_a_sec = time.time() - t_start
+
+    # ---- head-term detection: tiny aggregate over termdf partials ----
+    tdf = rd.read_parquet(os.path.join(index_dir, "termdf"))
+    head_rows = (
+        tdf.groupby("term")
+        .aggregate(Sum("df", alias_name="df_sum"))
+        .filter(expr=f"df_sum > {cfg.salt_threshold}")
+        .take_all()
+    )
+    heads = frozenset(r["term"] for r in head_rows)
+    heads_ref = ray.put(heads) if heads else None
+
+    # ---- Phase B: the term-hash shuffle ----
+    n_doc_parts = len(parts)
+    post = rd.read_parquet(os.path.join(index_dir, "postings_raw"))
+    post = post.map_batches(
+        _make_skey_fn(heads_ref, cfg.term_partitions, n_doc_parts),
+        batch_format="pyarrow",
+    )
+    seg_summaries = (
+        post.groupby("skey")
+        .map_groups(_make_segment_writer(index_dir, n_doc_parts), batch_format="pyarrow")
+        .take_all()
+    )
+    phase_b_sec = time.time() - t_start - phase_a_sec
+
+    stats = {
+        "field": "text",
+        "doc_count": int(n_docs),
+        "sum_total_tf": int(sum_doc_len),
+        "n_doc_parts": n_doc_parts,
+        "term_partitions": cfg.term_partitions,
+        "n_segments": len(seg_summaries),
+        "head_terms": sorted(heads),
+    }
+    write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
+
+    man = {
+        "config": cfg.fingerprint(),
+        "input_fingerprints": fingerprints,
+        "stats": stats,
+        "segments": sorted(
+            [
+                {k: int(s[k]) for k in ("skey", "tkey", "salt", "n_terms", "n_postings", "bytes")}
+                for s in seg_summaries
+            ],
+            key=lambda s: s["skey"],
+        ),
+        "metrics": {
+            "n_docs": int(n_docs),
+            "n_postings": int(sum(s["n_postings"] for s in summaries)),
+            "phase_a_sec": round(phase_a_sec, 3),
+            "phase_b_sec": round(phase_b_sec, 3),
+            "total_sec": round(time.time() - t_start, 3),
+            "docs_per_sec": round(n_docs / max(1e-9, time.time() - t_start), 1),
+            "parts_resumed": int(sum(1 for s in summaries if s["resumed"])),
+        },
+    }
+    write_json_atomic(os.path.join(index_dir, "index_manifest.json"), man)
+    return man

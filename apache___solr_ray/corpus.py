@@ -100,8 +100,14 @@ def _vocab_and_cdf() -> tuple[np.ndarray, np.ndarray]:
     return _VOCAB, _ZIPF_CDF
 
 
-def _gen_chunk(seed: int, chunk_id: int, n: int) -> dict[str, np.ndarray | list]:
-    """Generate `n` rows (n <= CHUNK) for ids [chunk_id*CHUNK, +n)."""
+def _gen_chunk(seed: int, chunk_id: int) -> dict[str, np.ndarray | list]:
+    """Generate ALL rows of one chunk (ids [chunk_id*CHUNK, +CHUNK)).
+
+    Always full-size: row content must depend only on (seed, row id), never
+    on how much of the chunk a caller asked for (the RNG consumption would
+    otherwise differ between callers).
+    """
+    n = CHUNK
     vocab, cdf = _vocab_and_cdf()
     rng = np.random.Generator(np.random.PCG64([seed, chunk_id]))
     ids = chunk_id * CHUNK + np.arange(n, dtype=np.int64)
@@ -144,8 +150,21 @@ def _gen_chunk(seed: int, chunk_id: int, n: int) -> dict[str, np.ndarray | list]
     lang_pick = (ids * 104_729) % 100
     lang_cycle = ["de", "fr", "es", "zh", "pt"]
     langs = ["en" if lp < 95 else lang_cycle[int(lp) % 5] for lp in lang_pick]
-    htmls = [render_html(t, seed=int(i)).encode("utf-8") for t, i in zip(texts, ids)]
-    return {"url": urls, "warc_ts": ts, "html": htmls, "text": texts, "lang": langs}
+    # html is rendered lazily per requested slice (it is the expensive part)
+    return {"url": urls, "warc_ts": ts, "text": texts, "lang": langs}
+
+
+_CHUNK_CACHE: dict[tuple[int, int], dict] = {}
+
+
+def _chunk(seed: int, chunk_id: int) -> dict:
+    key = (seed, chunk_id)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is None:
+        if len(_CHUNK_CACHE) > 2:
+            _CHUNK_CACHE.clear()
+        hit = _CHUNK_CACHE[key] = _gen_chunk(seed, chunk_id)
+    return hit
 
 
 PAGES_SCHEMA = pa.schema(
@@ -167,12 +186,16 @@ def pages_table(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
     while i < end:
         cid = i // CHUNK
         cstart = cid * CHUNK
-        cn = min(CHUNK, end - cstart)
-        d = _gen_chunk(seed, cid, cn)
-        lo, hi = i - cstart, min(cn, end - cstart)
-        for k in cols:
+        d = _chunk(seed, cid)
+        lo, hi = i - cstart, min(CHUNK, end - cstart)
+        for k in ("url", "warc_ts", "text", "lang"):
             v = d[k]
             cols[k].extend(v[lo:hi] if isinstance(v, list) else list(v[lo:hi]))
+        ids = range(cstart + lo, cstart + hi)
+        cols["html"].extend(
+            render_html(t, seed=rid).encode("utf-8")
+            for t, rid in zip(d["text"][lo:hi], ids)
+        )
         i = cstart + hi
     return pa.table(
         {

@@ -1,0 +1,399 @@
+"""BM25 top-k query serving over the built index.
+
+Rebuilds the reference query path (SURVEY §3.2: ``SearchHandler`` →
+``SolrIndexSearcher`` with ``BM25Similarity`` + Lucene's block-max WAND
+pruning; distributed merge semantics of ``QueryComponent.mergeIds``):
+
+- global collection stats (docCount, sumTotalTermFreq, exact global df) come
+  from the build — ExactStatsCache semantics (reference
+  ``solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java``),
+  so ranking is identical to a single index regardless of partitioning;
+- per-term scorers are Lucene-exact (lucene.BM25Scorer); multi-term scores
+  sum per Lucene's DisjunctionSumScorer (float64 accumulate → float32);
+- top-k ties break by ascending doc_id (Lucene single-index collector
+  order, the conformance rule fixed in SURVEY §7.4);
+- evaluation is **block-max pruned**: per 128-doc block the skip header's
+  (max_tf, min_norm) gives an upper score bound; doc-space regions whose
+  summed bound cannot beat the running k-th score are skipped without
+  decoding. Regions are visited in descending bound order so the threshold
+  rises as fast as possible (the WAND idea, vectorized region-at-a-time
+  rather than pointer-chased doc-at-a-time — the right shape for numpy).
+
+``TopKQueryActor`` is the stateful stage: construct once per actor (opens
+the index, caches term dicts / hot postings), score query batches in
+``__call__`` — used via ``Dataset.map_batches(TopKQueryActor, concurrency=N,
+...)``. ``scatter_gather_topk`` additionally doc-range-splits one query
+across Ray tasks and k-way-merges with the reference tie-break — the
+distributed scatter/gather analog.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter, OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from apache___solr_ray.analyze import Analyzer
+from apache___solr_ray.lucene import BM25Scorer, sum_term_scores
+from apache___solr_ray.manifest import read_json
+from apache___solr_ray.segment import SegmentReader
+
+
+class TermPostings:
+    """All posting parts of one term (unsalted: 1 part; salted: ≤P parts,
+    disjoint doc ranges ordered by doc partition)."""
+
+    __slots__ = ("term", "views", "df", "ttf")
+
+    def __init__(self, term, views, df, ttf):
+        self.term = term
+        self.views = views  # list[PostingsView], global doc order across list
+        self.df = df
+        self.ttf = ttf
+
+    def block_table(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenated skip data: (block_start_doc, block_last_doc, max_tf,
+        min_norm) across parts. Start of block b = previous last_doc + 1."""
+        starts, lasts, mtf, mnorm = [], [], [], []
+        for v in self.views:
+            h = v.headers
+            last = h["last_doc"].astype(np.int64)
+            first = np.empty(len(h), dtype=np.int64)
+            first[0] = 0 if not lasts else 0  # start bound: conservative 0 for first block of a part
+            if len(h) > 1:
+                first[1:] = last[:-1] + 1
+            starts.append(first)
+            lasts.append(last)
+            mtf.append(h["max_tf"].astype(np.int64))
+            mnorm.append(h["min_norm"].astype(np.int64))
+        return (
+            np.concatenate(starts),
+            np.concatenate(lasts),
+            np.concatenate(mtf),
+            np.concatenate(mnorm),
+        )
+
+    def decode_range(self, lo: int, hi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode postings with lo <= doc_id <= hi, touching only needed blocks."""
+        docs_out, tfs_out, norms_out = [], [], []
+        for v in self.views:
+            lasts = v.headers["last_doc"].astype(np.int64)
+            if len(lasts) == 0 or lasts[-1] < lo:
+                continue
+            b0 = int(np.searchsorted(lasts, lo, side="left"))
+            for bi in range(b0, len(lasts)):
+                d, t, m = v.decode_block(bi)
+                if d[0] > hi:
+                    break
+                sel = (d >= lo) & (d <= hi)
+                if sel.any():
+                    docs_out.append(d[sel])
+                    tfs_out.append(t[sel])
+                    norms_out.append(m[sel])
+                if lasts[bi] >= hi:
+                    break
+        if not docs_out:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), np.zeros(0, dtype=np.uint8)
+        return np.concatenate(docs_out), np.concatenate(tfs_out), np.concatenate(norms_out)
+
+    def decode_all(self):
+        parts = [v.decode_all() for v in self.views]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+
+class IndexReader:
+    """Open a committed index: stats + segment directory, lazy everything."""
+
+    def __init__(self, index_dir: str, cache_docs_parts: int = 64):
+        self.dir = index_dir
+        man = read_json(os.path.join(index_dir, "index_manifest.json"))
+        if man is None:
+            raise FileNotFoundError(f"no committed index at {index_dir}")
+        self.manifest = man
+        self.stats = man["stats"]
+        self.doc_count = self.stats["doc_count"]
+        self.sum_total_tf = self.stats["sum_total_tf"]
+        self.n_doc_parts = self.stats["n_doc_parts"]
+        self.T = self.stats["term_partitions"]
+        self._segments_by_tkey: dict[int, list[dict]] = {}
+        for s in man["segments"]:
+            self._segments_by_tkey.setdefault(s["tkey"], []).append(s)
+        for v in self._segments_by_tkey.values():
+            v.sort(key=lambda s: s["salt"])
+        self._readers: dict[tuple[int, int], SegmentReader] = {}
+        self._term_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
+        self._docs_cache: OrderedDict[int, pa.Table] = OrderedDict()
+        self._cache_docs_parts = cache_docs_parts
+        self.analyzer = Analyzer()  # same default chain as the build
+
+    # -- segment access -----------------------------------------------------
+
+    def _reader(self, tkey: int, salt: int) -> SegmentReader:
+        key = (tkey, salt)
+        r = self._readers.get(key)
+        if r is None:
+            r = SegmentReader(os.path.join(self.dir, "segments", f"seg-{tkey:05d}-{salt:05d}"))
+            self._readers[key] = r
+        return r
+
+    def term_postings(self, term: str) -> TermPostings | None:
+        hit = self._term_cache.get(term)
+        if term in self._term_cache:
+            self._term_cache.move_to_end(term)
+            return hit
+        from apache___solr_ray.build import term_hash
+
+        tkey = int(term_hash(np.array([term], dtype=object))[0] % np.uint64(self.T))
+        views, df, ttf = [], 0, 0
+        for seg in self._segments_by_tkey.get(tkey, ()):
+            r = self._reader(tkey, seg["salt"])
+            v = r.postings(term)
+            if v is not None:
+                st = r.term_stats(term)
+                views.append(v)
+                df += st[0]
+                ttf += st[1]
+        out = TermPostings(term, views, df, ttf) if views else None
+        self._term_cache[term] = out
+        if len(self._term_cache) > 4096:
+            self._term_cache.popitem(last=False)
+        return out
+
+    # -- scoring ------------------------------------------------------------
+
+    def _scorers(self, query: str) -> list[tuple[TermPostings, BM25Scorer]]:
+        counts = Counter(self.analyzer.analyze(query))
+        out = []
+        for term, n in counts.items():
+            tp = self.term_postings(term)
+            if tp is not None:
+                # n duplicate query terms == n identical clauses == boost n
+                out.append((tp, BM25Scorer(tp.df, self.doc_count, self.sum_total_tf, boost=float(n))))
+        return out
+
+    def topk_exhaustive(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Decode-everything scorer: the correctness baseline."""
+        scorers = self._scorers(query)
+        if not scorers:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        docs_list, score_list = [], []
+        for tp, sc in scorers:
+            d, t, m = tp.decode_all()
+            docs_list.append(d)
+            score_list.append(sc.score(t, m))
+        return _topk_from_candidates(docs_list, score_list, k)
+
+    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max pruned top-k (identical results to exhaustive)."""
+        scorers = self._scorers(query)
+        if not scorers:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        return _topk_blockmax(scorers, k)
+
+    def topk_range(
+        self, query: str, k: int, part_lo: int, part_hi: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k restricted to doc partitions [part_lo, part_hi) — the
+        per-shard leg of scatter/gather."""
+        scorers = self._scorers(query)
+        if not scorers:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        lo, hi = part_lo << 32, (part_hi << 32) - 1
+        docs_list, score_list = [], []
+        for tp, sc in scorers:
+            d, t, m = tp.decode_range(lo, hi)
+            if len(d):
+                docs_list.append(d)
+                score_list.append(sc.score(t, m))
+        if not docs_list:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        return _topk_from_candidates(docs_list, score_list, k)
+
+    # -- doc resolution -----------------------------------------------------
+
+    def _docs_part(self, part: int) -> pa.Table:
+        t = self._docs_cache.get(part)
+        if t is None:
+            t = pq.read_table(
+                os.path.join(self.dir, "docs", f"part-{part:06d}.parquet"),
+                columns=["url", "doc_len"],
+            )
+            self._docs_cache[part] = t
+            if len(self._docs_cache) > self._cache_docs_parts:
+                self._docs_cache.popitem(last=False)
+        return t
+
+    def urls_for(self, doc_ids: np.ndarray) -> list[str]:
+        out = []
+        for d in doc_ids:
+            part, row = int(d) >> 32, int(d) & 0xFFFFFFFF
+            out.append(self._docs_part(part).column("url")[row].as_py())
+        return out
+
+    def close(self):
+        for r in self._readers.values():
+            r.close()
+
+
+def _topk_from_candidates(docs_list, score_list, k) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-term (doc, score_f32) candidates: float64-accumulate per doc
+    (DisjunctionSumScorer), cast float32, order by (score desc, doc asc)."""
+    all_docs = np.concatenate(docs_list)
+    all_scores = np.concatenate([s.astype(np.float64) for s in score_list])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_scores)
+    final = acc.astype(np.float32)
+    order = np.lexsort((uniq, -final.astype(np.float64)))[:k]
+    return uniq[order], final[order]
+
+
+def _topk_blockmax(scorers, k) -> tuple[np.ndarray, np.ndarray]:
+    """Region-at-a-time block-max evaluation.
+
+    Doc space is partitioned into regions by the union of all terms' block
+    boundaries; each region's bound is the sum of the overlapping blocks'
+    impact bounds. Regions are processed in descending bound order; once the
+    k-th best real score >= the next region's bound, the remaining regions
+    are pruned without decoding (bound == threshold is still visited so
+    doc-id tie-breaks match exhaustive evaluation exactly).
+    """
+    term_blocks = []
+    for tp, sc in scorers:
+        starts, lasts, max_tf, min_norm = tp.block_table()
+        bounds = sc.score(max_tf, min_norm.astype(np.uint8)).astype(np.float64)
+        term_blocks.append((tp, sc, lasts, bounds))
+
+    edges = np.unique(np.concatenate([lasts for _, _, lasts, _ in term_blocks]))
+    region_hi = edges
+    region_lo = np.empty_like(edges)
+    region_lo[0] = 0
+    region_lo[1:] = edges[:-1] + 1
+    region_bound = np.zeros(len(edges), dtype=np.float64)
+    for _, _, lasts, bounds in term_blocks:
+        # block covering region r = first block with last_doc >= region_hi[r]
+        bi = np.searchsorted(lasts, region_hi, side="left")
+        valid = bi < len(lasts)
+        region_bound[valid] += bounds[bi[valid]]
+
+    order = np.argsort(-region_bound, kind="stable")
+    docs_acc: list[np.ndarray] = []
+    scores_acc: list[np.ndarray] = []
+    threshold = -np.inf
+    n_cand = 0
+    CHUNK_REGIONS = 32
+    for ci in range(0, len(order), CHUNK_REGIONS):
+        sel = order[ci : ci + CHUNK_REGIONS]
+        if n_cand >= k and region_bound[sel[0]] < threshold:
+            break  # every remaining region is below the k-th real score
+        dl, sl = [], []
+        for r in sel:
+            if n_cand >= k and region_bound[r] < threshold:
+                continue
+            lo, hi = int(region_lo[r]), int(region_hi[r])
+            for tp, sc, _, _ in term_blocks:
+                d, t, m = tp.decode_range(lo, hi)
+                if len(d):
+                    dl.append(d)
+                    sl.append(sc.score(t, m))
+        if dl:
+            d, s = _topk_from_candidates(dl, sl, 10**9)
+            docs_acc.append(d)
+            scores_acc.append(s)
+            n_cand += len(d)
+            all_s = np.concatenate(scores_acc)
+            if len(all_s) >= k:
+                threshold = float(np.partition(all_s, -k)[-k])
+    if not docs_acc:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    docs = np.concatenate(docs_acc)
+    scores = np.concatenate(scores_acc)
+    order2 = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order2], scores[order2]
+
+
+def merge_topk(
+    results: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Coordinator k-way merge with the reference tie-break (score desc,
+    doc_id asc) — the QueryComponent.mergeIds analog (reference
+    ``ShardFieldSortedHitQueue.java:82-107``; our deterministic tie-break is
+    doc-id ascending, matching the single-index Lucene collector)."""
+    docs = np.concatenate([r[0] for r in results]) if results else np.zeros(0, np.int64)
+    scores = np.concatenate([r[1] for r in results]) if results else np.zeros(0, np.float32)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order]
+
+
+class TopKQueryActor:
+    """Stateful query-serving stage for ``Dataset.map_batches``.
+
+    __init__ runs once per actor (opens the index — term dicts, mmaps);
+    __call__ scores a batch of queries. Input columns: ``qid:int64,
+    query:string, k:int32``; output: one row per hit with
+    ``qid, rank, doc_id, url, score``.
+    """
+
+    def __init__(self, index_dir: str, resolve_urls: bool = True, use_blockmax: bool = True):
+        self.reader = IndexReader(index_dir)
+        self.resolve_urls = resolve_urls
+        self.use_blockmax = use_blockmax
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, doc_ids, scores = [], [], [], []
+        urls: list[str] = []
+        for i in range(batch.num_rows):
+            qid = batch.column("qid")[i].as_py()
+            query = batch.column("query")[i].as_py()
+            k = int(batch.column("k")[i].as_py()) if "k" in batch.column_names else 10
+            fn = self.reader.topk if self.use_blockmax else self.reader.topk_exhaustive
+            d, s = fn(query, k)
+            qids.extend([qid] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            doc_ids.extend(d.tolist())
+            scores.extend(s.tolist())
+            if self.resolve_urls:
+                urls.extend(self.reader.urls_for(d))
+        cols = {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(np.array(scores, dtype=np.float32)),
+        }
+        if self.resolve_urls:
+            cols["url"] = pa.array(urls, pa.string())
+        return pa.table(cols)
+
+
+def scatter_gather_topk(index_dir: str, query: str, k: int, n_shards: int = 4):
+    """Distributed single-query evaluation: doc-range shards scored in
+    parallel Ray tasks, coordinator merge. Returns (doc_ids, scores)."""
+    import ray
+
+    reader = IndexReader(index_dir)
+    n_parts = reader.n_doc_parts
+    n_shards = max(1, min(n_shards, n_parts))
+    bounds = np.linspace(0, n_parts, n_shards + 1).astype(int)
+
+    @ray.remote
+    def score_shard(lo: int, hi: int):
+        r = IndexReader(index_dir)
+        try:
+            return r.topk_range(query, k, lo, hi)
+        finally:
+            r.close()
+
+    futs = [
+        score_shard.remote(int(lo), int(hi))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    return merge_topk(ray.get(futs), k)

@@ -1,0 +1,213 @@
+"""End-to-end index build + BM25 query conformance (FIXTURES.md invariants 3-6).
+
+The oracle here is an independent single-partition brute-force scorer that
+shares only the frozen math module (lucene.py) with the engine — the
+"control" side of the reference's BaseDistributedSearchTestCase pattern.
+"""
+
+import json
+import os
+import shutil
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from apache___solr_ray.analyze import Analyzer
+from apache___solr_ray.build import IndexConfig, build_index, plan_partitions
+from apache___solr_ray.corpus import pages_table, write_pages
+from apache___solr_ray.lucene import BM25Scorer, int_to_byte4_array
+from apache___solr_ray.query import IndexReader, TopKQueryActor, merge_topk, scatter_gather_topk
+
+N_DOCS = 600
+ROWS_PER_FILE = 256
+QUERIES = [
+    "the fast data",
+    "zaku",                     # likely head-ish synthetic term
+    "example.com",
+    "DON'T Stop",               # case + apostrophe through the chain
+    "no_such_term_xyzzy",
+    "state of the art pipeline merge",
+    "3.14 1,000",
+    "http https utf-8",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    write_pages(d, N_DOCS, seed=42, rows_per_file=ROWS_PER_FILE)
+    return d
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, corpus_dir, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("index"))
+    cfg = IndexConfig(term_partitions=4, salt_threshold=120, target_docs_per_part=ROWS_PER_FILE)
+    man = build_index(corpus_dir, idx, cfg)
+    return idx, cfg, man
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    """Brute-force scorer over the raw corpus with engine-identical doc ids."""
+    pages = pages_table(N_DOCS, seed=42)
+    parts = plan_partitions(
+        sorted(os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)), ROWS_PER_FILE
+    )
+    doc_ids = np.concatenate(
+        [(p["part_id"] << 32) + np.arange(p["n_rows"], dtype=np.int64) for p in parts]
+    )
+    analyzer = Analyzer()
+    toks = [analyzer.analyze(t) for t in pages.column("text").to_pylist()]
+    doc_len = np.array([len(t) for t in toks], dtype=np.int64)
+    norms = int_to_byte4_array(doc_len)
+    doc_count = len(toks)
+    sum_tf = int(doc_len.sum())
+    tf_maps = [Counter(t) for t in toks]
+    df = Counter()
+    for m in tf_maps:
+        df.update(m.keys())
+
+    def topk(query, k=10):
+        q = Counter(analyzer.analyze(query))
+        acc: dict[int, float] = {}
+        for term, boost in q.items():
+            if df[term] == 0:
+                continue
+            sc = BM25Scorer(df[term], doc_count, sum_tf, boost=float(boost))
+            for i, m in enumerate(tf_maps):
+                tf = m.get(term)
+                if tf:
+                    s = float(
+                        sc.score(np.array([tf]), np.array([norms[i]], dtype=np.uint8))[0]
+                    )
+                    acc[i] = acc.get(i, 0.0) + s  # float64 accumulate
+        items = [(int(doc_ids[i]), np.float32(v)) for i, v in acc.items()]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        items = items[:k]
+        return (
+            np.array([d for d, _ in items], dtype=np.int64),
+            np.array([s for _, s in items], dtype=np.float32),
+        )
+
+    return topk
+
+
+def test_build_commits(built):
+    idx, cfg, man = built
+    assert os.path.exists(os.path.join(idx, "index_manifest.json"))
+    assert man["stats"]["doc_count"] == N_DOCS
+    assert man["metrics"]["n_docs"] == N_DOCS
+    assert len(man["segments"]) >= 1
+    assert len(man["stats"]["head_terms"]) > 0  # salting exercised
+
+
+def test_rank_and_score_parity_vs_oracle(built, oracle):
+    idx, _, _ = built
+    r = IndexReader(idx)
+    for q in QUERIES:
+        want_d, want_s = oracle(q, 10)
+        got_d, got_s = r.topk_exhaustive(q, 10)
+        assert got_d.tolist() == want_d.tolist(), f"doc ids differ for {q!r}"
+        assert got_s.tolist() == want_s.tolist(), f"scores differ for {q!r} (must be bit-identical)"
+
+
+def test_blockmax_equals_exhaustive(built):
+    idx, _, _ = built
+    r = IndexReader(idx)
+    for q in QUERIES:
+        d1, s1 = r.topk_exhaustive(q, 10)
+        d2, s2 = r.topk(q, 10)
+        assert d1.tolist() == d2.tolist(), q
+        assert s1.tolist() == s2.tolist(), q
+
+
+def test_scatter_gather_equals_single(built):
+    idx, _, _ = built
+    r = IndexReader(idx)
+    for q in QUERIES[:4]:
+        d1, s1 = r.topk(q, 10)
+        d2, s2 = scatter_gather_topk(idx, q, 10, n_shards=3)
+        assert d1.tolist() == d2.tolist()
+        assert s1.tolist() == s2.tolist()
+
+
+def test_control_vs_distributed_partitioning(ray_session, corpus_dir, built, tmp_path_factory):
+    """1-partition control build == N-partition build (identical results)."""
+    idx_n, _, _ = built
+    idx_1 = str(tmp_path_factory.mktemp("index1"))
+    cfg1 = IndexConfig(term_partitions=1, salt_threshold=10**9, target_docs_per_part=10**6)
+    build_index(corpus_dir, idx_1, cfg1)
+    rn, r1 = IndexReader(idx_n), IndexReader(idx_1)
+    for q in QUERIES:
+        dn, sn = rn.topk(q, 10)
+        d1, s1 = r1.topk(q, 10)
+        # doc ids differ across partitionings; urls and scores must not
+        assert sn.tolist() == s1.tolist(), q
+        # compare url sets per score level (tie order may legally differ)
+        un, u1 = rn.urls_for(dn), r1.urls_for(d1)
+        by_score_n, by_score_1 = {}, {}
+        for s, u in zip(sn.tolist(), un):
+            by_score_n.setdefault(s, set()).add(u)
+        for s, u in zip(s1.tolist(), u1):
+            by_score_1.setdefault(s, set()).add(u)
+        assert by_score_n == by_score_1, q
+
+
+def test_resume_skips_completed_partitions(ray_session, corpus_dir, built, tmp_path_factory):
+    idx, cfg, man0 = built
+    # full skip: identical config + input -> committed manifest returned
+    man1 = build_index(corpus_dir, idx, cfg)
+    assert man1["segments"] == man0["segments"]
+    # partial resume: remove the commit point and one segment, rebuild
+    os.remove(os.path.join(idx, "index_manifest.json"))
+    seg0 = os.path.join(idx, "segments", sorted(os.listdir(os.path.join(idx, "segments")))[0])
+    shutil.rmtree(seg0)
+    man2 = build_index(corpus_dir, idx, cfg)
+    assert man2["metrics"]["parts_resumed"] == man2["stats"]["n_doc_parts"]  # no re-tokenize
+    assert man2["segments"] == man0["segments"]
+    r = IndexReader(idx)
+    d, s = r.topk(QUERIES[0], 10)
+    assert len(d) > 0
+
+
+def test_determinism_two_builds(ray_session, corpus_dir, built, tmp_path_factory):
+    idx_a, cfg, man_a = built
+    idx_b = str(tmp_path_factory.mktemp("indexb"))
+    man_b = build_index(corpus_dir, idx_b, cfg)
+    assert man_a["segments"] == man_b["segments"]
+    assert man_a["stats"] == man_b["stats"]
+    assert man_a["input_fingerprints"] == man_b["input_fingerprints"]
+
+
+def test_query_actor_batch(ray_session, built):
+    import ray.data as rd
+
+    idx, _, _ = built
+    qds = rd.from_items(
+        [{"qid": i, "query": q, "k": 5} for i, q in enumerate(QUERIES)]
+    )
+    out = qds.map_batches(
+        TopKQueryActor,
+        fn_constructor_kwargs={"index_dir": idx},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    ).take_all()
+    by_qid = {}
+    for row in out:
+        by_qid.setdefault(row["qid"], []).append(row)
+    r = IndexReader(idx)
+    for qid, rows in by_qid.items():
+        rows.sort(key=lambda x: x["rank"])
+        d, s = r.topk(QUERIES[qid], 5)
+        assert [row["doc_id"] for row in rows] == d.tolist()
+        assert [np.float32(row["score"]) for row in rows] == s.tolist()
+
+
+def test_merge_topk_tiebreak():
+    a = (np.array([5, 1]), np.array([2.0, 1.0], dtype=np.float32))
+    b = (np.array([3]), np.array([2.0], dtype=np.float32))
+    d, s = merge_topk([a, b], 3)
+    assert d.tolist() == [3, 5, 1]  # score desc, doc asc on the tie
