@@ -420,7 +420,10 @@ def build_index(
         "stats": stats,
         "segments": sorted(
             [
-                {k: int(s[k]) for k in ("skey", "tkey", "salt", "n_terms", "n_postings", "bytes")}
+                dict(
+                    {k: int(s[k]) for k in ("skey", "tkey", "salt", "n_terms", "n_postings", "bytes")},
+                    name=f"seg-{int(s['tkey']):05d}-{int(s['salt']):05d}",
+                )
                 for s in seg_summaries
             ],
             key=lambda s: s["skey"],

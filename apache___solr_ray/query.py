@@ -125,10 +125,12 @@ class IndexReader:
         self.T = self.stats["term_partitions"]
         self._segments_by_tkey: dict[int, list[dict]] = {}
         for s in man["segments"]:
+            s = dict(s)
+            s.setdefault("name", f"seg-{s['tkey']:05d}-{s['salt']:05d}")
             self._segments_by_tkey.setdefault(s["tkey"], []).append(s)
         for v in self._segments_by_tkey.values():
             v.sort(key=lambda s: s["salt"])
-        self._readers: dict[tuple[int, int], SegmentReader] = {}
+        self._readers: dict[str, SegmentReader] = {}
         self._term_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._docs_cache: OrderedDict[int, pa.Table] = OrderedDict()
         self._cache_docs_parts = cache_docs_parts
@@ -136,12 +138,11 @@ class IndexReader:
 
     # -- segment access -----------------------------------------------------
 
-    def _reader(self, tkey: int, salt: int) -> SegmentReader:
-        key = (tkey, salt)
-        r = self._readers.get(key)
+    def _reader(self, name: str) -> SegmentReader:
+        r = self._readers.get(name)
         if r is None:
-            r = SegmentReader(os.path.join(self.dir, "segments", f"seg-{tkey:05d}-{salt:05d}"))
-            self._readers[key] = r
+            r = SegmentReader(os.path.join(self.dir, "segments", name))
+            self._readers[name] = r
         return r
 
     def term_postings(self, term: str) -> TermPostings | None:
@@ -154,13 +155,16 @@ class IndexReader:
         tkey = int(term_hash(np.array([term], dtype=object))[0] % np.uint64(self.T))
         views, df, ttf = [], 0, 0
         for seg in self._segments_by_tkey.get(tkey, ()):
-            r = self._reader(tkey, seg["salt"])
+            r = self._reader(seg["name"])
             v = r.postings(term)
             if v is not None:
                 st = r.term_stats(term)
                 views.append(v)
                 df += st[0]
                 ttf += st[1]
+        # a term's views hold disjoint doc ranges (each posting row lands in
+        # exactly one segment); order them by doc range for global doc order
+        views.sort(key=lambda v: int(v.headers["last_doc"][0]) if len(v.headers) else 0)
         out = TermPostings(term, views, df, ttf) if views else None
         self._term_cache[term] = out
         if len(self._term_cache) > 4096:

@@ -1,0 +1,82 @@
+"""Tiered merge: layout changes, content (query results) bit-identical."""
+
+import os
+
+import numpy as np
+import pytest
+
+from apache___solr_ray.build import IndexConfig, build_index
+from apache___solr_ray.corpus import write_pages
+from apache___solr_ray.merge import merge_segments, plan_merges
+from apache___solr_ray.query import IndexReader
+
+QUERIES = ["the fast data", "example.com", "DON'T Stop", "state of the art merge"]
+
+
+def test_plan_merges_tiers():
+    segs = [
+        {"tkey": 0, "salt": i, "name": f"seg-00000-{i:05d}", "bytes": 100 * (i + 1), "n_terms": 1, "n_postings": 10, "skey": i}
+        for i in range(12)
+    ]
+    steps = plan_merges(segs, target_per_tkey=1, merge_factor=10)
+    # 12 -> merge 10 smallest -> 3 -> merge 3 -> 1
+    assert len(steps) == 2
+    assert len(steps[0][1]) == 10
+    assert len(steps[1][1]) == 3
+    assert steps[0][2] != steps[1][2]
+    steps2 = plan_merges(segs, target_per_tkey=4, merge_factor=10)
+    assert len(steps2) == 1 and len(steps2[0][1]) == 9  # 12 -> 4
+
+
+def test_plan_merges_noop():
+    segs = [{"tkey": 0, "salt": 0, "name": "a", "bytes": 1, "n_terms": 1, "n_postings": 1, "skey": 0}]
+    assert plan_merges(segs, 1, 10) == []
+
+
+@pytest.fixture(scope="module")
+def merged_index(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    write_pages(d, 500, seed=42, rows_per_file=128)
+    idx = str(tmp_path_factory.mktemp("index"))
+    # low salt threshold -> many salted sub-segments to merge
+    cfg = IndexConfig(term_partitions=3, salt_threshold=60, target_docs_per_part=128)
+    build_index(d, idx, cfg)
+    r = IndexReader(idx)
+    before = {q: r.topk(q, 10) for q in QUERIES}
+    before_terms = {}
+    for q in ["the", "example.com"]:
+        tp = r.term_postings(q)
+        if tp:
+            before_terms[q] = (tp.df, tp.ttf, tp.decode_all())
+    r.close()
+    n_before = len(r.manifest["segments"])
+    man = merge_segments(idx, target_per_tkey=1, merge_factor=4)
+    return idx, before, before_terms, n_before, man
+
+
+def test_merge_reduces_segments(merged_index):
+    idx, _, _, n_before, man = merged_index
+    assert len(man["segments"]) < n_before
+    per_tkey = {}
+    for s in man["segments"]:
+        per_tkey[s["tkey"]] = per_tkey.get(s["tkey"], 0) + 1
+    assert all(v == 1 for v in per_tkey.values())
+    # consumed segment dirs are gone; survivors exist
+    names_on_disk = set(os.listdir(os.path.join(idx, "segments")))
+    assert {s["name"] for s in man["segments"]} == names_on_disk
+
+
+def test_merge_preserves_results(merged_index):
+    idx, before, before_terms, _, _ = merged_index
+    r = IndexReader(idx)
+    for q, (d0, s0) in before.items():
+        d1, s1 = r.topk(q, 10)
+        assert d0.tolist() == d1.tolist(), q
+        assert s0.tolist() == s1.tolist(), q
+    for term, (df0, ttf0, (docs0, tfs0, norms0)) in before_terms.items():
+        tp = r.term_postings(term)
+        assert (tp.df, tp.ttf) == (df0, ttf0)
+        docs1, tfs1, norms1 = tp.decode_all()
+        assert np.array_equal(docs0, docs1)
+        assert np.array_equal(tfs0, tfs1)
+        assert np.array_equal(norms0, norms1)
