@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 top-k)
+over /root/testdata/sf0.001; ``queries()``/``oracle_sql()`` expose the
+operator catalog (apache___solr_ray.pipelines) with DuckDB mirrors.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +13,43 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (term-hash
+    shuffle → segments → stats) and serve the reference query set through
+    the actor-pool query stage; returns the top-k result table."""
+    import ray.data as rd
+
+    from apache___solr_ray.pipelines.indexq import BM25_QUERIES, ensure_doc_index
+    from apache___solr_ray.query import TopKQueryActor
+
+    index_dir = ensure_doc_index(SMOKE_SF_DIR)
+    qds = rd.from_items(
+        [{"qid": i, "query": q, "k": 10} for i, q in enumerate(BM25_QUERIES)]
+    )
+    return qds.map_batches(
+        TopKQueryActor,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (relational, text/dedup, similarity, and index-backed queries)."""
+    from apache___solr_ray.pipelines import all_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
+    ops — MinHash/SimHash/BM25 float32 scoring/LSH — which get the weaker
+    rows-only check; their exactness is pytest-asserted instead)."""
+    from apache___solr_ray.pipelines import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,31 @@
+"""Pipelines: the engine's operator surface expressed as named queries.
+
+Each submodule exposes ``QUERIES: dict[name, callable(sf_dir)]`` and
+``ORACLE: dict[name, sql]`` (ANSI SQL for DuckDB over the same Parquet
+tables). Names and output column names match exactly between the two —
+that is the driver's correctness contract.
+
+- ``relational``  — joins / rollups / facets / sorts / set ops / windows
+                    (streaming-expression + JSON-facet analogs, SURVEY §2.4-2.6)
+- ``text``        — tokenization, dedup signatures, quality, fingerprints
+                    (URP + signature analogs, SURVEY §2.2, §2.7)
+- ``similarity``  — embedding ANN / near-dup (knn/vectorSimilarity analogs)
+- ``indexq``      — queries answered FROM the built inverted index
+                    (df/postings dumps, BM25 top-k)
+"""
+
+from apache___solr_ray.pipelines import indexq, relational, similarity, text  # noqa: F401
+
+
+def all_queries():
+    out = {}
+    for m in (relational, text, similarity, indexq):
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in (relational, text, similarity, indexq):
+        out.update(m.ORACLE)
+    return out

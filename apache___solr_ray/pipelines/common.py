@@ -1,0 +1,117 @@
+"""Shared pipeline helpers: broadcast joins, rounding, top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str, take: dict[str, str], how: str = "inner"):
+    """Broadcast hash join: the HashJoinStream analog (reference
+    ``HashJoinStream.java:35-45`` builds the small side's hash table at
+    open). The small table is ``ray.put`` once; each batch probes it with a
+    vectorized pandas merge — no shuffle. ``take`` maps small-side column ->
+    output name."""
+    import ray
+
+    sm = small.select([right_key, *take.keys()]).to_pandas()
+    sm = sm.rename(columns=take)
+    ref = ray.put(sm)
+    state: dict = {}
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        if "sm" not in state:
+            state["sm"] = ray.get(ref)
+        out = df.merge(state["sm"], left_on=left_key, right_on=right_key, how=how)
+        if right_key != left_key and right_key in out.columns and right_key not in take.values():
+            out = out.drop(columns=[right_key])
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def semi_join_filter(ds, key_col: str, keys, keep: bool = True):
+    """Semi/anti join by broadcast key set (reference JoinQParserPlugin
+    semi-join / ComplementStream anti-join semantics)."""
+    import ray
+
+    ref = ray.put(frozenset(keys))
+    state: dict = {}
+
+    def flt(t: pa.Table) -> pa.Table:
+        if "keys" not in state:
+            state["keys"] = state0 = ray.get(ref)
+        ks = state["keys"]
+        col = t.column(key_col).to_pylist()
+        mask = np.fromiter((v in ks for v in col), dtype=bool, count=len(col))
+        if not keep:
+            mask = ~mask
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def round_cols(ds, spec: dict[str, int]):
+    """Round float columns (both the Ray side and the oracle SQL round, so
+    value hashes agree despite summation-order ulp drift)."""
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for name, nd in spec.items():
+            i = t.column_names.index(name)
+            arr = pc.round(pc.cast(t.column(name), pa.float64()), ndigits=nd)
+            t = t.set_column(i, name, arr)
+        return t
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+def as_int64(ds, *names: str):
+    def cast(t: pa.Table) -> pa.Table:
+        for name in names:
+            i = t.column_names.index(name)
+            t = t.set_column(i, name, pc.cast(t.column(name), pa.int64()))
+        return t
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def add_rank_column(table: pa.Table, name: str = "rk") -> pa.Table:
+    return table.append_column(name, pa.array(np.arange(1, table.num_rows + 1, dtype=np.int64)))
+
+
+def cents(arr) -> pa.Array:
+    """Per-row exact integer cents: round(x*100) -> int64.
+
+    Monetary SUMs must never be compared as floats across engines (summation
+    order differs at the ulp level and 2-decimal data sits exactly on
+    rounding boundaries). Rounding each row's identical double to integer
+    cents and summing ints is bit-exact on both sides.
+    SQL mirror: CAST(round(x * 100) AS BIGINT).
+    """
+    return pc.cast(
+        pc.round(pc.multiply(pc.cast(arr, pa.float64()), 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def floor_round(arr, digits: int) -> pa.Array:
+    """floor(x * 10^d + 0.5) / 10^d — deterministic rounding whose SQL
+    mirror ``floor(x * 10^d + 0.5) / 10^d.0`` is IEEE-op-for-op identical,
+    so outputs match bit-exactly whenever the inputs match."""
+    m = float(10**digits)
+    x = pc.cast(arr, pa.float64())
+    return pc.divide(pc.floor(pc.add(pc.multiply(x, m), 0.5)), m)
+
+
+def materialize_with_schema(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a (small) Dataset into an Arrow table with a guaranteed
+    schema — empty pipeline results otherwise lose their column names."""
+    import ray
+
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    tables = [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables)

@@ -1,0 +1,219 @@
+"""Queries answered FROM the built inverted index over ``documents``.
+
+These entries run the real engine — build (term-hash shuffle, segments,
+stats) + query (postings decode, BM25) — and are checked against DuckDB
+recomputing the same numbers relationally. They are the driver-facing
+proof that the index contents are exactly right (FIXTURES.md invariant 3
+via the oracle instead of goldens).
+
+``documents.text`` is plain lowercased words, on which the UAX#29 chain and
+the simple ``[a-z0-9]+`` SQL tokenizer agree token-for-token — asserted by
+``tests/test_ray_entry.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+POSTINGS_TERMS = ["the", "data", "merge", "spark", "window", "vector", "join"]
+BM25_QUERIES = [
+    "fast merge join",
+    "spark window",
+    "the query",
+    "vector stream batch",
+    "customer order line",
+]
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_doc_index(sf_dir: str) -> str:
+    """Build (once per process per corpus) the inverted index over
+    ``documents`` — url key ``doc://<doc_id>``, text field indexed with the
+    default chain."""
+    from apache___solr_ray.build import IndexConfig, build_index
+
+    hit = _INDEX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = f"{src}:{os.path.getsize(src)}:{pq.ParquetFile(src).metadata.num_rows}"
+    key = hashlib.md5(fp.encode()).hexdigest()[:16]
+    base = f"/tmp/apache___solr_ray_cache/{key}"
+    pages_dir = os.path.join(base, "pages")
+    index_dir = os.path.join(base, "index")
+    os.makedirs(pages_dir, exist_ok=True)
+    pages_path = os.path.join(pages_dir, "docs-000000.parquet")
+    if not os.path.exists(pages_path):
+        t = pq.read_table(src, columns=["doc_id", "text", "lang"])
+        urls = pa.array([f"doc://{d:012d}" for d in t.column("doc_id").to_pylist()], pa.string())
+        tmp = pages_path + ".tmp"
+        pq.write_table(
+            pa.table({"url": urls, "text": t.column("text"), "lang": t.column("lang")}), tmp
+        )
+        os.replace(tmp, pages_path)
+    cfg = IndexConfig(
+        term_partitions=8,
+        salt_threshold=10_000_000,
+        target_docs_per_part=4096,
+        text_from_html=False,
+    )
+    build_index(pages_dir, index_dir, cfg)
+    _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def _doc_id_map(index_dir: str) -> dict[int, int]:
+    """engine doc_id -> documents.doc_id (via the url key)."""
+    out: dict[int, int] = {}
+    docs_dir = os.path.join(index_dir, "docs")
+    for f in sorted(os.listdir(docs_dir)):
+        t = pq.read_table(os.path.join(docs_dir, f), columns=["url", "doc_id"])
+        for url, did in zip(t.column("url").to_pylist(), t.column("doc_id").to_pylist()):
+            out[did] = int(url[6:])
+    return out
+
+
+@q(
+    "index_term_df",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+    FROM toks GROUP BY term
+    """,
+)
+def index_term_df(sf_dir: str):
+    """Full term dictionary dumped from the built segments (df/ttf summed
+    across salted parts) — must equal DuckDB recounting from raw text."""
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            for term, df, ttf in sr.iter_terms():
+                a = agg[term]
+                a[0] += df
+                a[1] += ttf
+            sr.close()
+    terms = sorted(agg)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([agg[t][0] for t in terms], pa.int64()),
+            "ttf": pa.array([agg[t][1] for t in terms], pa.int64()),
+        }
+    )
+
+
+@q(
+    "index_term_postings",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    SELECT term, doc_id, count(*) AS tf FROM toks
+    WHERE term IN ({", ".join(repr(t) for t in POSTINGS_TERMS)})
+    GROUP BY term, doc_id
+    """,
+)
+def index_term_postings(sf_dir: str):
+    """Decoded posting lists (delta+VInt blocks) for a fixed term set —
+    (term, doc_id, tf) must equal DuckDB's recount."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    terms_out, ids_out, tfs_out = [], [], []
+    for term in POSTINGS_TERMS:
+        tp = r.term_postings(term)
+        if tp is None:
+            continue
+        docs, tfs, _ = tp.decode_all()
+        terms_out.extend([term] * len(docs))
+        ids_out.extend(idmap[int(d)] for d in docs)
+        tfs_out.extend(int(x) for x in tfs)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "tf": pa.array(tfs_out, pa.int64()),
+        }
+    )
+
+
+@q("bm25_topk_docs")
+def bm25_topk_docs(sf_dir: str):
+    """Flagship BM25 top-10 over the documents index (block-max evaluation,
+    Lucene-exact float32 scores). Rows-only for the driver; rank/score
+    parity is pytest-asserted against the brute-force oracle."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    qids, ranks, ids, scores = [], [], [], []
+    for qi, query in enumerate(BM25_QUERIES):
+        d, s = r.topk(query, 10)
+        qids.extend([qi] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        ids.extend(idmap[int(x)] for x in d)
+        scores.extend(np.round(s.astype(np.float64), 4).tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+@q("index_scatter_gather_topk")
+def index_scatter_gather_topk(sf_dir: str):
+    """Distributed query path: doc-range sharded scoring + coordinator merge
+    (QueryComponent.mergeIds analog) — must equal single-evaluator top-k
+    (asserted in pytest; rows-only here)."""
+    from apache___solr_ray.query import scatter_gather_topk
+
+    index_dir = ensure_doc_index(sf_dir)
+    idmap = _doc_id_map(index_dir)
+    qids, ranks, ids, scores = [], [], [], []
+    for qi, query in enumerate(BM25_QUERIES[:3]):
+        d, s = scatter_gather_topk(index_dir, query, 10, n_shards=2)
+        qids.extend([qi] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        ids.extend(idmap[int(x)] for x in d)
+        scores.extend(np.round(s.astype(np.float64), 4).tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )

@@ -1,0 +1,606 @@
+"""Relational pipelines over the test tables — the streaming-expression /
+JSON-facet operator surface (SURVEY §2.4-2.6) as Ray Data pipelines.
+
+Every entry has a DuckDB oracle with identical output column names.
+Reference analogs cited per query. Floats are rounded identically on both
+sides (half away from zero, DuckDB's ROUND semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from apache___solr_ray.pipelines.common import (
+    broadcast_join,
+    round_cols,
+    semi_join_filter,
+)
+from apache___solr_ray.sources import load, load_arrow
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# -- grouped aggregation (RollupStream / StatsStream / JSON facet) ----------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+           floor((sum(CAST(l_quantity AS BIGINT)) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: the RollupStream / JSON-facet sum/avg/count analog
+    (reference SumAgg.java, AvgAgg.java, CountAgg.java) with the disc-price
+    expression computed vectorized before the (only) shuffle. Money is
+    summed as exact integer cents (see pipelines.common.cents)."""
+    from ray.data.aggregate import Count, Sum
+
+    from apache___solr_ray.pipelines.common import cents, floor_round
+
+    ds = load(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return (
+            t.append_column("qty_i", pc.cast(t.column("l_quantity"), pa.int64()))
+            .append_column("base_cents", cents(t.column("l_extendedprice")))
+            .append_column("disc_cents", cents(disc_price))
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_i", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_price_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.multiply(pc.cast(t.column("sum_qty"), pa.float64()), 1.0),
+            pc.cast(t.column("count_order"), pa.float64()),
+        )
+        return t.append_column("avg_qty", floor_round(avg, 4))
+
+    return out.map_batches(derive, batch_format="pyarrow")
+
+
+@q(
+    "agg_stats_events",
+    """
+    SELECT count(*) AS n,
+           round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
+           round(sum(value), 2) AS sum_v, round(avg(value), 4) AS avg_v,
+           round(stddev_samp(value), 4) AS std_v
+    FROM events
+    """,
+)
+def agg_stats_events(sf_dir: str):
+    """StatsComponent / StatsStream analog (reference StatsValuesFactory
+    min/max/sum/mean/stddev)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+    ds = load(sf_dir, "events", columns=["value"])
+    row = ds.aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_v"),
+        Max("value", alias_name="max_v"),
+        Sum("value", alias_name="sum_v"),
+        Mean("value", alias_name="avg_v"),
+        Std("value", ddof=1, alias_name="std_v"),
+    )
+
+    def r4(x):
+        return float(pc.round(pa.scalar(float(x)), ndigits=4, round_mode="half_towards_infinity").as_py())
+
+    return pa.table(
+        {
+            "n": pa.array([row["n"]], pa.int64()),
+            "min_v": pa.array([r4(row["min_v"])]),
+            "max_v": pa.array([r4(row["max_v"])]),
+            "sum_v": pa.array(
+                [float(pc.round(pa.scalar(float(row["sum_v"])), ndigits=2, round_mode="half_towards_infinity").as_py())]
+            ),
+            "avg_v": pa.array([r4(row["avg_v"])]),
+            "std_v": pa.array([r4(row["std_v"])]),
+        }
+    )
+
+
+@q(
+    "facet_event_types",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def facet_event_types(sf_dir: str):
+    """Terms facet (FacetFieldProcessor / FacetStream analog)."""
+    from ray.data.aggregate import Count
+
+    return load(sf_dir, "events", columns=["event_type"]).groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+@q(
+    "facet_range_value",
+    "SELECT floor(value / 5) * 5 AS bucket, count(*) AS n FROM events GROUP BY 1",
+)
+def facet_range_value(sf_dir: str):
+    """Range facet (FacetRange.java analog): fixed-width numeric buckets."""
+    from ray.data.aggregate import Count
+
+    ds = load(sf_dir, "events", columns=["value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.multiply(pc.floor(pc.divide(t.column("value"), 5.0)), 5.0)
+        return t.append_column("bucket", b).drop_columns(["value"])
+
+    return ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+@q(
+    "time_series_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def time_series_daily(sf_dir: str):
+    """TimeSeriesStream analog: date-bucketed metrics."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "events", columns=["ts", "value"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.floor_temporal(t.column("ts"), unit="day")).drop_columns(["ts"])
+
+    out = (
+        ds.map_batches(day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return round_cols(out, {"sum_value": 2})
+
+
+@q(
+    "unique_users_per_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def unique_users_per_type(sf_dir: str):
+    """Exact distinct (UniqueAgg.java): two-level groupby — dedup pairs,
+    then count; the scale path swaps level one for an HLL sketch."""
+    from ray.data.aggregate import Count
+
+    ds = load(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+@q(
+    "percentile_value",
+    """
+    SELECT round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    """,
+)
+def percentile_value(sf_dir: str):
+    """PercentileAgg analog. Exact at test scale (numpy linear interpolation
+    == SQL quantile_cont); the 100 TB path is a mergeable t-digest
+    AggregateFn emitting one sketch per batch."""
+    vals = load_arrow(sf_dir, "events", columns=["value"]).column("value").to_numpy()
+    p = np.quantile(vals, [0.5, 0.9, 0.99], method="linear")
+
+    def r4(x):
+        return float(pc.round(pa.scalar(float(x)), ndigits=4, round_mode="half_towards_infinity").as_py())
+
+    return pa.table({"p50": pa.array([r4(p[0])]), "p90": pa.array([r4(p[1])]), "p99": pa.array([r4(p[2])])})
+
+
+# -- joins (HashJoinStream / InnerJoinStream / FetchStream) ------------------
+
+
+@q(
+    "join_customer_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_totalprice_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_customer_orders(sf_dir: str):
+    """Broadcast hash join (HashJoinStream.java:35-45: hash the small side
+    at open, probe the big stream) + rollup (exact integer cents)."""
+    from ray.data.aggregate import Count, Sum
+
+    from apache___solr_ray.pipelines.common import cents
+
+    cust = load_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ds = load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("price_cents", cents(t.column("o_totalprice"))).drop_columns(
+            ["o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(ds, cust, "o_custkey", "c_custkey", {"c_mktsegment": "c_mktsegment"})
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_totalprice_cents")
+    )
+
+
+@q(
+    "join_supplier_nation_region",
+    """
+    SELECT r_name, count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_supplier_nation_region(sf_dir: str):
+    """Dimension-chain broadcast join (nation ⋈ region prejoined driver-side
+    — both tiny — then one probe)."""
+    from ray.data.aggregate import Count
+
+    nation = load_arrow(sf_dir, "nation").to_pandas()
+    region = load_arrow(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    ds = load(sf_dir, "supplier", columns=["s_nationkey"])
+    joined = broadcast_join(
+        ds, pa.Table.from_pandas(dim[["n_nationkey", "r_name"]]), "s_nationkey", "n_nationkey", {"r_name": "r_name"}
+    )
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+@q(
+    "fetch_enrich_orders",
+    """
+    SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey <= 100
+    """,
+)
+def fetch_enrich_orders(sf_dir: str):
+    """FetchStream analog (FetchStream.java:44-51): batched lookup-join
+    fetching extra fields by key."""
+    cust = load_arrow(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ds = load(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("o_orderkey"), 100)), batch_format="pyarrow"
+    )
+    out = broadcast_join(ds, cust, "o_custkey", "c_custkey", {"c_name": "c_name"})
+    return out.drop_columns(["o_custkey"])
+
+
+@q(
+    "semi_join_customers_with_orders",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
+    GROUP BY n_name
+    """,
+)
+def semi_join_customers_with_orders(sf_dir: str):
+    """IntersectStream / {!join} semi-join analog via broadcast key set."""
+    from ray.data.aggregate import Count
+
+    keys = load(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    cust = load(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = semi_join_filter(cust, "c_custkey", keys, keep=True)
+    nation = load_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = broadcast_join(cust, nation, "c_nationkey", "n_nationkey", {"n_name": "n_name"})
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_customers"))
+
+
+@q(
+    "anti_join_customers_without_orders",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+    GROUP BY n_name
+    """,
+)
+def anti_join_customers_without_orders(sf_dir: str):
+    """ComplementStream (anti-join) analog (ComplementStream.java:36-41)."""
+    from ray.data.aggregate import Count
+
+    from apache___solr_ray.pipelines.common import materialize_with_schema
+
+    keys = load(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    cust = load(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = semi_join_filter(cust, "c_custkey", keys, keep=False)
+    nation = load_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = broadcast_join(cust, nation, "c_nationkey", "n_nationkey", {"n_name": "n_name"})
+    out = joined.groupby("n_name").aggregate(Count(alias_name="n_customers"))
+    # may legally be empty (every customer ordered) — keep the schema
+    return materialize_with_schema(
+        out, pa.schema([("n_name", pa.string()), ("n_customers", pa.int64())])
+    )
+
+
+@q(
+    "rollup_nation_revenue",
+    """
+    SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def rollup_nation_revenue(sf_dir: str):
+    """Partial-aggregation pattern: per-batch combine inside map_batches
+    (one row per key per batch) then a tiny groupby — the shuffle moves
+    per-batch partials, not 60k rows (SURVEY §2.5 'partial + final').
+    Exact integer cents, so partials sum associatively."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines.common import cents
+
+    supplier = load_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = load_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = supplier.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    lookup = dict(zip(dim["s_suppkey"], dim["n_name"]))
+    ref = ray.put(lookup)
+    state: dict = {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        if "lk" not in state:
+            state["lk"] = ray.get(ref)
+        lk = state["lk"]
+        rev_expr = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        rev = cents(rev_expr).to_numpy()
+        names = np.asarray([lk[s] for s in t.column("l_suppkey").to_pylist()], dtype=object)
+        uniq, inv = np.unique(names, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"n_name": pa.array(list(uniq), pa.string()), "partial": pa.array(sums)})
+
+    ds = load(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
+        Sum("partial", alias_name="revenue_cents")
+    )
+
+
+# -- sorts / top-k / limits / windows ---------------------------------------
+
+
+@q(
+    "export_sort_orders",
+    """
+    SELECT o_orderkey, o_orderdate, rk FROM (
+      SELECT o_orderkey, o_orderdate,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 20
+    """,
+)
+def export_sort_orders(sf_dir: str):
+    """/export + RankStream analog: full sort (docValues streaming sort,
+    ExportWriter.java) with deterministic unique tie-break, top 20."""
+    from apache___solr_ray.pipelines.common import add_rank_column
+
+    import ray
+
+    ds = load(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    top = ds.sort(["o_orderdate", "o_orderkey"]).limit(20)
+    tbl = pa.concat_tables([ray.get(r) for r in top.to_arrow_refs()])
+    return add_rank_column(tbl)
+
+
+@q(
+    "having_active_users",
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id HAVING count(*) > 70",
+)
+def having_active_users(sf_dir: str):
+    """HavingStream analog: predicate over aggregated tuples."""
+    from ray.data.aggregate import Count
+
+    out = load(sf_dir, "events", columns=["user_id"]).groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_events"), 70)), batch_format="pyarrow"
+    )
+
+
+@q(
+    "collapse_latest_event",
+    """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def collapse_latest_event(sf_dir: str):
+    """CollapsingQParserPlugin analog: group-collapse keeping the head by
+    sort (here: latest ts, max event_id tie-break)."""
+    ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+        return g[["user_id", "event_id"]]
+
+    return ds.groupby("user_id").map_groups(head, batch_format="pandas")
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id,
+           sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions,
+           count(*) AS n_events
+    FROM o GROUP BY user_id
+    """,
+)
+def sessionize_events(sf_dir: str):
+    """Session windowing (streaming-shaped workload): per-key ordered
+    map_groups with a 30-minute inactivity gap. Ordering assumption: events
+    sorted by (ts, event_id) within each user partition."""
+    ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > 1800)).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        )
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    from apache___solr_ray.pipelines.common import as_int64
+
+    return as_int64(out, "n_sessions", "n_events")
+
+
+@q(
+    "tumbling_window_hourly",
+    """
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_hourly(sf_dir: str):
+    """Tumbling event-time window as keyed bucket aggregate (Ray Data has
+    no watermarks; batch semantics are exact for bounded input)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        return t.append_column("window_start", pc.floor_temporal(t.column("ts"), unit="hour")).drop_columns(["ts"])
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return round_cols(out, {"sum_value": 2})
+
+
+# -- set ops / projection ----------------------------------------------------
+
+
+@q(
+    "union_names",
+    "SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region",
+)
+def union_names(sf_dir: str):
+    """MergeStream / ListStream union-all analog."""
+    a = load(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    b = load(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return a.union(b)
+
+
+@q("distinct_orderpriority", "SELECT DISTINCT o_orderpriority FROM orders")
+def distinct_orderpriority(sf_dir: str):
+    """UniqueStream analog (sorted-stream dedup -> Dataset.unique)."""
+    vals = sorted(load(sf_dir, "orders", columns=["o_orderpriority"]).unique("o_orderpriority"))
+    return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
+
+
+@q(
+    "select_rename_project",
+    "SELECT n_name AS nation, r_name AS region FROM nation JOIN region ON n_regionkey = r_regionkey",
+)
+def select_rename_project(sf_dir: str):
+    """SelectStream projection/rename analog (SelectStream.java:43-48)."""
+    nation = load_arrow(sf_dir, "region")
+    ds = load(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    out = broadcast_join(ds, nation, "n_regionkey", "r_regionkey", {"r_name": "region"})
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"nation": t.column("n_name"), "region": t.column("region")})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+@q(
+    "q3_high_revenue_orders",
+    """
+    SELECT l_orderkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) > 10000000
+    """,
+)
+def q3_high_revenue_orders(sf_dir: str):
+    """TPC-H Q3 shape: two broadcast semi-joins into the fact stream, grouped
+    revenue, HAVING filter (threshold instead of top-k so no float-tie
+    boundary ambiguity)."""
+    from ray.data.aggregate import Sum
+
+    cust = load_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg = pc.min(cust.column("c_mktsegment")).as_py()
+    ckeys = frozenset(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), seg)).column("c_custkey").to_pylist()
+    )
+    orders = load_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(np.datetime64("1995-03-15T00:00:00", "us"))
+    omask = pc.and_(
+        pc.less(orders.column("o_orderdate"), cutoff),
+        pc.is_in(orders.column("o_custkey"), value_set=pa.array(sorted(ckeys))),
+    )
+    okeys = orders.filter(omask).column("o_orderkey").to_pylist()
+    li = load(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li = semi_join_filter(li, "l_orderkey", okeys, keep=True)
+
+    from apache___solr_ray.pipelines.common import cents
+
+    def disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return t.append_column("rev_cents", cents(rev))
+
+    out = li.map_batches(disc, batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents")
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t.column("revenue_cents"), 10_000_000)), batch_format="pyarrow"
+    )

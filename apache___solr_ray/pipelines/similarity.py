@@ -1,0 +1,229 @@
+"""Similarity search over the ``embeddings`` table — the knn /
+vectorSimilarity parser analogs (reference ``KnnQParserPlugin`` /
+``DenseVectorField.java``) as Ray Data pipelines.
+
+Baseline: brute-force cosine top-k (numpy matmul per batch against a
+broadcast query matrix). Scale path: LSH-bucketed variant that shuffles
+once on bucket id — candidate buckets only — plus the near-dup pair stage
+in stages.dedup. All SQL-checked entries compute cosine in float64 like
+DuckDB's ``list_cosine_similarity`` (embeddings cast to DOUBLE[] in SQL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from apache___solr_ray.sources import load, load_arrow
+from apache___solr_ray.stages.dedup import embedding_near_dup_pairs
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+_QVEC_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = load_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    row = t.filter(pc.equal(t.column("vec_id"), 0))
+    return np.asarray(row.column("embedding")[0].as_py(), dtype=np.float64)
+
+
+def _sim_stage(qv: np.ndarray):
+    """map_batches stage: cosine(embedding, qv) in float64, broadcast qv."""
+    import ray
+
+    ref = ray.put(qv)
+    state: dict = {}
+
+    def stage(t: pa.Table) -> pa.Table:
+        if "q" not in state:
+            state["q"] = ray.get(ref)
+            state["qn"] = np.linalg.norm(state["q"])
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        sims = (E @ state["q"]) / np.maximum(1e-300, np.linalg.norm(E, axis=1) * state["qn"])
+        return pa.table({"vec_id": t.column("vec_id"), "sim": pa.array(sims)})
+
+    return stage
+
+
+@q(
+    "ann_cosine_top20",
+    f"""
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}), 5) AS sim
+    FROM embeddings
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC, vec_id
+    LIMIT 20
+    """,
+)
+def ann_cosine_top20(sf_dir: str):
+    """Brute-force cosine top-20 vs a fixed query vector (vec_id 0):
+    vectorized scoring per batch, distributed sort+limit for the top-k."""
+    qv = _query_vec(sf_dir)
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(_sim_stage(qv), batch_format="pyarrow")
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(20)
+    from apache___solr_ray.pipelines.common import round_cols
+
+    return round_cols(top, {"sim": 5})
+
+
+@q(
+    "ann_per_label_top3",
+    f"""
+    WITH s AS (
+      SELECT label, vec_id,
+             list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) AS sim
+      FROM embeddings),
+    r AS (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) AS rk
+      FROM s)
+    SELECT label, vec_id, rk FROM r WHERE rk <= 3
+    """,
+)
+def ann_per_label_top3(sf_dir: str):
+    """Grouped top-k (per-label nearest) — groupby().map_groups over the
+    scored stream; the expand/grouping component analog."""
+    import ray
+
+    qv = _query_vec(sf_dir)
+    qref = ray.put(qv)
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    state: dict = {}
+
+    def score(t: pa.Table) -> pa.Table:
+        if "q" not in state:
+            state["q"] = ray.get(qref)
+            state["qn"] = np.linalg.norm(state["q"])
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        sims = (E @ state["q"]) / np.maximum(1e-300, np.linalg.norm(E, axis=1) * state["qn"])
+        return pa.table({"label": t.column("label"), "vec_id": t.column("vec_id"), "sim": pa.array(sims)})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["label", "vec_id", "rk"]]
+
+    return scored.groupby("label").map_groups(top3, batch_format="pandas")
+
+
+@q(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (threshold 0.4): broadcast
+    matrix + blocked matmul, no shuffle."""
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.4)
+
+
+@q(
+    "knn_label_vote",
+    f"""
+    WITH s AS (
+      SELECT vec_id, label,
+             list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) AS sim
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 10)
+    SELECT label, count(*) AS n FROM s GROUP BY label
+    """,
+)
+def knn_label_vote(sf_dir: str):
+    """kNN classification vote (ClassificationUpdateProcessor knn analog):
+    10 nearest neighbours of the query vector, label histogram."""
+    from ray.data.aggregate import Count
+
+    qv = _query_vec(sf_dir)
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    import ray
+
+    qref = ray.put(qv)
+    state: dict = {}
+
+    def score(t: pa.Table) -> pa.Table:
+        if "q" not in state:
+            state["q"] = ray.get(qref)
+            state["qn"] = np.linalg.norm(state["q"])
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        sims = (E @ state["q"]) / np.maximum(1e-300, np.linalg.norm(E, axis=1) * state["qn"])
+        out = pa.table(
+            {"vec_id": t.column("vec_id"), "label": t.column("label"), "sim": pa.array(sims)}
+        )
+        return out.filter(pc.not_equal(out.column("vec_id"), 0))
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+    return top.groupby("label").aggregate(Count(alias_name="n"))
+
+
+# -- rows-only: LSH-bucketed ANN (the scale path) ----------------------------
+
+
+@q("ann_lsh_bucketed_top20")
+def ann_lsh_bucketed_top20(sf_dir: str):
+    """LSH-bucketed ANN: random-hyperplane signatures bucket the corpus
+    (one groupby); only buckets within Hamming distance <= 1 of the query's
+    signature are scored. Approximate by design — rows-only check here;
+    recall vs the brute-force baseline is asserted in pytest."""
+    rng = np.random.Generator(np.random.PCG64(271828))
+    qv = _query_vec(sf_dir)
+    dim = len(qv)
+    planes = rng.normal(size=(8, dim))
+    qsig = int("".join("1" if x > 0 else "0" for x in planes @ qv), 2)
+    near = {qsig} | {qsig ^ (1 << i) for i in range(8)}
+
+    import ray
+
+    pref = ray.put((planes, near, qv))
+    state: dict = {}
+
+    def stage(t: pa.Table) -> pa.Table:
+        if "p" not in state:
+            state["p"], state["near"], state["q"] = ray.get(pref)
+            state["qn"] = np.linalg.norm(state["q"])
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        bits = (E @ state["p"].T) > 0
+        sigs = np.zeros(len(E), dtype=np.int64)
+        for i in range(8):
+            sigs |= bits[:, i].astype(np.int64) << (7 - i)
+        keep = np.fromiter((int(s) in state["near"] for s in sigs), bool, count=len(sigs))
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        E = E[keep]
+        sims = (E @ state["q"]) / np.maximum(1e-300, np.linalg.norm(E, axis=1) * state["qn"])
+        return pa.table(
+            {
+                "vec_id": pc.take(t.column("vec_id"), pa.array(np.flatnonzero(keep))),
+                "sim": pa.array(sims),
+            }
+        )
+
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(stage, batch_format="pyarrow")
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(20)
+    from apache___solr_ray.pipelines.common import round_cols
+
+    return round_cols(top, {"sim": 5})

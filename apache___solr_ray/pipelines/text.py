@@ -1,0 +1,277 @@
+"""Text-analysis + dedup pipelines over ``documents`` — the URP / signature
+/ terms-component surface (SURVEY §2.2, §2.7) plus the training-data dedup
+operators.
+
+SQL-checked entries use the simple ``[a-z0-9]+`` tokenizer whose semantics
+DuckDB can express exactly (``analyze.simple_tokenize``); the UAX#29 chain
+is conformance-tested against goldens in pytest instead.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from apache___solr_ray.analyze import simple_tokenize
+from apache___solr_ray.sources import load
+from apache___solr_ray.stages.dedup import (
+    add_signature,
+    add_simhash,
+    add_text_profile_signature,
+    jaccard_pairs_exact,
+    minhash_lsh_candidates,
+)
+from apache___solr_ray.stages.multimodal import FakeImageDecoder
+from apache___solr_ray.stages.textstats import LangIdStage, fingerprint_md5, quality_features
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+#: DuckDB fragment for the shared tokenizer
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _term_tuples(t: pa.Table) -> pa.Table:
+    """Explode (doc_id, term, tf) with the simple tokenizer — the
+    CartesianProductStream-style unnest feeding term aggregates."""
+    doc_ids, terms, tfs = [], [], []
+    for d, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        for term, tf in Counter(simple_tokenize(text or "")).items():
+            doc_ids.append(d)
+            terms.append(term)
+            tfs.append(tf)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+@q(
+    "term_df",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+    FROM toks GROUP BY term HAVING count(DISTINCT doc_id) >= 5
+    """,
+)
+def term_df(sf_dir: str):
+    """Term dictionary stats (TermsComponent / df-ttf aggregate): explode to
+    (doc, term, tf) then one groupby — the same shuffle shape as the index
+    build's phase B."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(_term_tuples, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="ttf"))
+    )
+    return out.map_batches(lambda t: t.filter(pc.greater_equal(t.column("df"), 5)), batch_format="pyarrow")
+
+
+@q(
+    "token_stats_per_doc",
+    f"""
+    SELECT doc_id, len({_TOKS}) AS n_tokens, len(list_distinct({_TOKS})) AS n_unique
+    FROM documents
+    """,
+)
+def token_stats_per_doc(sf_dir: str):
+    """Token counting (FieldLength/CountFieldValues URP analog)."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        n_tok, n_uni = [], []
+        for text in t.column("text").to_pylist():
+            toks = simple_tokenize(text or "")
+            n_tok.append(len(toks))
+            n_uni.append(len(set(toks)))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_unique": pa.array(n_uni, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+@q(
+    "doc_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars_q, len({_TOKS}) AS n_tokens,
+             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+      FROM documents)
+    SELECT doc_id, n_chars_q, n_tokens,
+           floor((alnum * 1.0 / greatest(n_tokens, 1)) * 10000 + 0.5) / 10000.0 AS mean_token_len,
+           floor((digits * 1.0 / greatest(n_chars_q, 1)) * 10000 + 0.5) / 10000.0 AS digit_ratio
+    FROM t
+    """,
+)
+def doc_quality(sf_dir: str):
+    """Quality scoring stage output (subset with exact SQL mirror)."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_features("text"), batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars_q": t.column("n_chars_q"),
+                "n_tokens": t.column("n_tokens"),
+                "mean_token_len": t.column("mean_token_len"),
+                "digit_ratio": t.column("digit_ratio"),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+@q("lang_distribution", "SELECT lang, count(*) AS n FROM documents GROUP BY lang")
+def lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return load(sf_dir, "documents", columns=["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+@q(
+    "exact_dedup_signatures",
+    "SELECT md5(text) AS signature, count(*) AS n_docs, min(doc_id) AS min_doc_id FROM documents GROUP BY md5(text)",
+)
+def exact_dedup_signatures(sf_dir: str):
+    """SignatureUpdateProcessor (MD5Signature) dedup groups."""
+    from ray.data.aggregate import Count, Min
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_signature("text"), batch_format="pyarrow")
+    return ds.groupby("signature").aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id")
+    )
+
+
+@q("dedup_keep_first", "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text")
+def dedup_keep_first(sf_dir: str):
+    """Exact dedup keeping the smallest key per content group (the batch
+    form of overwriteDupes, reference DirectUpdateHandler2.java:453-530)."""
+    from apache___solr_ray.stages.dedup import exact_dedup
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id"])
+
+
+@q(
+    "fingerprint_docs",
+    f"SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint FROM documents",
+)
+def fingerprint_docs(sf_dir: str):
+    """Document fingerprinting over the normalized token stream."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_md5("text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+@q(
+    "jaccard_near_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.toks, b.toks)) AS n_inter,
+           len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE 10 * len(list_intersect(a.toks, b.toks))
+          >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+    """,
+)
+def jaccard_near_dup_pairs(sf_dir: str):
+    """n-gram(1) Jaccard near-dup pairs, integer-exact threshold 9/10
+    (oracle-checkable brute force; LSH prefilters at scale)."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_pairs_exact(ds, "text", "doc_id", threshold_num=9, threshold_den=10)
+
+
+# -- rows-only entries (no SQL equivalent; driver records row-count check) ---
+
+
+@q("text_profile_dedup_groups")
+def text_profile_dedup_groups(sf_dir: str):
+    """TextProfileSignature fuzzy dedup groups (TextProfileSignature.java
+    algorithm) — not SQL-expressible (quantized profile)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_text_profile_signature("text"), batch_format="pyarrow")
+    return ds.groupby("profile_sig").aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc_id")
+    )
+
+
+@q("minhash_lsh_candidate_pairs")
+def minhash_lsh_candidate_pairs(sf_dir: str):
+    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket groupby —
+    MinHashQParser / MinHashFilter analog, the scale path for near-dup)."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, "text", "doc_id", num_hashes=32, bands=8, shingle=3)
+
+
+@q("simhash_docs")
+def simhash_docs(sf_dir: str):
+    """64-bit SimHash per document."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_simhash("text"), batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "simhash": pc.cast(t.column("simhash"), pa.int64(), safe=False),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+@q("langid_predictions")
+def langid_predictions(sf_dir: str):
+    """Heuristic language-id stage (langid module analog) — model-free
+    prediction, rows-only check."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+@q("multimodal_decode_stub")
+def multimodal_decode_stub(sf_dir: str):
+    """Multimodal plumbing: documents' bytes as opaque binary payloads
+    through the (stubbed) image-decoder actor pool — exercises the real
+    schema/batch/actor shape; decode itself is a deterministic fake."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payload = pa.array([x.encode() for x in t.column("text").to_pylist()], pa.binary())
+        return pa.table({"doc_id": t.column("doc_id"), "payload": payload})
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    return ds.map_batches(
+        FakeImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    ).drop_columns(["feat"])

@@ -1,0 +1,332 @@
+"""Deduplication stages: exact, fuzzy-signature, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding near-dup.
+
+Reference parity:
+- exact content signatures <- ``SignatureUpdateProcessorFactory.java:43-67``
+  with ``MD5Signature`` / ``Lookup3Signature`` (we use md5 hex; the
+  signature field is the overwrite/dedup key, reference overwrite path
+  ``DirectUpdateHandler2.java:453-530``);
+- fuzzy signature <- ``TextProfileSignature.java:25-50`` (Nutch-style
+  quantized term-frequency profile, algorithm from its javadoc);
+- MinHash/LSH <- ``MinHashQParser.java`` + Lucene ``MinHashFilter``
+  semantics, restated as the standard shingle→minhash→band→bucket-groupby
+  pipeline (the training-data-scale dedup path);
+- SimHash / n-gram Jaccard / embedding cosine near-dup: standard
+  web-corpus dedup operators (public algorithms), included as first-class
+  training-data-pipeline stages.
+
+Scale notes: every stage is a ``map_batches`` transform; LSH candidate
+generation shuffles (band_id, band_hash) — the only wide step — and
+verification touches candidate pairs only. The brute-force pair helpers
+are for oracle-checked small inputs and say so.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from apache___solr_ray.analyze import simple_tokenize
+
+_HASH_KEY = "fedcba9876543210"
+MERSENNE61 = (1 << 61) - 1
+
+
+def _hash_strings(vals: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(np.asarray(vals, dtype=object), hash_key=_HASH_KEY, categorize=False)
+
+
+# -- exact signatures --------------------------------------------------------
+
+
+def content_signature(texts: list[str]) -> list[str]:
+    """MD5 hex of the raw field bytes (MD5Signature semantics)."""
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+def add_signature(col: str, out: str = "signature"):
+    def run(t: pa.Table) -> pa.Table:
+        return t.append_column(out, pa.array(content_signature(t.column(col).to_pylist()), pa.string()))
+
+    return run
+
+
+def exact_dedup(ds, col: str, key_col: str):
+    """Keep the row with the smallest key per identical `col` value —
+    hash-partition by signature + per-group first (the reference's
+    overwriteDupes behavior made deterministic for batch: min-key wins
+    instead of last-write-wins, which has no meaning for immutable files)."""
+    import pandas as pd  # noqa: F811
+
+    ds = ds.map_batches(add_signature(col), batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(key_col).head(1)
+
+    return ds.groupby("signature").map_groups(keep_first, batch_format="pandas")
+
+
+# -- TextProfileSignature (fuzzy) -------------------------------------------
+
+
+def text_profile_signature(text: str, min_token_len: int = 2, quant_rate: float = 0.01) -> str:
+    """Nutch TextProfileSignature (algorithm per the reference javadoc,
+    ``TextProfileSignature.java:25-50``): lowercase alphanumeric tokens,
+    drop tokens shorter than min_token_len, count frequencies, quantize by
+    ``quant = round(max_freq * quant_rate)`` (min 2 if max_freq > 1 else 1),
+    drop tokens whose quantized count rounds to 0, sort by (count desc,
+    token asc), md5 of the "token count token count ..." profile string."""
+    toks = [t for t in simple_tokenize(text or "") if len(t) >= min_token_len]
+    if not toks:
+        return hashlib.md5(b"").hexdigest()
+    freqs = Counter(toks)
+    max_freq = max(freqs.values())
+    quant = round(max_freq * quant_rate)
+    if quant < 2:
+        quant = 2 if max_freq > 1 else 1
+    profile = []
+    for tok, c in freqs.items():
+        q = (c // quant) * quant
+        if q > 0:
+            profile.append((tok, q))
+    profile.sort(key=lambda x: (-x[1], x[0]))
+    s = " ".join(f"{t} {c}" for t, c in profile)
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def add_text_profile_signature(col: str, out: str = "profile_sig"):
+    def run(t: pa.Table) -> pa.Table:
+        vals = [text_profile_signature(x) for x in t.column(col).to_pylist()]
+        return t.append_column(out, pa.array(vals, pa.string()))
+
+    return run
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+class MinHasher:
+    """k-permutation MinHash over word shingles. Stateful (the permutation
+    parameters are built once) — use as an actor-pool ``map_batches`` class
+    or embed in a closure."""
+
+    def __init__(self, num_hashes: int = 64, shingle: int = 3, seed: int = 1234567):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.k = num_hashes
+        self.shingle = shingle
+        self.a = rng.integers(1, MERSENNE61, num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, MERSENNE61, num_hashes, dtype=np.uint64)
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = simple_tokenize(text or "")
+        n = self.shingle
+        if len(toks) < n:
+            grams = [" ".join(toks)] if toks else [""]
+        else:
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return np.unique(_hash_strings(np.asarray(grams, dtype=object)))
+
+    def signature(self, text: str) -> np.ndarray:
+        x = self.shingles(text).astype(np.uint64)
+        # (a*x + b) mod p, computed in python ints via object to avoid overflow:
+        # use modmul trick in uint64 space with p = 2^61-1
+        xs = x.reshape(-1, 1).astype(np.object_)
+        vals = (xs * self.a.astype(np.object_) + self.b.astype(np.object_)) % MERSENNE61
+        return np.min(vals, axis=0).astype(np.uint64)
+
+
+def add_minhash_bands(col: str, id_col: str, num_hashes: int = 64, bands: int = 16, shingle: int = 3, seed: int = 1234567):
+    """map_batches stage: one output row per (doc, band):
+    (id, band, band_hash). Downstream: groupby(["band","band_hash"])."""
+    rows_per_band = num_hashes // bands
+
+    class Stage:
+        def __init__(self):
+            self.mh = MinHasher(num_hashes, shingle, seed)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_pylist()
+            out_id, out_band, out_hash = [], [], []
+            for i, text in enumerate(t.column(col).to_pylist()):
+                sig = self.mh.signature(text)
+                for b in range(bands):
+                    band_vals = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    h = hashlib.md5(band_vals.tobytes() + bytes([b])).hexdigest()[:16]
+                    out_id.append(ids[i])
+                    out_band.append(b)
+                    out_hash.append(h)
+            return pa.table(
+                {
+                    id_col: pa.array(out_id),
+                    "band": pa.array(out_band, pa.int32()),
+                    "band_hash": pa.array(out_hash, pa.string()),
+                }
+            )
+
+    return Stage
+
+
+def minhash_lsh_candidates(ds, col: str, id_col: str, num_hashes: int = 64, bands: int = 16, shingle: int = 3):
+    """Full LSH pipeline: signatures -> band buckets -> candidate pairs
+    (a < b), deduplicated. The groupby on (band, band_hash) is the only
+    shuffle; buckets are tiny unless the corpus is pathological."""
+    import pandas as pd  # noqa: F811
+
+    Stage = add_minhash_bands(col, id_col, num_hashes, bands, shingle)
+    banded = ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["a", "b"]).map_groups(dedup, batch_format="pandas")
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash: tf-weighted bit votes of token hashes."""
+    toks = simple_tokenize(text or "")
+    if not toks:
+        return 0
+    freqs = Counter(toks)
+    terms = np.asarray(list(freqs.keys()), dtype=object)
+    w = np.asarray(list(freqs.values()), dtype=np.int64)
+    h = _hash_strings(terms)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes = (w[:, None] * (2 * bits - 1)).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.flatnonzero(votes > 0):
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def add_simhash(col: str, out: str = "simhash"):
+    def run(t: pa.Table) -> pa.Table:
+        vals = [simhash64(x) for x in t.column(col).to_pylist()]
+        return t.append_column(out, pa.array(np.array(vals, dtype=np.uint64)))
+
+    return run
+
+
+# -- exact n-gram Jaccard (integer-exact, oracle-checkable) ------------------
+
+
+def token_set_table(ds, col: str, id_col: str) -> pa.Table:
+    """Distinct-token table per doc (id, tokens sorted list) — small result."""
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        toks = [sorted(set(simple_tokenize(x))) for x in t.column(col).to_pylist()]
+        return pa.table({id_col: pa.array(ids), "tokens": pa.array(toks, pa.list_(pa.string()))})
+
+    import pyarrow as pa2
+
+    tables = ds.map_batches(stage, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    return pa2.concat_tables([ray.get(r) for r in tables])
+
+
+def jaccard_pairs_exact(ds, col: str, id_col: str, threshold_num: int = 4, threshold_den: int = 5):
+    """All pairs with token-set Jaccard >= num/den, compared in integers
+    (``den * |A∩B| >= num * |A∪B|``) so the oracle SQL matches bit-exactly.
+
+    Brute-force O(n^2) over a broadcast token-set table — the oracle-checked
+    small-scale variant; at corpus scale use minhash_lsh_candidates to
+    prefilter and verify only candidates.
+    """
+    import ray
+
+    tbl = token_set_table(ds, col, id_col)
+    order = pc.sort_indices(tbl, sort_keys=[(id_col, "ascending")])
+    tbl = tbl.take(order)
+    ids = tbl.column(id_col).to_pylist()
+    sets = [np.asarray(v, dtype=object) for v in tbl.column("tokens").to_pylist()]
+    hashed = [np.unique(_hash_strings(s)) if len(s) else np.zeros(0, np.uint64) for s in sets]
+    ref = ray.put((ids, hashed))
+
+    import ray.data as rd
+
+    idx_ds = rd.from_items([{"i": i} for i in range(len(ids))])
+
+    def pair_stage(t: pa.Table) -> pa.Table:
+        ids_, hashed_ = ray.get(ref)
+        a_out, b_out, inter_out, union_out = [], [], [], []
+        for i in t.column("i").to_pylist():
+            hi = hashed_[i]
+            for j in range(i + 1, len(ids_)):
+                hj = hashed_[j]
+                inter = len(np.intersect1d(hi, hj, assume_unique=True))
+                union = len(hi) + len(hj) - inter
+                if union > 0 and threshold_den * inter >= threshold_num * union:
+                    a_out.append(ids_[i])
+                    b_out.append(ids_[j])
+                    inter_out.append(inter)
+                    union_out.append(union)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "n_inter": pa.array(inter_out, pa.int64()),
+                "n_union": pa.array(union_out, pa.int64()),
+            }
+        )
+
+    return idx_ds.map_batches(pair_stage, batch_format="pyarrow")
+
+
+# -- embedding near-dup ------------------------------------------------------
+
+
+def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0.4):
+    """Pairs (a < b) with cosine >= threshold. The embedding matrix is
+    broadcast once (``ray.put``) and each batch compares its rows against
+    the full matrix — no shuffle. Scale path: LSH/IVF bucket first."""
+    import ray
+
+    rows = ds.select_columns([id_col, emb_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    E = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    En = E / np.maximum(1e-12, np.linalg.norm(E, axis=1, keepdims=True))
+    ref = ray.put((ids, En))
+
+    import ray.data as rd
+
+    blocks = rd.from_items([{"lo": i, "hi": min(i + 256, len(ids))} for i in range(0, len(ids), 256)])
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids_, En_ = ray.get(ref)
+        a_out, b_out, sims = [], [], []
+        for bi in range(t.num_rows):
+            lo, hi = t.column("lo")[bi].as_py(), t.column("hi")[bi].as_py()
+            S = En_[lo:hi] @ En_.T
+            for r in range(hi - lo):
+                gi = lo + r
+                cols = np.flatnonzero(S[r] >= threshold)
+                cols = cols[cols > gi]
+                for c in cols:
+                    a_out.append(ids_[gi])
+                    b_out.append(ids_[c])
+                    sims.append(S[r, c])
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "cosine": pa.array(np.round(np.array(sims, dtype=np.float64), 6)),
+            }
+        )
+
+    return blocks.map_batches(stage, batch_format="pyarrow", batch_size=4)

@@ -1,0 +1,214 @@
+"""Update-request-processor equivalents: vectorized field mutators.
+
+The reference runs every document through a chain of URPs before indexing
+(``solr/core/src/java/org/apache/solr/update/processor/`` —
+``UpdateRequestProcessorChain.java``; invoked from
+``ContentStreamHandlerBase.java:83-85``). All the stateless ones fuse into
+one projection stage here: each function is ``pa.Table -> pa.Table``,
+pyarrow-compute vectorized, composable with ``chain(...)`` and applied via
+``ds.map_batches(chain(...), batch_format="pyarrow")``.
+
+Reference parity (same directory unless noted):
+  trim_fields           <- TrimFieldUpdateProcessorFactory.java
+  remove_blank          <- RemoveBlankFieldUpdateProcessorFactory.java
+  truncate_field        <- TruncateFieldUpdateProcessorFactory.java
+  concat_fields         <- ConcatFieldUpdateProcessorFactory.java
+  field_length          <- FieldLengthUpdateProcessorFactory.java
+  count_field_values    <- CountFieldValuesUpdateProcessorFactory.java
+  regex_replace         <- RegexReplaceProcessorFactory.java
+  parse_numeric         <- ParseIntFieldUpdateProcessorFactory.java (+Long/...)
+  default_value         <- DefaultValueUpdateProcessorFactory.java
+  uuid_field            <- UUIDUpdateProcessorFactory.java (deterministic
+                           variant: UUIDv5-style from a key column)
+  clone_field           <- CloneFieldUpdateProcessorFactory.java
+  ignore_fields         <- IgnoreFieldUpdateProcessorFactory.java
+  first/last/min/max_value <- FirstFieldValue/... (multi-valued reducers)
+  uniq_values           <- UniqFieldsUpdateProcessorFactory.java
+  html_strip            <- HTMLStripFieldUpdateProcessorFactory.java:64
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+Stage = Callable[[pa.Table], pa.Table]
+
+
+def chain(*stages: Stage) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        for s in stages:
+            t = s(t)
+        return t
+
+    return run
+
+
+def _replace(t: pa.Table, name: str, arr) -> pa.Table:
+    i = t.column_names.index(name)
+    return t.set_column(i, name, arr)
+
+
+def trim_fields(*names: str) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        for n in names:
+            t = _replace(t, n, pc.utf8_trim_whitespace(t.column(n)))
+        return t
+
+    return run
+
+
+def remove_blank(*names: str) -> Stage:
+    """Blank strings -> null (RemoveBlankField semantics)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        for n in names:
+            col = t.column(n)
+            blank = pc.equal(col, "")
+            t = _replace(t, n, pc.if_else(blank, pa.scalar(None, pa.string()), col))
+        return t
+
+    return run
+
+
+def truncate_field(name: str, max_len: int) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        return _replace(t, name, pc.utf8_slice_codeunits(t.column(name), 0, max_len))
+
+    return run
+
+
+def concat_fields(out: str, names: list[str], sep: str = ",") -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        arr = pc.binary_join_element_wise(*[t.column(n) for n in names], sep)
+        return t.append_column(out, arr)
+
+    return run
+
+
+def field_length(out: str, name: str) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        return t.append_column(out, pc.cast(pc.utf8_length(t.column(name)), pa.int64()))
+
+    return run
+
+
+def count_field_values(out: str, name: str) -> Stage:
+    """For list-typed columns: number of values per row."""
+
+    def run(t: pa.Table) -> pa.Table:
+        return t.append_column(out, pc.cast(pc.list_value_length(t.column(name)), pa.int64()))
+
+    return run
+
+
+def regex_replace(name: str, pattern: str, replacement: str) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        return _replace(
+            t, name, pc.replace_substring_regex(t.column(name), pattern=pattern, replacement=replacement)
+        )
+
+    return run
+
+
+def parse_numeric(name: str, type_: pa.DataType = None) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        return _replace(t, name, pc.cast(t.column(name), type_ or pa.float64()))
+
+    return run
+
+
+def default_value(name: str, value) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        col = t.column(name)
+        return _replace(t, name, pc.fill_null(col, value))
+
+    return run
+
+
+def uuid_field(out: str, key_col: str) -> Stage:
+    """Deterministic UUID (v5-style over the key) — the batch-build analog of
+    UUIDUpdateProcessorFactory (a random UUID would break re-run identity)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        vals = [
+            str(uuid.UUID(hashlib.md5(f"solr-ray:{v}".encode()).hexdigest()))
+            for v in t.column(key_col).to_pylist()
+        ]
+        return t.append_column(out, pa.array(vals, pa.string()))
+
+    return run
+
+
+def clone_field(src: str, dst: str) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        return t.append_column(dst, t.column(src))
+
+    return run
+
+
+def ignore_fields(*names: str) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        return t.drop_columns(list(names))
+
+    return run
+
+
+def min_value(out: str, name: str) -> Stage:
+    """Per-row min of a list column (MinFieldValueUpdateProcessorFactory)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        col = t.column(name).combine_chunks() if isinstance(t.column(name), pa.ChunkedArray) else t.column(name)
+        mins = pa.array([min(v) if v else None for v in col.to_pylist()])
+        return t.append_column(out, mins)
+
+    return run
+
+
+def max_value(out: str, name: str) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        col = t.column(name)
+        vals = pa.array([max(v) if v else None for v in col.to_pylist()])
+        return t.append_column(out, vals)
+
+    return run
+
+
+def first_value(out: str, name: str) -> Stage:
+    def run(t: pa.Table) -> pa.Table:
+        return t.append_column(out, pc.list_element(t.column(name), 0))
+
+    return run
+
+
+def uniq_values(name: str) -> Stage:
+    """Within-row dedup of a list column (UniqFieldsUpdateProcessorFactory)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        col = t.column(name)
+        out = []
+        for v in col.to_pylist():
+            if v is None:
+                out.append(None)
+            else:
+                seen = dict.fromkeys(v)  # order-preserving
+                out.append(list(seen))
+        return _replace(t, name, pa.array(out))
+
+    return run
+
+
+def html_strip(name: str, out: str | None = None) -> Stage:
+    from apache___solr_ray.extract import extract_batch
+
+    def run(t: pa.Table) -> pa.Table:
+        arr = extract_batch(t.column(name))
+        if out is None or out == name:
+            return _replace(t, name, arr)
+        return t.append_column(out, arr)
+
+    return run
