@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import os
 import time
-from collections import Counter
+import pyarrow.compute as pc
 from dataclasses import dataclass, field, replace
 
 import numpy as np
@@ -80,7 +80,7 @@ class IndexConfig:
         return (
             f"T={self.term_partitions};salt={self.salt_threshold};"
             f"part={self.target_docs_per_part};stop={sorted(self.stopwords)};"
-            f"html={self.text_from_html}"
+            f"html={self.text_from_html};fmt=2"
         )
 
 
@@ -144,7 +144,10 @@ def _paths_of(input_path: str | list[str]) -> list[str]:
 def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     part_id = int(desc["part_id"])
     man_path = os.path.join(index_dir, "manifests", f"part-{part_id:06d}.json")
-    existing = is_valid(man_path, desc["fingerprint"])
+    # fingerprint covers input slice AND build config: a config change (e.g.
+    # term_partitions, which bakes tkey into postings_raw) invalidates parts
+    part_fp = f"{desc['fingerprint']}|{cfg.fingerprint()}"
+    existing = is_valid(man_path, part_fp)
     if existing is not None:
         existing["resumed"] = True
         return existing
@@ -157,7 +160,15 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     post_path = os.path.join(index_dir, "postings_raw", f"part-{part_id:06d}.parquet")
     os.makedirs(os.path.dirname(post_path), exist_ok=True)
     post_schema = pa.schema(
-        [("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int32()), ("norm", pa.uint8())]
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int32()),
+            ("norm", pa.uint8()),
+            ("tkey", pa.int32()),  # term-hash bucket, precomputed here so the
+            # phase-B shuffle never touches term strings (hash once per
+            # distinct term per batch, not once per posting)
+        ]
     )
     tmp_post = post_path + ".tmp"
     writer = pq.ParquetWriter(tmp_post, post_schema)
@@ -165,7 +176,7 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     urls: list[pa.Array] = []
     langs: list[pa.Array] = []
     lens: list[np.ndarray] = []
-    term_df: Counter = Counter()
+    df_partials: list[pa.Table] = []
     row_base = 0
     n_postings = 0
     for batch in pf.iter_batches(
@@ -181,6 +192,11 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         terms, doc_idx, tf, doc_len = analyzer.term_freqs(text)
         doc_ids = (part_id << 32) + row_base + doc_idx
         norms_per_doc = int_to_byte4_array(doc_len)
+        # hash each *distinct* term once (dictionary), fan out via codes
+        denc = pc.dictionary_encode(terms)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        tkey_vocab = (term_hash(vocab) % np.uint64(cfg.term_partitions)).astype(np.int32)
         writer.write_table(
             pa.table(
                 {
@@ -188,12 +204,22 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
                     "doc_id": pa.array(doc_ids, pa.int64()),
                     "tf": pa.array(tf.astype(np.int32)),
                     "norm": pa.array(norms_per_doc[doc_idx]),
+                    "tkey": pa.array(tkey_vocab[codes]),
                 },
                 schema=post_schema,
             )
         )
         n_postings += len(doc_ids)
-        term_df.update(terms.to_pylist())
+        # partial df: terms are unique per (doc, term) already, so df is a
+        # bincount over dictionary codes — vectorized, no Python loop
+        df_partials.append(
+            pa.table(
+                {
+                    "term": denc.dictionary,
+                    "df": pa.array(np.bincount(codes, minlength=len(vocab)), pa.int64()),
+                }
+            )
+        )
         urls.append(tbl.column("url").combine_chunks())
         langs.append(tbl.column("lang").combine_chunks())
         lens.append(doc_len)
@@ -226,25 +252,26 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     tdf_path = os.path.join(index_dir, "termdf", f"part-{part_id:06d}.parquet")
     os.makedirs(os.path.dirname(tdf_path), exist_ok=True)
     tmp = tdf_path + ".tmp"
-    items = sorted(term_df.items())
-    pq.write_table(
-        pa.table(
-            {
-                "term": pa.array([k for k, _ in items], pa.string()),
-                "df": pa.array([v for _, v in items], pa.int64()),
-            }
-        ),
-        tmp,
-    )
+    if df_partials:
+        tdf = (
+            pa.concat_tables(df_partials)
+            .group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+    else:
+        tdf = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    pq.write_table(tdf, tmp)
     os.replace(tmp, tdf_path)
 
     summary = {
         "part_id": part_id,
-        "input_fingerprint": desc["fingerprint"],
+        "input_fingerprint": part_fp,
         "n_docs": int(row_base),
         "sum_doc_len": int(doc_len_all.sum()),
         "n_postings": int(n_postings),
-        "n_terms_partial": len(term_df),
+        "n_terms_partial": tdf.num_rows,
         "wall_sec": round(time.time() - t0, 3),
         "resumed": False,
     }
@@ -265,17 +292,21 @@ def _make_skey_fn(heads_ref, n_term_parts: int, n_doc_parts: int):
     def add_skey(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        if "heads" not in state:
-            state["heads"] = ray.get(heads_ref) if heads_ref is not None else frozenset()
-        heads = state["heads"]
-        denc = pc.dictionary_encode(tbl.column("term").combine_chunks())
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-        tkey = (term_hash(vocab) % np.uint64(n_term_parts)).astype(np.int64)
-        salted = np.fromiter((v in heads for v in vocab), dtype=bool, count=len(vocab))
-        part = (tbl.column("doc_id").combine_chunks().to_numpy() >> 32).astype(np.int64)
-        salt = np.where(salted[codes], part + 1, 0)
-        skey = tkey[codes] * (n_doc_parts + 1) + salt
+        tkey = tbl.column("tkey").combine_chunks().to_numpy().astype(np.int64)
+        if heads_ref is None:
+            skey = tkey * (n_doc_parts + 1)
+        else:
+            if "heads" not in state:
+                state["heads"] = pa.array(sorted(ray.get(heads_ref)), pa.string())
+            # membership test on the batch's *dictionary*, fanned out by codes
+            denc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            salted_vocab = pc.is_in(denc.dictionary, value_set=state["heads"]).to_numpy(
+                zero_copy_only=False
+            )
+            part = (tbl.column("doc_id").combine_chunks().to_numpy() >> 32).astype(np.int64)
+            salt = np.where(salted_vocab[codes], part + 1, 0)
+            skey = tkey * (n_doc_parts + 1) + salt
         return tbl.append_column("skey", pa.array(skey, pa.int64()))
 
     return add_skey
@@ -378,20 +409,41 @@ def build_index(
     sum_doc_len = sum(s["sum_doc_len"] for s in summaries)
     phase_a_sec = time.time() - t_start
 
-    # ---- head-term detection: tiny aggregate over termdf partials ----
-    tdf = rd.read_parquet(os.path.join(index_dir, "termdf"))
-    head_rows = (
-        tdf.groupby("term")
-        .aggregate(Sum("df", alias_name="df_sum"))
-        .filter(expr=f"df_sum > {cfg.salt_threshold}")
-        .take_all()
+    # ---- head-term detection: aggregate over per-part df partials ----
+    # Size-adaptive: the termdf sidecars are already per-part aggregated, so
+    # at bench scale they are tiny — a driver-side multithreaded Arrow
+    # group_by avoids a whole Ray shuffle round. Above the byte threshold
+    # (cluster scale: ~vocab × n_parts rows) fall back to the distributed
+    # groupby, whose Sum aggregate pre-combines per block.
+    tdf_dir = os.path.join(index_dir, "termdf")
+    tdf_bytes = sum(
+        os.path.getsize(os.path.join(tdf_dir, f)) for f in os.listdir(tdf_dir)
     )
-    heads = frozenset(r["term"] for r in head_rows)
+    if tdf_bytes <= 256 << 20:
+        tdf_tbl = pq.read_table(tdf_dir)
+        agg = tdf_tbl.group_by("term").aggregate([("df", "sum")])
+        mask = pc.greater(agg.column("df_sum"), cfg.salt_threshold)
+        heads = frozenset(agg.filter(mask).column("term").to_pylist())
+    else:
+        head_rows = (
+            rd.read_parquet(tdf_dir)
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df_sum"))
+            .filter(expr=f"df_sum > {cfg.salt_threshold}")
+            .take_all()
+        )
+        heads = frozenset(r["term"] for r in head_rows)
     heads_ref = ray.put(heads) if heads else None
+    heads_sec = time.time() - t_start - phase_a_sec
 
     # ---- Phase B: the term-hash shuffle ----
     n_doc_parts = len(parts)
-    post = rd.read_parquet(os.path.join(index_dir, "postings_raw"))
+    # one block per postings partfile: Ray's default read splitting would
+    # shatter these small-at-bench-scale files into ~7× more blocks, and the
+    # sort shuffle's fixed per-block cost (M blocks × N reducers) dominates
+    post = rd.read_parquet(
+        os.path.join(index_dir, "postings_raw"), override_num_blocks=n_doc_parts
+    )
     post = post.map_batches(
         _make_skey_fn(heads_ref, cfg.term_partitions, n_doc_parts),
         batch_format="pyarrow",
@@ -401,7 +453,7 @@ def build_index(
         .map_groups(_make_segment_writer(index_dir, n_doc_parts), batch_format="pyarrow")
         .take_all()
     )
-    phase_b_sec = time.time() - t_start - phase_a_sec
+    phase_b_sec = time.time() - t_start - phase_a_sec - heads_sec
 
     stats = {
         "field": "text",
@@ -432,6 +484,7 @@ def build_index(
             "n_docs": int(n_docs),
             "n_postings": int(sum(s["n_postings"] for s in summaries)),
             "phase_a_sec": round(phase_a_sec, 3),
+            "heads_sec": round(heads_sec, 3),
             "phase_b_sec": round(phase_b_sec, 3),
             "total_sec": round(time.time() - t_start, 3),
             "docs_per_sec": round(n_docs / max(1e-9, time.time() - t_start), 1),

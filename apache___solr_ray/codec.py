@@ -4,29 +4,35 @@ Rebuilds the role of Lucene's postings format (doc-delta VInt within 128-doc
 blocks, per-block skip/impact ("block-max") data — [Lucene 10.4 library]
 semantics, configured by the reference at
 ``solr/core/src/java/org/apache/solr/update/SolrIndexConfig.java:242-289``)
-as a simple, numpy-codable layout:
+as a numpy-codable layout.
 
 Per-term payload::
 
-    [u16 n_blocks]
+    u16 n_blocks
+    u32 d_len            (delta VInt stream length in bytes)
+    u32 t_len            (tf VInt stream length in bytes)
     n_blocks × block header (fixed 19 bytes → this IS the skip data):
-        u64  last_doc_id      (inclusive; enables binary-search skipping)
-        u32  data_offset      (relative to start of block-data section)
-        u16  n_docs           (<= BLOCK)
-        u32  max_tf           (block-max impact bound input)
-        u8   min_norm         (block-max impact bound input)
-    block data, per block:
-        VInt doc deltas  (first delta relative to previous block's last_doc,
-                          or to -1 for the first block)
-        VInt (tf - 1)
-        raw  u8 norms    (n_docs bytes)
+        u64  last_doc_id  (inclusive; enables binary-search skipping)
+        u32  d_off        (block's byte offset within the delta stream)
+        u32  t_off        (block's byte offset within the tf stream)
+        u16  n_docs       (<= BLOCK)
+        u32  max_tf       (block-max impact bound input)
+        u8   min_norm     (block-max impact bound input)
+    delta stream  (VInt doc gaps; a term's first delta is the absolute doc id,
+                   every later delta is doc[i] - doc[i-1], across block
+                   boundaries too — so the whole stream is encodable in ONE
+                   vectorized pass over a sorted group)
+    tf stream     (VInt tf - 1)
+    norm bytes    (raw u8, one per posting)
 
 Scoring needs (tf, norm) per posting; storing the norm byte inline (as
 Lucene's impact lists pair (freq, norm)) means query evaluation never
 touches a doc-side norms table — essential at 10^12 docs where a global
 norms array cannot be broadcast.
 
-Both encode and decode are numpy-vectorized (no per-posting Python).
+Both encode and decode are numpy-vectorized (no per-posting Python); the
+group encoder ``encode_postings_group`` VInt-codes an entire shuffle group
+(hundreds of thousands of postings) in one pass and only slices per term.
 """
 
 from __future__ import annotations
@@ -37,24 +43,26 @@ BLOCK = 128
 _HEADER_DTYPE = np.dtype(
     [
         ("last_doc", "<u8"),
-        ("data_off", "<u4"),
+        ("d_off", "<u4"),
+        ("t_off", "<u4"),
         ("n_docs", "<u2"),
         ("max_tf", "<u4"),
         ("min_norm", "u1"),
     ]
 )
-HEADER_BYTES = _HEADER_DTYPE.itemsize  # 19
+HEADER_BYTES = _HEADER_DTYPE.itemsize  # 23
+_PRELUDE = 2 + 4 + 4  # u16 n_blocks, u32 d_len, u32 t_len
 
 
-def varint_encode(vals: np.ndarray) -> np.ndarray:
-    """LEB128-style VInt encode of a uint64 array -> uint8 array."""
-    v = vals.astype(np.uint64, copy=True)
+def _varint_lengths(v: np.ndarray) -> np.ndarray:
     nbytes = np.ones(len(v), dtype=np.int64)
     for k in range(1, 10):
         nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    offsets = np.zeros(len(v) + 1, dtype=np.int64)
-    np.cumsum(nbytes, out=offsets[1:])
-    out = np.zeros(offsets[-1], dtype=np.uint8)
+    return nbytes
+
+
+def _varint_fill(v: np.ndarray, nbytes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     cur = v.copy()
     for b in range(int(nbytes.max()) if len(v) else 0):
         active = nbytes > b
@@ -64,6 +72,15 @@ def varint_encode(vals: np.ndarray) -> np.ndarray:
         out[idx] = byte | more
         cur[active] >>= np.uint64(7)
     return out
+
+
+def varint_encode(vals: np.ndarray) -> np.ndarray:
+    """LEB128-style VInt encode of a uint64 array -> uint8 array."""
+    v = vals.astype(np.uint64, copy=False)
+    nbytes = _varint_lengths(v)
+    offsets = np.zeros(len(v) + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    return _varint_fill(v, nbytes, offsets)
 
 
 def varint_decode(buf: np.ndarray, count: int) -> tuple[np.ndarray, int]:
@@ -86,38 +103,105 @@ def varint_decode(buf: np.ndarray, count: int) -> tuple[np.ndarray, int]:
     return vals, int(ends[-1] + 1)
 
 
+def encode_postings_group(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> list[bytes]:
+    """Encode many terms' postings in ONE vectorized pass.
+
+    ``doc_ids``/``tfs``/``norms`` are the whole group's columns sorted by
+    (term, doc_id); ``starts``/``ends`` delimit each term's run. The VInt
+    math runs once over the full arrays; the per-term Python work is six
+    buffer slices + one join.
+    """
+    n = len(doc_ids)
+    n_terms = len(starts)
+    if n == 0:
+        return []
+    doc_ids = doc_ids.astype(np.int64, copy=False)
+    tfs = tfs.astype(np.int64, copy=False)
+    norms = norms.astype(np.uint8, copy=False)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+
+    # global delta stream with a reset (absolute doc id) at each term start
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    deltas[starts] = doc_ids[starts].astype(np.uint64)
+
+    d_len = _varint_lengths(deltas)
+    d_pos = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(d_len, out=d_pos[1:])
+    d_stream = _varint_fill(deltas, d_len, d_pos)
+
+    tvals = (tfs - 1).astype(np.uint64)
+    t_len = _varint_lengths(tvals)
+    t_pos = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(t_len, out=t_pos[1:])
+    t_stream = _varint_fill(tvals, t_len, t_pos)
+
+    # per-term block layout, all vectorized
+    dfs = ends - starts
+    nb = (dfs + BLOCK - 1) // BLOCK
+    if nb.max(initial=0) > 0xFFFF:
+        raise ValueError("term posting list too long for one part (use salting)")
+    total_blocks = int(nb.sum())
+    term_of_block = np.repeat(np.arange(n_terms, dtype=np.int64), nb)
+    first_block = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(nb, out=first_block[1:])
+    block_in_term = np.arange(total_blocks, dtype=np.int64) - first_block[:-1][term_of_block]
+    bs = starts[term_of_block] + block_in_term * BLOCK  # block start posting
+    be = np.minimum(bs + BLOCK, ends[term_of_block])  # block end posting
+
+    headers = np.zeros(total_blocks, dtype=_HEADER_DTYPE)
+    headers["last_doc"] = doc_ids[be - 1].astype(np.uint64)
+    headers["d_off"] = (d_pos[bs] - d_pos[starts[term_of_block]]).astype(np.uint32)
+    headers["t_off"] = (t_pos[bs] - t_pos[starts[term_of_block]]).astype(np.uint32)
+    headers["n_docs"] = (be - bs).astype(np.uint16)
+    # reduceat over global block starts (bs is ascending and covers [0, n))
+    headers["max_tf"] = np.maximum.reduceat(tfs, bs).astype(np.uint32)
+    headers["min_norm"] = np.minimum.reduceat(norms, bs)
+
+    d_bytes = d_stream.tobytes()
+    t_bytes = t_stream.tobytes()
+    n_bytes = norms.tobytes()
+    hdr_bytes = headers.tobytes()
+
+    out: list[bytes] = []
+    for i in range(n_terms):
+        s, e = starts[i], ends[i]
+        dl = int(d_pos[e] - d_pos[s])
+        tl = int(t_pos[e] - t_pos[s])
+        prelude = (
+            int(nb[i]).to_bytes(2, "little")
+            + dl.to_bytes(4, "little")
+            + tl.to_bytes(4, "little")
+        )
+        out.append(
+            prelude
+            + hdr_bytes[first_block[i] * HEADER_BYTES : first_block[i + 1] * HEADER_BYTES]
+            + d_bytes[d_pos[s] : d_pos[e]]
+            + t_bytes[t_pos[s] : t_pos[e]]
+            + n_bytes[s:e]
+        )
+    return out
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray) -> bytes:
     """Encode one term's postings (doc-id ascending) into the block layout."""
     n = len(doc_ids)
     assert n > 0
-    n_blocks = (n + BLOCK - 1) // BLOCK
-    if n_blocks > 0xFFFF:
-        raise ValueError("term posting list too long for one part (use salting)")
-    doc_ids = doc_ids.astype(np.int64)
-    # deltas: within the full stream, first delta relative to -1 is doc+1?
-    # Convention: first block's first delta = doc_ids[0]; later blocks' first
-    # delta = doc - prev_block_last (>=1). Within block: plain gaps.
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[0] = doc_ids[0]
-    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
-
-    headers = np.zeros(n_blocks, dtype=_HEADER_DTYPE)
-    datas: list[np.ndarray] = []
-    off = 0
-    for bi in range(n_blocks):
-        lo, hi = bi * BLOCK, min(n, (bi + 1) * BLOCK)
-        d = varint_encode(deltas[lo:hi])
-        t = varint_encode((tfs[lo:hi] - 1).astype(np.uint64))
-        nb = norms[lo:hi].astype(np.uint8)
-        headers[bi]["last_doc"] = doc_ids[hi - 1]
-        headers[bi]["data_off"] = off
-        headers[bi]["n_docs"] = hi - lo
-        headers[bi]["max_tf"] = int(tfs[lo:hi].max())
-        headers[bi]["min_norm"] = int(nb.min())
-        datas.extend((d, t, nb))
-        off += len(d) + len(t) + len(nb)
-    count = np.uint16(n_blocks).tobytes()
-    return count + headers.tobytes() + b"".join(x.tobytes() for x in datas)
+    return encode_postings_group(
+        np.asarray(doc_ids),
+        np.asarray(tfs),
+        np.asarray(norms),
+        np.array([0], dtype=np.int64),
+        np.array([n], dtype=np.int64),
+    )[0]
 
 
 class PostingsView:
@@ -128,13 +212,22 @@ class PostingsView:
     headers only for skipped ranges.
     """
 
-    __slots__ = ("buf", "headers", "data_base", "_cache")
+    __slots__ = ("buf", "headers", "d_base", "t_base", "n_base", "n_off", "_cache")
 
     def __init__(self, payload: memoryview | bytes):
         buf = np.frombuffer(payload, dtype=np.uint8)
         n_blocks = int(np.frombuffer(payload[:2], dtype="<u2")[0])
-        self.headers = np.frombuffer(payload[2 : 2 + n_blocks * HEADER_BYTES], dtype=_HEADER_DTYPE)
-        self.data_base = 2 + n_blocks * HEADER_BYTES
+        d_len = int(np.frombuffer(payload[2:6], dtype="<u4")[0])
+        t_len = int(np.frombuffer(payload[6:10], dtype="<u4")[0])
+        self.headers = np.frombuffer(
+            payload[_PRELUDE : _PRELUDE + n_blocks * HEADER_BYTES], dtype=_HEADER_DTYPE
+        )
+        self.d_base = _PRELUDE + n_blocks * HEADER_BYTES
+        self.t_base = self.d_base + d_len
+        self.n_base = self.t_base + t_len
+        n_off = np.zeros(n_blocks + 1, dtype=np.int64)
+        np.cumsum(self.headers["n_docs"].astype(np.int64), out=n_off[1:])
+        self.n_off = n_off
         self.buf = buf
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
@@ -144,7 +237,7 @@ class PostingsView:
 
     @property
     def doc_freq(self) -> int:
-        return int(self.headers["n_docs"].sum())
+        return int(self.n_off[-1])
 
     def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (doc_ids int64, tfs int64, norms uint8) for block bi."""
@@ -153,11 +246,12 @@ class PostingsView:
             return hit
         h = self.headers[bi]
         nd = int(h["n_docs"])
-        start = self.data_base + int(h["data_off"])
-        sl = self.buf[start:]
-        deltas, used = varint_decode(sl, nd)
-        tfs, used2 = varint_decode(sl[used:], nd)
-        norms = sl[used + used2 : used + used2 + nd].copy()
+        d_start = self.d_base + int(h["d_off"])
+        t_start = self.t_base + int(h["t_off"])
+        deltas, _ = varint_decode(self.buf[d_start:], nd)
+        tfs, _ = varint_decode(self.buf[t_start:], nd)
+        n_start = self.n_base + int(self.n_off[bi])
+        norms = self.buf[n_start : n_start + nd].copy()
         docs = np.cumsum(deltas.astype(np.int64))
         if bi > 0:
             docs += int(self.headers[bi - 1]["last_doc"])

@@ -208,11 +208,21 @@ def pages_table(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
     )
 
 
-def write_pages(out_dir: str, n_docs: int, seed: int = 42, rows_per_file: int = 4 * CHUNK) -> list[str]:
+def write_pages(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    rows_per_file: int = 4 * CHUNK,
+    row_group_size: int = 2048,
+) -> list[str]:
     """Write the corpus as a directory of Parquet part files (idempotent).
 
     One file per id range — the resumable-output layout (a rerun skips files
-    that already exist with the right footer row count).
+    that already exist with the right footer row count). Small row groups
+    (``row_group_size``) are what lets ``build.plan_partitions`` split a file
+    into many phase-A tasks — row-group granularity is the unit of build
+    parallelism, like the reference's per-shard doc routing
+    (solr/solrj/src/java/org/apache/solr/common/cloud/DocRouter.java:170-183).
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
@@ -227,6 +237,40 @@ def write_pages(out_dir: str, n_docs: int, seed: int = 42, rows_per_file: int = 
             except Exception:
                 pass
         tmp = path + ".tmp"
-        pq.write_table(pages_table(n, seed=seed, start=start), tmp)
+        pq.write_table(pages_table(n, seed=seed, start=start), tmp, row_group_size=row_group_size)
         os.replace(tmp, path)
     return paths
+
+
+def write_pages_parallel(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    rows_per_file: int = 4 * CHUNK,
+    row_group_size: int = 2048,
+) -> list[str]:
+    """Parallel (Ray tasks) corpus writer — same layout/bytes as write_pages.
+
+    Each file's rows depend only on (seed, id range), so tasks need no
+    coordination; a rerun skips complete files (resumable output).
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def _one(start: int) -> str:
+        n = min(rows_per_file, n_docs - start)
+        path = os.path.join(out_dir, f"pages-{start:012d}.parquet")
+        if os.path.exists(path):
+            try:
+                if pq.ParquetFile(path).metadata.num_rows == n:
+                    return path
+            except Exception:
+                pass
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(pages_table(n, seed=seed, start=start), tmp, row_group_size=row_group_size)
+        os.replace(tmp, path)
+        return path
+
+    return sorted(ray.get([_one.remote(s) for s in range(0, n_docs, rows_per_file)]))

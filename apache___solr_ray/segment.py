@@ -111,21 +111,12 @@ def build_segment_from_group(group: pa.Table, seg_dir: str, tkey: int, salt: int
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(codes)]])
 
-    terms_list: list[str] = []
-    payloads: list[bytes] = []
-    dfs: list[int] = []
-    ttfs: list[int] = []
-    max_tfs: list[int] = []
     vocab = denc.dictionary.to_pylist()
-    for s, e in zip(starts, ends):
-        terms_list.append(vocab[codes[s]])
-        docs = doc_arr[s:e]
-        tfs = tf_arr[s:e]
-        norms = norm_arr[s:e]
-        payloads.append(codec.encode_postings(docs, tfs, norms))
-        dfs.append(int(e - s))
-        ttfs.append(int(tfs.sum()))
-        max_tfs.append(int(tfs.max()))
+    terms_list = [vocab[codes[s]] for s in starts]
+    payloads = codec.encode_postings_group(doc_arr, tf_arr, norm_arr, starts, ends)
+    dfs = (ends - starts).astype(np.int64)
+    ttfs = np.add.reduceat(tf_arr, starts) if len(starts) else np.zeros(0, np.int64)
+    max_tfs = np.maximum.reduceat(tf_arr, starts) if len(starts) else np.zeros(0, np.int64)
     return write_segment(seg_dir, tkey, salt, terms_list, payloads, dfs, ttfs, max_tfs)
 
 
