@@ -84,9 +84,29 @@ class Analyzer:
         """
         if isinstance(texts, (pa.Array, pa.ChunkedArray)):
             texts = texts.to_pylist()
-        toks_per_doc = [tokenize(t or "") for t in texts]
-        counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
-        flat: list[str] = [t for toks in toks_per_doc for t in toks]
+        # single flat token list, C-level extend; the 255-char split is a
+        # rare slow path guarded by one max() scan instead of a per-token
+        # Python loop
+        flat: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        findall = TOKEN_RE.findall
+        for i, t in enumerate(texts):
+            toks = findall(t or "")
+            if toks and max(map(len, toks)) > MAX_TOKEN_LENGTH:
+                toks = [
+                    piece
+                    for tok in toks
+                    for piece in (
+                        (tok,)
+                        if len(tok) <= MAX_TOKEN_LENGTH
+                        else tuple(
+                            tok[j : j + MAX_TOKEN_LENGTH]
+                            for j in range(0, len(tok), MAX_TOKEN_LENGTH)
+                        )
+                    )
+                ]
+            counts[i] = len(toks)
+            flat += toks
         if not flat:
             empty = pa.array([], type=pa.string())
             return empty, np.array([], np.int64), np.array([], np.int64), counts

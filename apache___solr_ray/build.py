@@ -15,16 +15,30 @@ Phase A  (per doc-partition; Dataset of partition descriptors →
     resume — the "no re-tokenizing completed partitions" checkpoint; the
     persisted postings_raw is the Lucene flushed-segment analog.
 
-Phase B  (the term shuffle):
-    a tiny ``groupby(term).sum(df)`` over the termdf partials finds head
-    terms (global df > salt_threshold); ``read_parquet(postings_raw)``
-    → ``map_batches`` stamps each row's shuffle key
-    ``skey = tkey * (P+1) + salt`` (tkey = hash(term) % T; salt = doc
-    partition + 1 for head terms, 0 otherwise — head terms' giant groups are
-    split into per-doc-partition sub-lists that remain doc-ordered and
-    concatenate cheaply at read; SURVEY §4 "skew")
-    → ``groupby(skey).map_groups`` sorts each group by (term, doc_id) and
-    writes one immutable segment directory.
+Phase B  (the term-hash shuffle) — two interchangeable physical plans:
+
+``shuffle="storage"`` (default; the external/map-side shuffle): phase A
+    already wrote each part's postings SORTED by tkey with Parquet
+    row-group boundaries aligned to tkey runs, and recorded the
+    (row-group, n_rows) map per tkey in its lineage manifest. Phase B is
+    then an embarrassingly parallel stage: one task per (tkey, salt)
+    reads exactly its bucket's row groups from every part file (column
+    pruning + row-group pruning — no object-store all-to-all at all)
+    and encodes one segment. Skew handling is uniform *doc-range
+    splitting*: a bucket whose total postings exceed
+    ``max_postings_per_segment`` is split into contiguous part-range
+    chunks (salt = chunk index) — sub-segments stay doc-ordered, so
+    query-side views concatenate for free. This is the plan that holds
+    at 10^12 docs: shuffle bytes ride the shared filesystem, not RAM.
+
+``shuffle="ray"`` (the object-store all-to-all): a tiny
+    ``groupby(term).sum(df)`` over the termdf partials finds head terms
+    (global df > salt_threshold); ``read_parquet(postings_raw)`` →
+    ``map_batches`` stamps ``skey = tkey * (P+1) + salt`` (salt = doc
+    partition + 1 for head terms — giant groups split into doc-ordered
+    sub-lists; SURVEY §4 "skew") → ``groupby(skey).map_groups`` encodes
+    each group into a segment. Idiomatic Ray Data; best when the
+    cluster has no shared filesystem for intermediates.
 
 Commit: ``stats.json`` (docCount, sumTotalTermFreq — the ExactStatsCache
 global stats, reference ``CollectionStats.java:24-27``) and an atomic
@@ -65,23 +79,43 @@ from apache___solr_ray.segment import build_segment_from_group
 HASH_KEY = "0123456789abcdef"  # fixed key for pd.util.hash_array (determinism)
 
 
+def _limit_threads() -> None:
+    """Pin Arrow's internal pools to the task's 1-CPU allocation.
+
+    Arrow defaults its compute/IO pools to the MACHINE core count, so every
+    Ray task would silently oversubscribe (and the 8-CPU scaling level would
+    borrow all 32 cores) — parallelism must come from Ray's scheduler only.
+    """
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+
 @dataclass(frozen=True)
 class IndexConfig:
     """Build configuration (the solrconfig.xml/schema analog)."""
 
     term_partitions: int = 32          # T: term-hash shuffle width
-    salt_threshold: int = 2_000_000    # global df above which a term is salted
+    salt_threshold: int = 2_000_000    # global df above which a term is salted ("ray" plan)
     target_docs_per_part: int = 65_536  # phase-A doc-partition size
     read_batch_rows: int = 2_048       # streamed read batch (html rows are wide)
     stopwords: frozenset[str] = field(default_factory=frozenset)
     text_from_html: bool = True        # extract text from html (the real path)
+    shuffle: str = "storage"           # "storage" (external shuffle) | "ray" (object-store)
+    max_postings_per_segment: int = 16_000_000  # doc-range split threshold ("storage" plan)
 
     def fingerprint(self) -> str:
         return (
             f"T={self.term_partitions};salt={self.salt_threshold};"
             f"part={self.target_docs_per_part};stop={sorted(self.stopwords)};"
-            f"html={self.text_from_html};fmt=2"
+            f"html={self.text_from_html};fmt=5"
         )
+
+    def fingerprint_full(self) -> str:
+        """Adds phase-B-only knobs — used by the committed index manifest
+        (segment layout), while per-part manifests use ``fingerprint()`` so
+        phase-A outputs survive a phase-B reconfiguration."""
+        return f"{self.fingerprint()};shuf={self.shuffle};maxpost={self.max_postings_per_segment}"
 
 
 def term_hash(terms: np.ndarray) -> np.ndarray:
@@ -142,6 +176,7 @@ def _paths_of(input_path: str | list[str]) -> list[str]:
 
 
 def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
+    _limit_threads()
     part_id = int(desc["part_id"])
     man_path = os.path.join(index_dir, "manifests", f"part-{part_id:06d}.json")
     # fingerprint covers input slice AND build config: a config change (e.g.
@@ -159,19 +194,24 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
 
     post_path = os.path.join(index_dir, "postings_raw", f"part-{part_id:06d}.parquet")
     os.makedirs(os.path.dirname(post_path), exist_ok=True)
+    # Narrow shuffle payload: doc ids are stored as the 4-byte local row
+    # (doc_id = part_id << 32 | row is reconstructed by the reduce side) and
+    # the constant ``part`` column RLE-compresses to nothing on disk. Terms
+    # stay plain strings — Parquet dictionary-encodes them on disk anyway,
+    # and Arrow-level dictionary columns proved slower (per-row-group
+    # dictionary pages + unification on concat). tkey is precomputed here so
+    # the phase-B shuffle never hashes a term string.
     post_schema = pa.schema(
         [
             ("term", pa.string()),
-            ("doc_id", pa.int64()),
+            ("row", pa.int32()),
             ("tf", pa.int32()),
             ("norm", pa.uint8()),
-            ("tkey", pa.int32()),  # term-hash bucket, precomputed here so the
-            # phase-B shuffle never touches term strings (hash once per
-            # distinct term per batch, not once per posting)
+            ("tkey", pa.int32()),
+            ("part", pa.int32()),
         ]
     )
-    tmp_post = post_path + ".tmp"
-    writer = pq.ParquetWriter(tmp_post, post_schema)
+    post_batches: list[pa.Table] = []
 
     urls: list[pa.Array] = []
     langs: list[pa.Array] = []
@@ -190,26 +230,26 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         else:
             text = tbl.column("text").combine_chunks()
         terms, doc_idx, tf, doc_len = analyzer.term_freqs(text)
-        doc_ids = (part_id << 32) + row_base + doc_idx
         norms_per_doc = int_to_byte4_array(doc_len)
         # hash each *distinct* term once (dictionary), fan out via codes
         denc = pc.dictionary_encode(terms)
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
         tkey_vocab = (term_hash(vocab) % np.uint64(cfg.term_partitions)).astype(np.int32)
-        writer.write_table(
+        post_batches.append(
             pa.table(
                 {
                     "term": terms,
-                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "row": pa.array((row_base + doc_idx).astype(np.int32)),
                     "tf": pa.array(tf.astype(np.int32)),
                     "norm": pa.array(norms_per_doc[doc_idx]),
                     "tkey": pa.array(tkey_vocab[codes]),
+                    "part": pa.array(np.full(len(codes), part_id, dtype=np.int32)),
                 },
                 schema=post_schema,
             )
         )
-        n_postings += len(doc_ids)
+        n_postings += len(doc_idx)
         # partial df: terms are unique per (doc, term) already, so df is a
         # bincount over dictionary codes — vectorized, no Python loop
         df_partials.append(
@@ -224,6 +264,34 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         langs.append(tbl.column("lang").combine_chunks())
         lens.append(doc_len)
         row_base += tbl.num_rows
+
+    # write the part's postings SORTED by tkey, one Parquet row group per
+    # tkey run, and record the (row_group, n_rows) map — this is the map
+    # side of the storage shuffle: phase B reads only its bucket's row
+    # groups from each part file
+    all_post = (
+        pa.concat_tables(post_batches)
+        if post_batches
+        else post_schema.empty_table()
+    )
+    tkey_np = all_post.column("tkey").combine_chunks().to_numpy()
+    order = np.argsort(tkey_np, kind="stable")
+    all_post = all_post.take(pa.array(order))
+    tkey_sorted = tkey_np[order]
+    bounds = np.flatnonzero(np.diff(tkey_sorted) != 0) + 1
+    run_starts = np.concatenate([[0], bounds]) if len(tkey_sorted) else np.zeros(0, np.int64)
+    run_ends = (
+        np.concatenate([bounds, [len(tkey_sorted)]]) if len(tkey_sorted) else np.zeros(0, np.int64)
+    )
+    tmp_post = post_path + ".tmp"
+    # zstd: the shuffle intermediates are read back by phase B — trading
+    # cheap decompression CPU (scales with cores) for disk bandwidth (does
+    # not) keeps the reduce side compute-bound
+    writer = pq.ParquetWriter(tmp_post, post_schema, compression="zstd", compression_level=1)
+    tkey_rgs: dict[str, list[int]] = {}  # tkey -> [row_group_index, n_rows]
+    for rg_i, (s, e) in enumerate(zip(run_starts, run_ends)):
+        writer.write_table(all_post.slice(int(s), int(e - s)), row_group_size=int(e - s))
+        tkey_rgs[str(int(tkey_sorted[s]))] = [rg_i, int(e - s)]
     writer.close()
     os.replace(tmp_post, post_path)
 
@@ -272,6 +340,7 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         "sum_doc_len": int(doc_len_all.sum()),
         "n_postings": int(n_postings),
         "n_terms_partial": tdf.num_rows,
+        "tkey_rgs": tkey_rgs,
         "wall_sec": round(time.time() - t0, 3),
         "resumed": False,
     }
@@ -293,27 +362,150 @@ def _make_skey_fn(heads_ref, n_term_parts: int, n_doc_parts: int):
         import pyarrow.compute as pc
 
         tkey = tbl.column("tkey").combine_chunks().to_numpy().astype(np.int64)
+        part = tbl.column("part").combine_chunks().to_numpy().astype(np.int64)
         if heads_ref is None:
             skey = tkey * (n_doc_parts + 1)
         else:
             if "heads" not in state:
                 state["heads"] = pa.array(sorted(ray.get(heads_ref)), pa.string())
             # membership test on the batch's *dictionary*, fanned out by codes
-            denc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+            term_col = tbl.column("term").combine_chunks()
+            denc = (
+                term_col
+                if pa.types.is_dictionary(term_col.type)
+                else pc.dictionary_encode(term_col)
+            )
             codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             salted_vocab = pc.is_in(denc.dictionary, value_set=state["heads"]).to_numpy(
                 zero_copy_only=False
             )
-            part = (tbl.column("doc_id").combine_chunks().to_numpy() >> 32).astype(np.int64)
             salt = np.where(salted_vocab[codes], part + 1, 0)
             skey = tkey * (n_doc_parts + 1) + salt
-        return tbl.append_column("skey", pa.array(skey, pa.int64()))
+        doc_id = (part << 32) + tbl.column("row").combine_chunks().to_numpy().astype(np.int64)
+        out = pa.table(
+            {
+                "term": tbl.column("term"),
+                "doc_id": pa.array(doc_id),
+                "tf": tbl.column("tf"),
+                "norm": tbl.column("norm"),
+                "skey": pa.array(skey, pa.int64()),
+            }
+        )
+        return out
 
     return add_skey
 
 
+def _plan_storage_segments(
+    index_dir: str, cfg: IndexConfig, parts: list[dict]
+) -> list[dict]:
+    """Reduce-side plan of the storage shuffle: one task per (tkey, salt).
+
+    Reads the per-part lineage manifests (which carry each part's
+    tkey → (row_group, n_rows) map) and chunks every tkey bucket into
+    contiguous part ranges of ≤ max_postings_per_segment postings. Chunk
+    index = salt; doc ids ascend with part id, so salted sub-segments are
+    disjoint ascending doc ranges — the query side concatenates views.
+    """
+    per_part: list[tuple[int, dict]] = []
+    for p in parts:
+        man = read_json(
+            os.path.join(index_dir, "manifests", f"part-{int(p['part_id']):06d}.json")
+        )
+        if man is None or "tkey_rgs" not in man:
+            raise RuntimeError(f"phase A manifest missing for part {p['part_id']}")
+        per_part.append((int(p["part_id"]), man["tkey_rgs"]))
+    per_part.sort()
+
+    tasks: list[dict] = []
+    for t in range(cfg.term_partitions):
+        salt, acc = 0, 0
+        paths: list[str] = []
+        rgs: list[int] = []
+        for part_id, tkey_rgs in per_part:
+            ent = tkey_rgs.get(str(t))
+            if not ent:
+                continue
+            rg, n = int(ent[0]), int(ent[1])
+            if acc and acc + n > cfg.max_postings_per_segment:
+                tasks.append(
+                    {"tkey": t, "salt": salt, "paths": paths, "rgs": rgs, "expected": acc}
+                )
+                salt, acc, paths, rgs = salt + 1, 0, [], []
+            paths.append(
+                os.path.join(index_dir, "postings_raw", f"part-{part_id:06d}.parquet")
+            )
+            rgs.append(rg)
+            acc += n
+        if paths:
+            tasks.append(
+                {"tkey": t, "salt": salt, "paths": paths, "rgs": rgs, "expected": acc}
+            )
+    return tasks
+
+
+def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
+    def build_one(batch: pa.Table) -> pa.Table:
+        _limit_threads()
+        out = []
+        for row in batch.to_pylist():
+            tkey, salt, expected = int(row["tkey"]), int(row["salt"]), int(row["expected"])
+            seg_dir = os.path.join(index_dir, "segments", f"seg-{tkey:05d}-{salt:05d}")
+            existing = read_json(os.path.join(seg_dir, "meta.json"))
+            if (
+                existing is not None
+                and existing.get("n_postings") == expected
+                and existing.get("tkey") == tkey
+                and existing.get("salt") == salt
+            ):
+                meta = existing  # resume: already built from these inputs
+            else:
+                pieces = []
+                for p, rg in zip(row["paths"], row["rgs"]):
+                    t = pq.ParquetFile(p).read_row_groups(
+                        [rg], columns=["term", "row", "tf", "norm"]
+                    )
+                    part_id = int(os.path.basename(p)[len("part-") : -len(".parquet")])
+                    doc = (part_id << 32) + t.column("row").combine_chunks().to_numpy().astype(
+                        np.int64
+                    )
+                    pieces.append(
+                        pa.table(
+                            {
+                                "term": t.column("term"),
+                                "doc_id": pa.array(doc),
+                                "tf": t.column("tf"),
+                                "norm": t.column("norm"),
+                            }
+                        )
+                    )
+                group = pa.concat_tables(pieces, promote_options="permissive")
+                meta = build_segment_from_group(group, seg_dir, tkey, salt)
+            out.append(
+                {
+                    "skey": tkey * (n_doc_parts + 1) + salt,
+                    "tkey": tkey,
+                    "salt": salt,
+                    "n_terms": int(meta["n_terms"]),
+                    "n_postings": int(meta["n_postings"]),
+                    "bytes": int(meta["bytes"]),
+                }
+            )
+        return pa.table(
+            {k: pa.array([o[k] for o in out], pa.int64()) for k in out[0]}
+            if out
+            else {
+                k: pa.array([], pa.int64())
+                for k in ("skey", "tkey", "salt", "n_terms", "n_postings", "bytes")
+            }
+        )
+
+    return build_one
+
+
 def _make_segment_writer(index_dir: str, n_doc_parts: int):
     def write_group(group: pa.Table) -> pa.Table:
+        _limit_threads()
         skey = int(group.column("skey")[0].as_py())
         tkey, salt = divmod(skey, n_doc_parts + 1)
         seg_dir = os.path.join(index_dir, "segments", f"seg-{tkey:05d}-{salt:05d}")
@@ -366,7 +558,7 @@ def build_index(
     if (
         committed is not None
         and committed.get("input_fingerprints") == fingerprints
-        and committed.get("config") == cfg.fingerprint()
+        and committed.get("config") == cfg.fingerprint_full()
     ):
         return committed  # fully built & committed — nothing to do
 
@@ -409,50 +601,69 @@ def build_index(
     sum_doc_len = sum(s["sum_doc_len"] for s in summaries)
     phase_a_sec = time.time() - t_start
 
-    # ---- head-term detection: aggregate over per-part df partials ----
-    # Size-adaptive: the termdf sidecars are already per-part aggregated, so
-    # at bench scale they are tiny — a driver-side multithreaded Arrow
-    # group_by avoids a whole Ray shuffle round. Above the byte threshold
-    # (cluster scale: ~vocab × n_parts rows) fall back to the distributed
-    # groupby, whose Sum aggregate pre-combines per block.
-    tdf_dir = os.path.join(index_dir, "termdf")
-    tdf_bytes = sum(
-        os.path.getsize(os.path.join(tdf_dir, f)) for f in os.listdir(tdf_dir)
-    )
-    if tdf_bytes <= 256 << 20:
-        tdf_tbl = pq.read_table(tdf_dir)
-        agg = tdf_tbl.group_by("term").aggregate([("df", "sum")])
-        mask = pc.greater(agg.column("df_sum"), cfg.salt_threshold)
-        heads = frozenset(agg.filter(mask).column("term").to_pylist())
-    else:
-        head_rows = (
-            rd.read_parquet(tdf_dir)
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df_sum"))
-            .filter(expr=f"df_sum > {cfg.salt_threshold}")
+    n_doc_parts = len(parts)
+    heads: frozenset[str] = frozenset()
+    if cfg.shuffle == "storage":
+        # ---- Phase B (storage shuffle): no head detection needed — skew is
+        # handled uniformly by doc-range bucket splitting in the plan ----
+        heads_sec = time.time() - t_start - phase_a_sec
+        seg_tasks = _plan_storage_segments(index_dir, cfg, parts)
+        seg_summaries = (
+            rd.from_items(seg_tasks)
+            .map_batches(
+                _make_storage_segment_fn(index_dir, n_doc_parts),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
             .take_all()
         )
-        heads = frozenset(r["term"] for r in head_rows)
-    heads_ref = ray.put(heads) if heads else None
-    heads_sec = time.time() - t_start - phase_a_sec
+    else:
+        # ---- head-term detection: aggregate over per-part df partials ----
+        # Size-adaptive: the termdf sidecars are already per-part aggregated,
+        # so at bench scale they are tiny — a driver-side multithreaded Arrow
+        # group_by avoids a whole Ray shuffle round. Above the byte threshold
+        # (cluster scale: ~vocab × n_parts rows) fall back to the distributed
+        # groupby, whose Sum aggregate pre-combines per block.
+        tdf_dir = os.path.join(index_dir, "termdf")
+        tdf_bytes = sum(
+            os.path.getsize(os.path.join(tdf_dir, f)) for f in os.listdir(tdf_dir)
+        )
+        if tdf_bytes <= 256 << 20:
+            tdf_tbl = pq.read_table(tdf_dir)
+            agg = tdf_tbl.group_by("term").aggregate([("df", "sum")])
+            mask = pc.greater(agg.column("df_sum"), cfg.salt_threshold)
+            heads = frozenset(agg.filter(mask).column("term").to_pylist())
+        else:
+            head_rows = (
+                rd.read_parquet(tdf_dir)
+                .groupby("term")
+                .aggregate(Sum("df", alias_name="df_sum"))
+                .filter(expr=f"df_sum > {cfg.salt_threshold}")
+                .take_all()
+            )
+            heads = frozenset(r["term"] for r in head_rows)
+        heads_ref = ray.put(heads) if heads else None
+        heads_sec = time.time() - t_start - phase_a_sec
 
-    # ---- Phase B: the term-hash shuffle ----
-    n_doc_parts = len(parts)
-    # one block per postings partfile: Ray's default read splitting would
-    # shatter these small-at-bench-scale files into ~7× more blocks, and the
-    # sort shuffle's fixed per-block cost (M blocks × N reducers) dominates
-    post = rd.read_parquet(
-        os.path.join(index_dir, "postings_raw"), override_num_blocks=n_doc_parts
-    )
-    post = post.map_batches(
-        _make_skey_fn(heads_ref, cfg.term_partitions, n_doc_parts),
-        batch_format="pyarrow",
-    )
-    seg_summaries = (
-        post.groupby("skey")
-        .map_groups(_make_segment_writer(index_dir, n_doc_parts), batch_format="pyarrow")
-        .take_all()
-    )
+        # ---- Phase B (object-store shuffle): the term-hash groupby ----
+        # one block per postings partfile: Ray's default read splitting would
+        # shatter these small-at-bench-scale files into ~7× more blocks, and
+        # the sort shuffle's fixed per-block cost (M blocks × N reducers)
+        # dominates
+        post = rd.read_parquet(
+            os.path.join(index_dir, "postings_raw"), override_num_blocks=n_doc_parts
+        )
+        post = post.map_batches(
+            _make_skey_fn(heads_ref, cfg.term_partitions, n_doc_parts),
+            batch_format="pyarrow",
+        )
+        seg_summaries = (
+            post.groupby("skey")
+            .map_groups(
+                _make_segment_writer(index_dir, n_doc_parts), batch_format="pyarrow"
+            )
+            .take_all()
+        )
     phase_b_sec = time.time() - t_start - phase_a_sec - heads_sec
 
     stats = {
@@ -467,7 +678,7 @@ def build_index(
     write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
 
     man = {
-        "config": cfg.fingerprint(),
+        "config": cfg.fingerprint_full(),
         "input_fingerprints": fingerprints,
         "stats": stats,
         "segments": sorted(

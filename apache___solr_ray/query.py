@@ -377,6 +377,67 @@ class TopKQueryActor:
         return pa.table(cols)
 
 
+class QueryService:
+    """Long-lived distributed query serving — the SolrCloud
+    searcher/replica analog (reference: ``SolrIndexSearcher`` held open per
+    core, queries load-balanced across replicas via ``HttpShardHandler``,
+    ``solr/core/src/java/org/apache/solr/handler/component/SearchHandler.java:219-420``).
+
+    An explicit pool of Ray actors, each holding the whole index open
+    (term dictionaries in memory, postings mmap'd); query batches are
+    round-robin dispatched. Unlike the ``Dataset.map_batches`` path this
+    pool outlives any one dataset execution — the right shape for online
+    serving and for steady-state QPS measurement.
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 4, use_blockmax: bool = True):
+        import ray
+
+        @ray.remote(num_cpus=1)
+        class _QueryWorker:
+            def __init__(self, index_dir: str, use_blockmax: bool):
+                self.inner = TopKQueryActor(
+                    index_dir, resolve_urls=False, use_blockmax=use_blockmax
+                )
+
+            def query_batch(self, qids: list[int], queries: list[str], k: int) -> pa.Table:
+                tbl = pa.table(
+                    {
+                        "qid": pa.array(qids, pa.int64()),
+                        "query": pa.array(queries, pa.string()),
+                        "k": pa.array([k] * len(qids), pa.int32()),
+                    }
+                )
+                return self.inner(tbl)
+
+            def ping(self) -> bool:
+                return True
+
+        self._ray = ray
+        self.actors = [
+            _QueryWorker.remote(index_dir, use_blockmax) for _ in range(max(1, n_actors))
+        ]
+
+    def warmup(self) -> None:
+        """Block until every actor has opened the index."""
+        self._ray.get([a.ping.remote() for a in self.actors])
+
+    def topk_many(self, queries: list[str], k: int = 10, batch_size: int = 8) -> pa.Table:
+        """Score queries across the pool; returns one row per hit."""
+        futs = []
+        for i in range(0, len(queries), batch_size):
+            chunk = queries[i : i + batch_size]
+            actor = self.actors[(i // batch_size) % len(self.actors)]
+            futs.append(actor.query_batch.remote(list(range(i, i + len(chunk))), chunk, k))
+        tables = self._ray.get(futs)
+        return pa.concat_tables(tables)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            self._ray.kill(a)
+        self.actors = []
+
+
 def scatter_gather_topk(index_dir: str, query: str, k: int, n_shards: int = 4):
     """Distributed single-query evaluation: doc-range shards scored in
     parallel Ray tasks, coordinator merge. Returns (doc_ids, scores)."""

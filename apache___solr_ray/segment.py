@@ -96,23 +96,31 @@ def build_segment_from_group(group: pa.Table, seg_dir: str, tkey: int, salt: int
     Sorts by (term, doc_id) — Ray's groupby does not guarantee intra-group
     order (SURVEY §7.4) — then encodes each term run.
     """
-    idx = pc.sort_indices(
-        group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
-    )
-    term_arr = pc.take(group.column("term"), idx).combine_chunks()
-    doc_arr = pc.take(group.column("doc_id"), idx).combine_chunks().to_numpy()
-    tf_arr = pc.take(group.column("tf"), idx).combine_chunks().to_numpy().astype(np.int64)
-    norm_arr = pc.take(group.column("norm"), idx).combine_chunks().to_numpy().astype(np.uint8)
+    # sort by (term, doc_id) WITHOUT a string sort over every posting: the
+    # group's distinct-term dictionary is tiny (vocab/term_partitions), so
+    # sort the dictionary once, remap codes to lexicographic ranks, and
+    # lexsort the integer pair (rank, doc_id). UTF-8 byte order == code
+    # point order, so Python str sorting matches Arrow's "ascending".
+    term_col = group.column("term").combine_chunks()
+    denc = term_col if pa.types.is_dictionary(term_col.type) else pc.dictionary_encode(term_col)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    order_v = np.argsort(vocab)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[order_v] = np.arange(len(vocab))
+    r = rank[codes]
+    doc_raw = group.column("doc_id").combine_chunks().to_numpy()
+    idx = np.lexsort((doc_raw, r))
 
-    # term run boundaries via dictionary encoding (vectorized)
-    denc = pc.dictionary_encode(term_arr)
-    codes = denc.indices.to_numpy(zero_copy_only=False)
-    change = np.flatnonzero(np.diff(codes) != 0) + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [len(codes)]])
-
-    vocab = denc.dictionary.to_pylist()
-    terms_list = [vocab[codes[s]] for s in starts]
+    doc_arr = doc_raw[idx]
+    tf_arr = group.column("tf").combine_chunks().to_numpy().astype(np.int64)[idx]
+    norm_arr = group.column("norm").combine_chunks().to_numpy().astype(np.uint8)[idx]
+    rs = r[idx]
+    change = np.flatnonzero(np.diff(rs) != 0) + 1
+    starts = np.concatenate([[0], change]) if len(rs) else np.zeros(0, np.int64)
+    ends = np.concatenate([change, [len(rs)]]) if len(rs) else np.zeros(0, np.int64)
+    sorted_vocab = vocab[order_v]
+    terms_list = [sorted_vocab[rs[s]] for s in starts]
     payloads = codec.encode_postings_group(doc_arr, tf_arr, norm_arr, starts, ends)
     dfs = (ends - starts).astype(np.int64)
     ttfs = np.add.reduceat(tf_arr, starts) if len(starts) else np.zeros(0, np.int64)

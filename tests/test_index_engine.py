@@ -42,8 +42,29 @@ def corpus_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def built(ray_session, corpus_dir, tmp_path_factory):
+    """Storage-shuffle build with doc-range splitting forced (small
+    max_postings_per_segment => salted sub-segments exist)."""
     idx = str(tmp_path_factory.mktemp("index"))
-    cfg = IndexConfig(term_partitions=4, salt_threshold=120, target_docs_per_part=ROWS_PER_FILE)
+    cfg = IndexConfig(
+        term_partitions=4,
+        target_docs_per_part=ROWS_PER_FILE,
+        shuffle="storage",
+        max_postings_per_segment=6000,
+    )
+    man = build_index(corpus_dir, idx, cfg)
+    return idx, cfg, man
+
+
+@pytest.fixture(scope="module")
+def built_ray(ray_session, corpus_dir, tmp_path_factory):
+    """Object-store (groupby) shuffle build with head-term salting forced."""
+    idx = str(tmp_path_factory.mktemp("index_ray"))
+    cfg = IndexConfig(
+        term_partitions=4,
+        salt_threshold=120,
+        target_docs_per_part=ROWS_PER_FILE,
+        shuffle="ray",
+    )
     man = build_index(corpus_dir, idx, cfg)
     return idx, cfg, man
 
@@ -100,7 +121,21 @@ def test_build_commits(built):
     assert man["stats"]["doc_count"] == N_DOCS
     assert man["metrics"]["n_docs"] == N_DOCS
     assert len(man["segments"]) >= 1
-    assert len(man["stats"]["head_terms"]) > 0  # salting exercised
+    assert any(s["salt"] > 0 for s in man["segments"])  # doc-range splitting exercised
+
+
+def test_ray_shuffle_plan_matches_storage_plan(built, built_ray):
+    """The two physical shuffle plans must produce identical query results
+    (the control-vs-distributed identity, across *plans*)."""
+    idx_s, _, man_ray = built[0], built[1], built_ray[2]
+    assert len(man_ray["stats"]["head_terms"]) > 0  # head salting exercised
+    r_s = IndexReader(idx_s)
+    r_r = IndexReader(built_ray[0])
+    for q in QUERIES:
+        d1, s1 = r_s.topk(q, 10)
+        d2, s2 = r_r.topk(q, 10)
+        assert d1.tolist() == d2.tolist(), q
+        assert s1.tolist() == s2.tolist(), q
 
 
 def test_rank_and_score_parity_vs_oracle(built, oracle):

@@ -38,8 +38,10 @@ def merged_index(ray_session, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("pages"))
     write_pages(d, 500, seed=42, rows_per_file=128)
     idx = str(tmp_path_factory.mktemp("index"))
-    # low salt threshold -> many salted sub-segments to merge
-    cfg = IndexConfig(term_partitions=3, salt_threshold=60, target_docs_per_part=128)
+    # small max_postings_per_segment -> many doc-range sub-segments to merge
+    cfg = IndexConfig(
+        term_partitions=3, target_docs_per_part=128, max_postings_per_segment=4000
+    )
     build_index(d, idx, cfg)
     r = IndexReader(idx)
     before = {q: r.topk(q, 10) for q in QUERIES}
