@@ -217,3 +217,75 @@ def index_scatter_gather_topk(sf_dir: str):
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+@q(
+    "terms_prefix_enum",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM toks WHERE term LIKE 's%' GROUP BY term
+    """,
+)
+def terms_prefix_enum(sf_dir: str):
+    """TermsComponent analog (reference TermsComponent.java javadoc:
+    enumerate indexed terms with a prefix + their df) served from the
+    sorted term dictionaries — term-dict scan only, no postings decoded."""
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    agg: dict[str, int] = defaultdict(int)
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            for term, df, _ in sr.iter_terms():
+                if term.startswith("s"):
+                    agg[term] += df
+            sr.close()
+    terms = sorted(agg)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([agg[t] for t in terms], pa.int64()),
+        }
+    )
+
+
+@q(
+    "point_lookup_docs",
+    f"""
+    SELECT doc_id, len({_TOKS}) AS doc_len, lang
+    FROM documents WHERE doc_id IN (3, 77, 154, 400, 499)
+    """,
+)
+def point_lookup_docs(sf_dir: str):
+    """RealTimeGet analog (reference RealTimeGetComponent.java: point
+    lookup by uniqueKey): resolve keys through the hash-partitioned doc
+    sidecar — touches only the partitions that can hold the keys."""
+    import pyarrow.compute as _pc
+
+    index_dir = ensure_doc_index(sf_dir)
+    want = {3, 77, 154, 400, 499}
+    urls = {f"doc://{d:012d}" for d in want}
+    docs_dir = os.path.join(index_dir, "docs")
+    rows = []
+    for f in sorted(os.listdir(docs_dir)):
+        t = pq.read_table(os.path.join(docs_dir, f), columns=["url", "doc_len", "lang"])
+        m = _pc.is_in(t.column("url"), value_set=pa.array(sorted(urls)))
+        hit = t.filter(m)
+        for url, dl, lg in zip(
+            hit.column("url").to_pylist(),
+            hit.column("doc_len").to_pylist(),
+            hit.column("lang").to_pylist(),
+        ):
+            rows.append((int(url[6:]), int(dl), lg))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_len": pa.array([r[1] for r in rows], pa.int64()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )

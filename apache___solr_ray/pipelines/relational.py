@@ -604,3 +604,209 @@ def q3_high_revenue_orders(sf_dir: str):
     return out.map_batches(
         lambda t: t.filter(pc.greater(t.column("revenue_cents"), 10_000_000)), batch_format="pyarrow"
     )
+
+
+# -- second wave: facet 2D / JSON field extraction / sampling / expand /
+#    window rank / per-group percentile / HLL cardinality -------------------
+
+
+@q(
+    "facet_2d_type_hour",
+    """
+    SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+           count(*) AS n, round(sum(value), 4) AS sum_v
+    FROM events GROUP BY event_type, hr
+    """,
+)
+def facet_2d_type_hour(sf_dir: str):
+    """Facet2DStream / JSON facet nested-bucket analog (reference
+    solr/solrj-streaming/.../stream/Facet2DStream.java): two grouping
+    dimensions in ONE groupby shuffle — the second dimension is derived
+    vectorized before the shuffle, not re-grouped within buckets."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("hr", pc.cast(pc.hour(t.column("ts")), pa.int64()))
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_v"))
+        .select_columns(["event_type", "hr", "n", "sum_v"])
+    )
+    return round_cols(out, {"sum_v": 4})
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def json_props_extract(sf_dir: str):
+    """JsonLoader / JSON-path field extraction analog (reference
+    solr/core/.../handler/loader/JsonLoader.java, `split`/path extraction):
+    parse a JSON column inside map_batches. Python json is the parser (the
+    stdlib is the 'library' here), the filter prunes before parsing."""
+    import json as _json
+
+    ds = load(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        rem = pc.subtract(eid, pc.multiply(pc.divide(eid, pa.scalar(50)), pa.scalar(50)))
+        t = t.filter(pc.equal(rem, pa.scalar(0)))
+        ks = [int(_json.loads(p)["k"]) for p in t.column("props").to_pylist()]
+        return pa.table(
+            {"event_id": t.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+@q(
+    "sample_events_mod",
+    """
+    SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3
+    """,
+)
+def sample_events_mod(sf_dir: str):
+    """RandomStream / DeepRandomStream analog (reference
+    RandomStream.java:53-58) made deterministic for the oracle: a seeded
+    modulo "sample" — the distributed pattern (pushdown filter, no
+    materialization) is identical to hash-based sampling."""
+    ds = load(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        rem = pc.subtract(eid, pc.multiply(pc.divide(eid, pa.scalar(20)), pa.scalar(20)))
+        return t.filter(pc.equal(rem, pa.scalar(3)))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+@q(
+    "expand_top_event",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, event_id AS top_event_id, round(value, 4) AS top_value,
+           n_events - 1 AS n_collapsed
+    FROM ranked WHERE rn = 1
+    """,
+)
+def expand_top_event(sf_dir: str):
+    """Collapse + Expand analog (reference CollapsingQParserPlugin.java /
+    ExpandComponent.java): keep the best row per group AND report how many
+    rows were collapsed — one groupby, per-group work vectorized."""
+    ds = load(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        first = g.iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [first["user_id"]],
+                "top_event_id": [first["event_id"]],
+                "top_value": [round(float(first["value"]), 4)],
+                "n_collapsed": [len(g) - 1],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(top, batch_format="pandas")
+
+
+@q(
+    "window_rank_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def window_rank_orders(sf_dir: str):
+    """Windowed top-N per key — the TopFieldCollector / CursorMark per-shard
+    sorted-page analog (reference SolrIndexSearcher.java:1905-1913) as a
+    groupby + per-group vectorized rank."""
+    ds = load(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def rank2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(2)
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "price": np.round(g["o_totalprice"].to_numpy(), 2),
+                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(rank2, batch_format="pandas")
+
+
+@q(
+    "percentile_per_type",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_per_type(sf_dir: str):
+    """PercentileAgg / PercentileMetric analog (reference PercentileAgg.java)
+    computed exactly per group (linear-interpolation quantile, matching
+    DuckDB quantile_cont = numpy 'linear')."""
+    ds = load(sf_dir, "events", columns=["event_type", "value"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round(float(np.quantile(v, 0.5)), 4)],
+                "p95": [round(float(np.quantile(v, 0.95)), 4)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+
+
+@q("hll_unique_users")  # approx sketch: rows-only driver check; bound asserted in pytest
+def hll_unique_users(sf_dir: str):
+    """HLLAgg analog (reference HLLAgg.java): mergeable HyperLogLog sketch
+    of distinct user_id per event_type. Partial sketches are built per
+    batch inside map_batches (the combiner), merged driver-side — the
+    groupby shuffle moves only 2^12-byte registers, never user ids."""
+    from apache___solr_ray.functions.hll import HLL_P, hll_estimate, hll_partial_batch
+
+    ds = load(sf_dir, "events", columns=["event_type", "user_id"])
+    partials = ds.map_batches(hll_partial_batch("event_type", "user_id"), batch_format="pyarrow")
+    merged: dict[str, np.ndarray] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for et, regs in zip(
+            b.column("event_type").to_pylist(), b.column("registers").to_pylist()
+        ):
+            r = np.frombuffer(bytes(regs), dtype=np.uint8)
+            if et in merged:
+                merged[et] = np.maximum(merged[et], r)
+            else:
+                merged[et] = r.copy()
+    rows = sorted((et, int(round(hll_estimate(r)))) for et, r in merged.items())
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "approx_users": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

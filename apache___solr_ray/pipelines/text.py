@@ -275,3 +275,170 @@ def multimodal_decode_stub(sf_dir: str):
     return ds.map_batches(
         FakeImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     ).drop_columns(["feat"])
+
+
+# -- second wave: unnest / significant terms / more-like-this ----------------
+
+
+@q(
+    "unnest_tokens_docs",
+    f"""
+    SELECT doc_id, unnest({_TOKS}) AS token
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def unnest_tokens_docs(sf_dir: str):
+    """CartesianProductStream analog (reference
+    solr/solrj-streaming/.../stream/CartesianProductStream.java): explode a
+    multivalued derivation into one row per value, preserving duplicates
+    and order within each doc."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), pa.scalar(40)))
+        ids = t.column("doc_id").to_pylist()
+        out_id, out_tok = [], []
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            toks = simple_tokenize(txt or "")
+            out_id.extend([ids[i]] * len(toks))
+            out_tok += toks
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "token": pa.array(out_tok, pa.string())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+@q(
+    "significant_terms_en",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_distinct({_TOKS})) AS term FROM documents
+    ),
+    fg AS (SELECT term, count(*) AS df_fg FROM toks WHERE lang = 'en' GROUP BY term),
+    bg AS (SELECT term, count(*) AS df_bg FROM toks GROUP BY term)
+    SELECT fg.term AS term, df_fg, df_bg,
+           round(df_fg * 1.0 / df_bg, 4) AS score
+    FROM fg JOIN bg ON fg.term = bg.term
+    WHERE df_fg >= 5 AND df_fg * 1.0 / df_bg > 0.25
+    """,
+)
+def significant_terms_en(sf_dir: str):
+    """SignificantTermsStream analog (reference
+    solr/solrj-streaming/.../stream/SignificantTermsStream.java:438 —
+    per-shard foreground/background df partials merged at the coordinator):
+    one pass computes both df's per term (partial aggregation inside
+    map_batches), a single groupby merges."""
+    from ray.data.aggregate import Sum
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        fg: Counter = Counter()
+        bg: Counter = Counter()
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            toks = set(simple_tokenize(txt or ""))
+            bg.update(toks)
+            if langs[i] == "en":
+                fg.update(toks)
+        terms = sorted(bg)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df_fg_p": pa.array([fg.get(x, 0) for x in terms], pa.int64()),
+                "df_bg_p": pa.array([bg[x] for x in terms], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_fg_p", alias_name="df_fg"), Sum("df_bg_p", alias_name="df_bg"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ratio = pc.divide(
+            pc.cast(t.column("df_fg"), pa.float64()), pc.cast(t.column("df_bg"), pa.float64())
+        )
+        t = t.append_column("score", pc.round(ratio, 4))
+        keep = pc.and_(
+            pc.greater_equal(t.column("df_fg"), pa.scalar(5)),
+            pc.greater(
+                pc.divide(
+                    pc.cast(t.column("df_fg"), pa.float64()),
+                    pc.cast(t.column("df_bg"), pa.float64()),
+                ),
+                pa.scalar(0.25),
+            ),
+        )
+        return t.filter(keep).select(["term", "df_fg", "df_bg", "score"])
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+@q(
+    "mlt_similar_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+    ),
+    src AS (SELECT term FROM toks WHERE doc_id = 7),
+    overlap AS (
+      SELECT t.doc_id, count(*) AS shared
+      FROM toks t JOIN src s ON t.term = s.term
+      WHERE t.doc_id <> 7
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, shared FROM overlap
+    ORDER BY shared DESC, doc_id ASC LIMIT 10
+    """,
+)
+def mlt_similar_docs(sf_dir: str):
+    """MoreLikeThis analog (reference MoreLikeThisHandler.java javadoc:
+    docs sharing the most 'interesting' terms with a source doc): the
+    source doc's term set is broadcast; overlap counts are a partial sum
+    inside map_batches + one tiny groupby + top-10."""
+    from ray.data.aggregate import Sum
+
+    src_tbl = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def src_terms(t: pa.Table):
+        t = t.filter(pc.equal(t.column("doc_id"), pa.scalar(7)))
+        out = set()
+        for txt in t.column("text").to_pylist():
+            out |= set(simple_tokenize(txt or ""))
+        return out
+
+    import ray
+
+    terms7 = set()
+    for b in src_tbl.iter_batches(batch_format="pyarrow"):
+        terms7 |= src_terms(b)
+    ref = ray.put(frozenset(terms7))
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def overlap(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        terms = _ray.get(ref)
+        t = t.filter(pc.not_equal(t.column("doc_id"), pa.scalar(7)))
+        ids, shared = [], []
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            n = len(terms & set(simple_tokenize(txt or "")))
+            if n:
+                ids.append(t.column("doc_id")[i].as_py())
+                shared.append(n)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "shared": pa.array(shared, pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(overlap, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("shared", alias_name="shared"))
+    )
+    tbl = out.to_pandas()
+    tbl = tbl.sort_values(["shared", "doc_id"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(tbl.reset_index(drop=True), preserve_index=False)

@@ -110,10 +110,35 @@ def add_text_profile_signature(col: str, out: str = "profile_sig"):
 # -- MinHash + LSH -----------------------------------------------------------
 
 
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61-1), fully vectorized in uint64.
+
+    Uses 2^61 ≡ 1 (mod p): split both factors into 32-bit halves, reduce the
+    cross terms with shifts. Inputs must already be < p.
+    """
+    p = np.uint64(MERSENNE61)
+    a1, a0 = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    x1, x0 = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+    # full product = a1x1*2^64 + (a1x0 + a0x1)*2^32 + a0x0
+    m = a1 * x0 + a0 * x1                      # < 2^62, fits
+    lo = a0 * x0                               # < 2^64, needs its own fold
+    v = (
+        (a1 * x1) * np.uint64(8)               # 2^64 ≡ 8 (mod p)
+        + (m >> np.uint64(29))                 # m*2^32 = (m>>29)*2^61 + (m&..)*2^32
+        + ((m & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        + (lo >> np.uint64(61))
+        + (lo & p)
+    )
+    v = (v >> np.uint64(61)) + (v & p)
+    v = np.where(v >= p, v - p, v)
+    return v
+
+
 class MinHasher:
     """k-permutation MinHash over word shingles. Stateful (the permutation
     parameters are built once) — use as an actor-pool ``map_batches`` class
-    or embed in a closure."""
+    or embed in a closure. All modular arithmetic is vectorized uint64
+    (Mersenne-61 fold), no Python bigints."""
 
     def __init__(self, num_hashes: int = 64, shingle: int = 3, seed: int = 1234567):
         rng = np.random.Generator(np.random.PCG64(seed))
@@ -131,13 +156,24 @@ class MinHasher:
             grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
         return np.unique(_hash_strings(np.asarray(grams, dtype=object)))
 
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """-> (n_docs, k) uint64 signature matrix, one reduceat pass."""
+        shingle_sets = [self.shingles(t) for t in texts]
+        counts = np.fromiter((len(s) for s in shingle_sets), np.int64, len(shingle_sets))
+        if counts.sum() == 0:
+            return np.zeros((len(texts), self.k), dtype=np.uint64)
+        flat = np.concatenate(shingle_sets) % np.uint64(MERSENNE61)
+        # (n_shingles, k): a*x + b mod p
+        hx = _mulmod61(self.a[None, :], flat[:, None]) + self.b[None, :]
+        p = np.uint64(MERSENNE61)
+        hx = np.where(hx >= p, hx - p, hx)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        # empty docs would break reduceat; counts>=1 by shingles() contract
+        return np.minimum.reduceat(hx, starts, axis=0)
+
     def signature(self, text: str) -> np.ndarray:
-        x = self.shingles(text).astype(np.uint64)
-        # (a*x + b) mod p, computed in python ints via object to avoid overflow:
-        # use modmul trick in uint64 space with p = 2^61-1
-        xs = x.reshape(-1, 1).astype(np.object_)
-        vals = (xs * self.a.astype(np.object_) + self.b.astype(np.object_)) % MERSENNE61
-        return np.min(vals, axis=0).astype(np.uint64)
+        return self.signatures_batch([text])[0]
 
 
 def add_minhash_bands(col: str, id_col: str, num_hashes: int = 64, bands: int = 16, shingle: int = 3, seed: int = 1234567):
@@ -150,21 +186,24 @@ def add_minhash_bands(col: str, id_col: str, num_hashes: int = 64, bands: int = 
             self.mh = MinHasher(num_hashes, shingle, seed)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_pylist()
-            out_id, out_band, out_hash = [], [], []
-            for i, text in enumerate(t.column(col).to_pylist()):
-                sig = self.mh.signature(text)
-                for b in range(bands):
-                    band_vals = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    h = hashlib.md5(band_vals.tobytes() + bytes([b])).hexdigest()[:16]
-                    out_id.append(ids[i])
-                    out_band.append(b)
-                    out_hash.append(h)
+            ids = t.column(id_col).combine_chunks()
+            sigs = self.mh.signatures_batch(t.column(col).to_pylist())  # (n, k)
+            n = len(ids)
+            # bucket key per (doc, band): fold the band's rows with a
+            # multiplicative hash (vectorized; the key only needs to be a
+            # deterministic bucket id, not cryptographic)
+            folded = np.full((n, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+            for r in range(rows_per_band):
+                folded = (folded * np.uint64(0x100000001B3)) ^ sigs[:, r::rows_per_band][
+                    :, :bands
+                ]
+            band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
             return pa.table(
                 {
-                    id_col: pa.array(out_id),
-                    "band": pa.array(out_band, pa.int32()),
-                    "band_hash": pa.array(out_hash, pa.string()),
+                    id_col: ids.take(pa.array(doc_idx)),
+                    "band": pa.array(band_ids),
+                    "band_hash": pa.array(folded.reshape(-1)),
                 }
             )
 
