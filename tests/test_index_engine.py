@@ -246,3 +246,44 @@ def test_merge_topk_tiebreak():
     b = (np.array([3]), np.array([2.0], dtype=np.float32))
     d, s = merge_topk([a, b], 3)
     assert d.tolist() == [3, 5, 1]  # score desc, doc asc on the tie
+
+
+def test_incremental_append_build(ray_session, tmp_path_factory):
+    """Appending new Parquet partitions and re-running the build must (a)
+    not re-tokenize old partitions (phase-A manifests), (b) reuse every
+    segment whose (tkey, salt) doc-range chunk is unchanged — the storage
+    shuffle's chunking is prefix-stable because new parts only append to
+    the end of each bucket's part sequence (the TieredMergePolicy-style
+    incremental path, SURVEY §2.9 / §7.1 step 9)."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("pages_inc"))
+    write_pages(d, 384, seed=42, rows_per_file=128)
+    idx = str(tmp_path_factory.mktemp("index_inc"))
+    cfg = IndexConfig(
+        term_partitions=4, target_docs_per_part=128, max_postings_per_segment=6000
+    )
+    man1 = build_index(d, idx, cfg)
+    segs1 = {s["name"]: s for s in man1["segments"]}
+
+    # append one more file of new docs (ids 384..511)
+    write_pages(d, 512, seed=42, rows_per_file=128)
+    man2 = build_index(d, idx, cfg)
+
+    assert man2["metrics"]["parts_resumed"] == 3  # the 3 old parts
+    assert man2["stats"]["doc_count"] == 512
+    # the strictly-full old chunks survive byte-identical; only each
+    # bucket's tail chunk (+ new chunks) rebuilt
+    segs2 = {s["name"]: s for s in man2["segments"]}
+    reused = [n for n in segs1 if n in segs2 and segs1[n] == segs2[n]]
+    assert len(reused) >= 1, "no segment reused on append"
+
+    # correctness after append == fresh build of the full corpus
+    idx_fresh = str(tmp_path_factory.mktemp("index_fresh"))
+    build_index(d, idx_fresh, cfg)
+    r_inc, r_fresh = IndexReader(idx), IndexReader(idx_fresh)
+    for q_ in QUERIES:
+        d1, s1 = r_inc.topk(q_, 10)
+        d2, s2 = r_fresh.topk(q_, 10)
+        assert d1.tolist() == d2.tolist(), q_
+        assert s1.tolist() == s2.tolist(), q_
