@@ -671,6 +671,7 @@ def build_index(
         "doc_count": int(n_docs),
         "sum_total_tf": int(sum_doc_len),
         "n_doc_parts": n_doc_parts,
+        "max_part_rows": int(max((s["n_docs"] for s in summaries), default=0)),
         "term_partitions": cfg.term_partitions,
         "n_segments": len(seg_summaries),
         "head_terms": sorted(heads),

@@ -259,10 +259,46 @@ class PostingsView:
         self._cache[bi] = out
         return out
 
-    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        parts = [self.decode_block(bi) for bi in range(self.n_blocks)]
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-            np.concatenate([p[2] for p in parts]),
+    def decode_blocks(self, bis: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode MANY blocks with two vectorized varint passes.
+
+        ``bis`` must be sorted ascending, unique. Returns (docs int64,
+        tfs int64, norms uint8) concatenated in block order — the batch
+        primitive behind block-max evaluation (one call per term per round
+        instead of one Python iteration per block)."""
+        n_sel = len(bis)
+        if n_sel == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), np.zeros(0, dtype=np.uint8)
+        h = self.headers
+        nd = h["n_docs"][bis].astype(np.int64)
+        total = int(nd.sum())
+        d_off = h["d_off"].astype(np.int64)
+        t_off = h["t_off"].astype(np.int64)
+        d_len_total = self.t_base - self.d_base
+        t_len_total = self.n_base - self.t_base
+        d_ends = np.concatenate([d_off[1:], [d_len_total]])
+        t_ends = np.concatenate([t_off[1:], [t_len_total]])
+        dbuf = np.concatenate(
+            [self.buf[self.d_base + d_off[b] : self.d_base + d_ends[b]] for b in bis]
         )
+        tbuf = np.concatenate(
+            [self.buf[self.t_base + t_off[b] : self.t_base + t_ends[b]] for b in bis]
+        )
+        deltas, _ = varint_decode(dbuf, total)
+        tfs, _ = varint_decode(tbuf, total)
+        norms = np.concatenate(
+            [self.buf[self.n_base + self.n_off[b] : self.n_base + self.n_off[b + 1]] for b in bis]
+        ).copy()
+        # docs: per block, base(prev block's last_doc, 0 for block 0) + cumsum
+        starts = np.zeros(n_sel, dtype=np.int64)
+        np.cumsum(nd[:-1], out=starts[1:])
+        C = np.cumsum(deltas.astype(np.int64))
+        Cext = np.concatenate([[0], C])
+        base_prev = np.where(bis > 0, h["last_doc"][np.maximum(bis - 1, 0)].astype(np.int64), 0)
+        adj = np.repeat(base_prev - Cext[starts], nd)
+        docs = C + adj
+        return docs, tfs.astype(np.int64) + 1, norms
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return self.decode_blocks(np.arange(self.n_blocks, dtype=np.int64))

@@ -46,13 +46,61 @@ class TermPostings:
     """All posting parts of one term (unsalted: 1 part; salted: ≤P parts,
     disjoint doc ranges ordered by doc partition)."""
 
-    __slots__ = ("term", "views", "df", "ttf")
+    __slots__ = ("term", "views", "df", "ttf", "_bt", "_full")
+
+    #: full-decode cache is only kept for heavy terms — the ones whose
+    #: repeated decode dominates serving cost (head terms by Zipf are few)
+    HEAVY_DF = 20_000
 
     def __init__(self, term, views, df, ttf):
         self.term = term
         self.views = views  # list[PostingsView], global doc order across list
         self.df = df
         self.ttf = ttf
+        self._bt = None  # cached global block table (lasts, mtf, mnorm, view_of, local_bi)
+        self._full = None  # cached decode_all for heavy terms
+
+    def decode_all_cached(self):
+        if self._full is not None:
+            return self._full
+        out = self.decode_all()
+        if self.df >= self.HEAVY_DF:
+            self._full = out
+        return out
+
+    def global_blocks(self):
+        """Concatenated per-block skip data across views, with the mapping
+        global block index -> (view index, local block index)."""
+        if self._bt is None:
+            lasts, mtf, mnorm, view_of, local_bi = [], [], [], [], []
+            for vi, v in enumerate(self.views):
+                h = v.headers
+                lasts.append(h["last_doc"].astype(np.int64))
+                mtf.append(h["max_tf"].astype(np.int64))
+                mnorm.append(h["min_norm"].astype(np.int64))
+                view_of.append(np.full(len(h), vi, dtype=np.int64))
+                local_bi.append(np.arange(len(h), dtype=np.int64))
+            self._bt = (
+                np.concatenate(lasts),
+                np.concatenate(mtf),
+                np.concatenate(mnorm),
+                np.concatenate(view_of),
+                np.concatenate(local_bi),
+            )
+        return self._bt
+
+    def decode_blocks_global(self, gbis: np.ndarray):
+        """Batch-decode global block indices (sorted unique) across views."""
+        _, _, _, view_of, local_bi = self.global_blocks()
+        dl, tl, ml = [], [], []
+        vsel = view_of[gbis]
+        lsel = local_bi[gbis]
+        for vi in np.unique(vsel):
+            d, t, m = self.views[vi].decode_blocks(lsel[vsel == vi])
+            dl.append(d)
+            tl.append(t)
+            ml.append(m)
+        return np.concatenate(dl), np.concatenate(tl), np.concatenate(ml)
 
     def block_table(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Concatenated skip data: (block_start_doc, block_last_doc, max_tf,
@@ -200,7 +248,7 @@ class IndexReader:
         scorers = self._scorers(query)
         if not scorers:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        return _topk_blockmax(scorers, k)
+        return _topk_blockmax(scorers, k, span_r=int(self.stats.get("max_part_rows", 0)))
 
     def topk_range(
         self, query: str, k: int, part_lo: int, part_hi: int
@@ -249,66 +297,142 @@ class IndexReader:
 
 def _topk_from_candidates(docs_list, score_list, k) -> tuple[np.ndarray, np.ndarray]:
     """Merge per-term (doc, score_f32) candidates: float64-accumulate per doc
-    (DisjunctionSumScorer), cast float32, order by (score desc, doc asc)."""
+    (DisjunctionSumScorer), cast float32, order by (score desc, doc asc).
+
+    Accumulation uses a dense bincount keyed on (part, row) when the dense
+    space is small enough (vectorized C, no sort); falls back to the
+    sort-based unique for sparse doc-id spaces (huge part counts)."""
     all_docs = np.concatenate(docs_list)
     all_scores = np.concatenate([s.astype(np.float64) for s in score_list])
-    uniq, inv = np.unique(all_docs, return_inverse=True)
-    acc = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(acc, inv, all_scores)
-    final = acc.astype(np.float32)
+    if len(all_docs) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    parts = all_docs >> np.int64(32)
+    rows = all_docs & np.int64(0xFFFFFFFF)
+    span_p = int(parts.max()) + 1
+    span_r = int(rows.max()) + 1
+    if span_p * span_r <= 1 << 23:  # ≤ 8M-slot dense space (64 MB f64)
+        key = parts * span_r + rows
+        acc = np.bincount(key, weights=all_scores, minlength=span_p * span_r)
+        nz = np.flatnonzero(acc)
+        uniq = (nz // span_r) * (1 << 32) + nz % span_r
+        final = acc[nz].astype(np.float32)
+    else:
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, all_scores)
+        final = acc.astype(np.float32)
+    if k < len(final):
+        # exact pre-cut: keep every candidate scoring >= the k-th best
+        # (ties at the boundary all survive, so doc-asc tie-break is exact)
+        kth = np.partition(final, len(final) - k)[len(final) - k]
+        keep = final >= kth
+        uniq, final = uniq[keep], final[keep]
     order = np.lexsort((uniq, -final.astype(np.float64)))[:k]
     return uniq[order], final[order]
 
 
-def _topk_blockmax(scorers, k) -> tuple[np.ndarray, np.ndarray]:
-    """Region-at-a-time block-max evaluation.
+def _topk_blockmax(scorers, k, span_r: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Region-at-a-time block-max evaluation, batch-vectorized.
 
     Doc space is partitioned into regions by the union of all terms' block
     boundaries; each region's bound is the sum of the overlapping blocks'
-    impact bounds. Regions are processed in descending bound order; once the
-    k-th best real score >= the next region's bound, the remaining regions
-    are pruned without decoding (bound == threshold is still visited so
-    doc-id tie-breaks match exhaustive evaluation exactly).
+    impact bounds. Regions are processed in descending bound order in
+    geometrically growing ROUNDS: each round batch-decodes every block any
+    selected region touches (one vectorized decode + one score call per
+    term), masks postings to the selected regions, accumulates real scores
+    and tightens the threshold. Once the k-th best real score exceeds the
+    next region's bound the rest are pruned without decoding (bound ==
+    threshold is still visited so doc-id tie-breaks match exhaustive
+    evaluation exactly).
     """
     term_blocks = []
     for tp, sc in scorers:
-        starts, lasts, max_tf, min_norm = tp.block_table()
+        lasts, max_tf, min_norm, _, _ = tp.global_blocks()
         bounds = sc.score(max_tf, min_norm.astype(np.uint8)).astype(np.float64)
         term_blocks.append((tp, sc, lasts, bounds))
 
     edges = np.unique(np.concatenate([lasts for _, _, lasts, _ in term_blocks]))
-    region_hi = edges
-    region_lo = np.empty_like(edges)
-    region_lo[0] = 0
-    region_lo[1:] = edges[:-1] + 1
-    region_bound = np.zeros(len(edges), dtype=np.float64)
+    n_regions = len(edges)
+    region_bound = np.zeros(n_regions, dtype=np.float64)
+    block_of_region = []
     for _, _, lasts, bounds in term_blocks:
         # block covering region r = first block with last_doc >= region_hi[r]
-        bi = np.searchsorted(lasts, region_hi, side="left")
+        bi = np.searchsorted(lasts, edges, side="left")
         valid = bi < len(lasts)
-        region_bound[valid] += bounds[bi[valid]]
+        region_bound[valid] += bounds[np.minimum(bi, len(lasts) - 1)][valid]
+        block_of_region.append((bi, valid))
 
     order = np.argsort(-region_bound, kind="stable")
-    docs_acc: list[np.ndarray] = []
-    scores_acc: list[np.ndarray] = []
+    max_doc = int(edges[-1])
+    span_p = (max_doc >> 32) + 1
+    # span_r must be an upper bound on ANY row id (a block can span doc
+    # partitions, so the max doc's row alone is not a bound) — the build
+    # records it in stats.json; without it, fall back to sparse merge
+    dense_ok = span_r > 0 and span_p * span_r <= 1 << 23
+    if dense_ok:
+        # one persistent float64 accumulator across rounds: scores sum as
+        # float64 per doc (DisjunctionSumScorer), no per-round sorting
+        acc = np.zeros(span_p * span_r, dtype=np.float64)
+    else:
+        docs_acc: list[np.ndarray] = []
+        scores_acc: list[np.ndarray] = []
     threshold = -np.inf
     n_cand = 0
-    CHUNK_REGIONS = 32
-    for ci in range(0, len(order), CHUNK_REGIONS):
-        sel = order[ci : ci + CHUNK_REGIONS]
-        if n_cand >= k and region_bound[sel[0]] < threshold:
-            break  # every remaining region is below the k-th real score
+    pos = 0
+    rounds = 64
+    sel_mask = np.zeros(n_regions, dtype=bool)
+    while pos < len(order):
+        sel = order[pos : pos + rounds]
+        pos += len(sel)
+        rounds = min(rounds * 4, 1 << 16)
+        if n_cand >= k:
+            keep = region_bound[sel] >= threshold
+            if not keep[0]:
+                break  # order is descending: everything left is below θ
+            sel = sel[keep]
+            # adaptive: if pruning is not biting (most remaining regions
+            # still beat θ), stop paying per-round overheads — finish
+            # everything in this round
+            if pos < len(order) and keep.mean() > 0.6:
+                rest = order[pos:]
+                rest = rest[region_bound[rest] >= threshold]
+                sel = np.concatenate([sel, rest])
+                pos = len(order)
+        sel_mask[:] = False
+        sel_mask[sel] = True
+        round_n = 0
         dl, sl = [], []
-        for r in sel:
-            if n_cand >= k and region_bound[r] < threshold:
+        for (tp, sc, lasts, _), (bi_r, valid_r) in zip(term_blocks, block_of_region):
+            gbis = np.unique(bi_r[sel[valid_r[sel]]])
+            if len(gbis) == 0:
                 continue
-            lo, hi = int(region_lo[r]), int(region_hi[r])
-            for tp, sc, _, _ in term_blocks:
-                d, t, m = tp.decode_range(lo, hi)
-                if len(d):
+            if len(gbis) >= 0.9 * len(lasts):
+                # decoding (almost) the whole list: use the full-decode
+                # cache; the region mask below drops any extra postings
+                d, t, m = tp.decode_all_cached()
+            else:
+                d, t, m = tp.decode_blocks_global(gbis)
+            # keep only postings whose region is selected this round (a
+            # block can span regions; the rest decode in their own round)
+            rid = np.searchsorted(edges, d, side="left")
+            keep = sel_mask[rid]
+            if keep.any():
+                d, s = d[keep], sc.score(t[keep], m[keep])
+                if dense_ok:
+                    key = (d >> np.int64(32)) * span_r + (d & np.int64(0xFFFFFFFF))
+                    acc += np.bincount(key, weights=s.astype(np.float64), minlength=len(acc))
+                    round_n += len(d)
+                else:
                     dl.append(d)
-                    sl.append(sc.score(t, m))
-        if dl:
+                    sl.append(s)
+        if dense_ok:
+            if round_n:
+                n_cand += round_n  # counts postings, >= distinct docs — safe for >= k gate
+                if n_cand >= k and len(acc) > k:
+                    kth = np.partition(acc, len(acc) - k)[len(acc) - k]
+                    if kth > 0:
+                        threshold = float(np.float32(kth))
+        elif dl:
             d, s = _topk_from_candidates(dl, sl, 10**9)
             docs_acc.append(d)
             scores_acc.append(s)
@@ -316,10 +440,21 @@ def _topk_blockmax(scorers, k) -> tuple[np.ndarray, np.ndarray]:
             all_s = np.concatenate(scores_acc)
             if len(all_s) >= k:
                 threshold = float(np.partition(all_s, -k)[-k])
-    if not docs_acc:
-        return np.zeros(0, np.int64), np.zeros(0, np.float32)
-    docs = np.concatenate(docs_acc)
-    scores = np.concatenate(scores_acc)
+    if dense_ok:
+        nz = np.flatnonzero(acc)
+        if len(nz) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        docs = (nz // span_r) * (1 << 32) + nz % span_r
+        scores = acc[nz].astype(np.float32)
+    else:
+        if not docs_acc:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        docs = np.concatenate(docs_acc)
+        scores = np.concatenate(scores_acc)
+    if k < len(scores):
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = scores >= kth
+        docs, scores = docs[keep], scores[keep]
     order2 = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return docs[order2], scores[order2]
 
