@@ -442,3 +442,90 @@ def mlt_similar_docs(sf_dir: str):
     tbl = out.to_pandas()
     tbl = tbl.sort_values(["shared", "doc_id"], ascending=[False, True]).head(10)
     return pa.Table.from_pandas(tbl.reset_index(drop=True), preserve_index=False)
+
+
+@q(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE 10 * len(list_intersect(a.toks, b.toks))
+            >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, reach) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT s.a, r.reach FROM sym s JOIN reach r ON s.b = r.node
+    )
+    SELECT node AS doc_id, min(reach) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def near_dup_components(sf_dir: str):
+    """Near-duplicate clustering: connected components over the exact-Jaccard
+    edge set via distributed min-label propagation — iterative
+    groupby rounds until fixpoint (the GraphTermsQParser/GatherNodesStream
+    iterative-expansion analog, SURVEY §2.4, and the standard dedup-cluster
+    step of a training-data pipeline). Oracle: DuckDB recursive CTE.
+
+    Each round: labels = min over (own label, neighbors' labels) via ONE
+    groupby over the (node, candidate_label) edge-message table. Converges
+    in O(diameter) rounds; every round is a Ray Data shuffle, no driver
+    state beyond the convergence check.
+    """
+    from ray.data.aggregate import Min
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs_exact(ds, "text", "doc_id", threshold_num=9, threshold_den=10)
+    edges = pairs.select_columns(["a", "b"]).to_pandas()
+
+    ids = load(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    # labels start as self; iterate min-label propagation distributed
+    import ray.data as rd
+
+    labels = pd.DataFrame({"node": ids, "label": ids})
+    a = edges["a"].to_numpy()
+    b = edges["b"].to_numpy()
+    sym_src = np.concatenate([a, b])
+    sym_dst = np.concatenate([b, a])
+    # size-adaptive round executor: the round IS a groupby-min over edge
+    # messages; below the threshold a driver-side pandas groupby avoids a
+    # whole Ray shuffle per round (same computation, same result) — above
+    # it, the distributed path runs (message volume = 2|E| + |V| per round)
+    def round_min(msgs: pd.DataFrame) -> pd.DataFrame:
+        if len(msgs) < 5_000_000:
+            return msgs.groupby("node", as_index=False)["cand"].min().rename(
+                columns={"cand": "label"}
+            )
+        return (
+            rd.from_pandas(msgs)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .to_pandas()
+        )
+
+    for _ in range(64):  # diameter bound; breaks at fixpoint
+        lab = labels.set_index("node")["label"]
+        msgs = pd.DataFrame(
+            {
+                "node": np.concatenate([sym_dst, labels["node"].to_numpy()]),
+                "cand": np.concatenate(
+                    [lab.loc[sym_src].to_numpy(), labels["label"].to_numpy()]
+                ),
+            }
+        )
+        new = round_min(msgs).sort_values("node").reset_index(drop=True)
+        old = labels.sort_values("node").reset_index(drop=True)
+        converged = (new["label"].to_numpy() == old["label"].to_numpy()).all()
+        labels = new
+        if converged:
+            break
+    return pa.table(
+        {
+            "doc_id": pa.array(labels["node"].to_numpy(), pa.int64()),
+            "component": pa.array(labels["label"].to_numpy(), pa.int64()),
+        }
+    )
