@@ -289,3 +289,66 @@ def point_lookup_docs(sf_dir: str):
             "lang": pa.array([r[2] for r in rows], pa.string()),
         }
     )
+
+
+_MERGED_CACHE: dict[str, str] = {}
+
+
+def ensure_merged_index(sf_dir: str) -> str:
+    """A copy of the doc index built with many doc-range sub-segments, then
+    tier-merged down to one segment per tkey (merge.merge_segments — the
+    TieredMergePolicy analog). Cached per corpus per process."""
+    import shutil
+
+    from apache___solr_ray.build import IndexConfig, build_index
+    from apache___solr_ray.merge import merge_segments
+
+    hit = _MERGED_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    base = ensure_doc_index(sf_dir)  # reuse the cached pages dir next to it
+    pages_dir = os.path.join(os.path.dirname(base), "pages")
+    index_dir = os.path.join(os.path.dirname(base), "index_merged")
+    cfg = IndexConfig(
+        term_partitions=8,
+        target_docs_per_part=256,
+        max_postings_per_segment=4000,  # force many sub-segments to merge
+        text_from_html=False,
+    )
+    build_index(pages_dir, index_dir, cfg)
+    merge_segments(index_dir, target_per_tkey=1, merge_factor=4)
+    _MERGED_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+@q(
+    "index_term_df_merged",
+    ORACLE["index_term_df"],  # merging changes layout, never content
+)
+def index_term_df_merged(sf_dir: str):
+    """Term dictionary dumped AFTER a full tiered merge (many doc-range
+    sub-segments k-way merged to one per tkey) — must still equal DuckDB
+    recounting from raw text: the merge-preserves-content invariant as an
+    oracle-checked driver query."""
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_merged_index(sf_dir)
+    r = IndexReader(index_dir)
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            for term, df, ttf in sr.iter_terms():
+                a = agg[term]
+                a[0] += df
+                a[1] += ttf
+            sr.close()
+    terms = sorted(agg)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([agg[t][0] for t in terms], pa.int64()),
+            "ttf": pa.array([agg[t][1] for t in terms], pa.int64()),
+        }
+    )

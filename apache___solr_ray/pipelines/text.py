@@ -9,6 +9,7 @@ is conformance-tested against goldens in pytest instead.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 import numpy as np
@@ -529,3 +530,126 @@ def near_dup_components(sf_dir: str):
             "component": pa.array(labels["label"].to_numpy(), pa.int64()),
         }
     )
+
+
+@q(
+    "highlight_snippets",
+    """
+    SELECT doc_id,
+           substr(text, GREATEST(1, strpos(lower(text), 'merge') - 20), 45) AS snippet
+    FROM documents WHERE strpos(lower(text), 'merge') > 0
+    """,
+)
+def highlight_snippets(sf_dir: str):
+    """Highlighter analog (reference solr/core/.../highlight/ — snippet of
+    the stored field around the first match): vectorized pandas str.find +
+    slice inside map_batches; byte-identical to the SQL substr window."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snip(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df["text"].str.lower().str.find("merge")
+        hit = df[pos >= 0].copy()
+        p = pos[pos >= 0]
+        start = (p - 20).clip(lower=0)
+        hit["snippet"] = [
+            t[s : s + 45] for t, s in zip(hit["text"], start)
+        ]
+        return hit[["doc_id", "snippet"]]
+
+    return ds.map_batches(snip, batch_format="pandas")
+
+
+def _levenshtein1(a: str, b: str) -> bool:
+    """edit distance <= 1 (insert/delete/substitute)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion into a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+@q(
+    "spell_suggest",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    agg AS (SELECT term, count(*) AS ttf FROM toks GROUP BY term)
+    SELECT term, ttf FROM agg
+    WHERE levenshtein(term, 'mergr') <= 1
+    ORDER BY ttf DESC, term LIMIT 5
+    """,
+)
+def spell_suggest(sf_dir: str):
+    """Spellcheck/suggest analog (reference SpellCheckComponent.java /
+    SuggestComponent.java): candidate terms within edit distance 1 of the
+    misspelling, ranked by collection frequency. The distinct-term
+    dictionary is tiny relative to postings (per-tkey term dicts at scale),
+    so the edit-distance scan runs on the aggregated vocabulary."""
+    from ray.data.aggregate import Count
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        out = []
+        for txt in t.column("text").to_pylist():
+            out += simple_tokenize(txt or "")
+        return pa.table({"term": pa.array(out, pa.string())})
+
+    agg = ds.map_batches(toks, batch_format="pyarrow").groupby("term").aggregate(
+        Count(alias_name="ttf")
+    )
+    df = agg.to_pandas()
+    df = df[[_levenshtein1(t, "mergr") for t in df["term"]]]
+    df = df.sort_values(["ttf", "term"], ascending=[False, True]).head(5)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+@q("csv_loader_roundtrip")  # rows-only: loader surface demo; equality pytest-asserted
+def csv_loader_roundtrip(sf_dir: str):
+    """CSVLoader analog (reference CSVLoaderBase.java): export events to CSV,
+    re-read with ray.data.read_csv, aggregate — loader correctness is
+    asserted against the parquet source in tests/test_sources.py."""
+    import duckdb
+
+    from ray.data.aggregate import Count
+
+    from apache___solr_ray.sources import read_csv
+
+    import hashlib
+
+    path = f"/tmp/apache___solr_ray_cache/events_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.csv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT event_id, event_type FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id) TO '{path}' (HEADER)"
+        )
+    ds = read_csv(path)
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+@q("json_loader_roundtrip")  # rows-only: loader surface demo
+def json_loader_roundtrip(sf_dir: str):
+    """JsonLoader analog (reference JsonLoader.java, NDJSON update stream):
+    export events to NDJSON, re-read with ray.data.read_json, aggregate."""
+    import duckdb
+
+    from ray.data.aggregate import Count
+
+    from apache___solr_ray.sources import read_json
+
+    import hashlib
+
+    path = f"/tmp/apache___solr_ray_cache/events_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        duckdb.sql(
+            f"COPY (SELECT event_id, user_id, event_type FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id) TO '{path}' (FORMAT JSON)"
+        )
+    ds = read_json(path)
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
