@@ -261,7 +261,19 @@ def langid_predictions(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred"])
 
 
-@q("multimodal_decode_stub")
+_HEXB = "CAST(concat('0x', substr(md5(text), {i}, 2)) AS INT)"
+
+
+@q(
+    "multimodal_decode_stub",
+    f"""
+    SELECT doc_id,
+           CAST(64 + {_HEXB.format(i=1)} % 192 AS INT) AS width,
+           CAST(64 + {_HEXB.format(i=3)} % 192 AS INT) AS height,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def multimodal_decode_stub(sf_dir: str):
     """Multimodal plumbing: documents' bytes as opaque binary payloads
     through the (stubbed) image-decoder actor pool — exercises the real
@@ -276,6 +288,67 @@ def multimodal_decode_stub(sf_dir: str):
     return ds.map_batches(
         FakeImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     ).drop_columns(["feat"])
+
+
+@q(
+    "multimodal_resize_plan",
+    f"""
+    WITH dec AS (
+      SELECT doc_id,
+             CAST(64 + {_HEXB.format(i=1)} % 192 AS BIGINT) AS width,
+             CAST(64 + {_HEXB.format(i=3)} % 192 AS BIGINT) AS height
+      FROM documents)
+    SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST((width * 448 + greatest(width, height)) // (2 * greatest(width, height)) AS INT) AS rwidth,
+           CAST((height * 448 + greatest(width, height)) // (2 * greatest(width, height)) AS INT) AS rheight
+    FROM dec
+    """,
+)
+def multimodal_resize_plan(sf_dir: str):
+    """Decode-stub dims -> aspect-preserving resize plan into a 224 box
+    (integer-exact round-half-up geometry; the pixel resample is the only
+    stubbed part). Actor-pool chain: decoder -> planner."""
+    from apache___solr_ray.stages.multimodal import ImageResizePlanner
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payload = pa.array([x.encode() for x in t.column("text").to_pylist()], pa.binary())
+        return pa.table({"doc_id": t.column("doc_id"), "payload": payload})
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(
+        FakeImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    ).drop_columns(["feat", "n_bytes"])
+    return ds.map_batches(ImageResizePlanner, batch_format="pyarrow", concurrency=(1, 4))
+
+
+@q(
+    "multimodal_frame_sample",
+    f"""
+    WITH dec AS (
+      SELECT doc_id, 8 + {_HEXB.format(i=5)} % 120 AS n_frames FROM documents)
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 5)) AS BIGINT) AS frame_idx,
+           CAST(unnest(range(0, n_frames, 5)) * 40 AS BIGINT) AS ts_ms
+    FROM dec
+    """,
+)
+def multimodal_frame_sample(sf_dir: str):
+    """Video frame sampling: one row per sampled frame (the explode shape
+    of a real video pipeline; frame count deterministic from payload,
+    timestamps at 25 fps)."""
+    from apache___solr_ray.stages.multimodal import FakeVideoFrameSampler
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payload = pa.array([x.encode() for x in t.column("text").to_pylist()], pa.binary())
+        return pa.table({"doc_id": t.column("doc_id"), "payload": payload})
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    return ds.map_batches(
+        FakeVideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
 
 
 # -- second wave: unnest / significant terms / more-like-this ----------------

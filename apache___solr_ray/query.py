@@ -557,15 +557,22 @@ class QueryService:
         """Block until every actor has opened the index."""
         self._ray.get([a.ping.remote() for a in self.actors])
 
-    def topk_many(self, queries: list[str], k: int = 10, batch_size: int = 8) -> pa.Table:
-        """Score queries across the pool; returns one row per hit."""
+    def _submit(self, queries: list[str], k: int, batch_size: int):
         futs = []
         for i in range(0, len(queries), batch_size):
             chunk = queries[i : i + batch_size]
             actor = self.actors[(i // batch_size) % len(self.actors)]
             futs.append(actor.query_batch.remote(list(range(i, i + len(chunk))), chunk, k))
-        tables = self._ray.get(futs)
-        return pa.concat_tables(tables)
+        return futs
+
+    def topk_many(self, queries: list[str], k: int = 10, batch_size: int = 8) -> pa.Table:
+        """Score queries across the pool; returns one row per hit."""
+        return pa.concat_tables(self._ray.get(self._submit(queries, k, batch_size)))
+
+    def topk_many_count(self, queries: list[str], k: int = 10, batch_size: int = 8) -> int:
+        """Throughput-measurement variant: total hit rows, no driver concat
+        (the driver should not be part of a QPS measurement)."""
+        return sum(t.num_rows for t in self._ray.get(self._submit(queries, k, batch_size)))
 
     def shutdown(self) -> None:
         for a in self.actors:

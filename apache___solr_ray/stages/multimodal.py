@@ -93,3 +93,54 @@ class FakeAudioFeaturizer:
             .append_column("duration_sec", pa.array(np.round(durs, 1)))
             .append_column("frames", pa.array(feats, pa.list_(pa.float64())))
         )
+
+
+class ImageResizePlanner:
+    """Aspect-preserving resize planning (actor-pool stage).
+
+    The GEOMETRY is real (integer-exact round-half-up into a target box);
+    only the pixel resample itself would need a codec. Input: (width,
+    height) columns from the decode stage; output adds (rwidth, rheight).
+    """
+
+    def __init__(self, box: int = 224):
+        self.box = box
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        w = t.column("width").to_numpy().astype(np.int64)
+        h = t.column("height").to_numpy().astype(np.int64)
+        m = np.maximum(w, h)
+        rw = (w * 2 * self.box + m) // (2 * m)
+        rh = (h * 2 * self.box + m) // (2 * m)
+        return t.append_column("rwidth", pa.array(rw.astype(np.int32))).append_column(
+            "rheight", pa.array(rh.astype(np.int32))
+        )
+
+
+class FakeVideoFrameSampler:
+    """Frame-sampling stage stand-in: one output ROW per sampled frame
+    (the explode/flat-map shape of a real video pipeline). Frame count is
+    derived deterministically from the payload; timestamps assume 25 fps.
+    """
+
+    def __init__(self, payload_col: str = "payload", stride: int = 5):
+        self.col = payload_col
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        out_id, out_idx = [], []
+        for i, b in enumerate(t.column(self.col).to_pylist()):
+            hgs = hashlib.md5(b or b"").digest()
+            n_frames = 8 + hgs[2] % 120
+            idxs = list(range(0, n_frames, self.stride))
+            out_id.extend([int(ids[i])] * len(idxs))
+            out_idx.extend(idxs)
+        idx = np.array(out_idx, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(idx),
+                "ts_ms": pa.array(idx * 40),  # 25 fps
+            }
+        )
