@@ -545,6 +545,19 @@ class QueryService:
                 )
                 return self.inner(tbl)
 
+            def query_many(self, queries: list[str], k: int, passes: int) -> int:
+                """Serve a query list `passes` times; returns total hit rows.
+                The whole loop runs actor-side — one remote call per actor —
+                so a throughput measurement has no driver dispatch on the
+                critical path."""
+                n = 0
+                r = self.inner.reader
+                for _ in range(passes):
+                    for q in queries:
+                        d, _s = r.topk(q, k)
+                        n += len(d)
+                return n
+
             def ping(self) -> bool:
                 return True
 
@@ -573,6 +586,20 @@ class QueryService:
         """Throughput-measurement variant: total hit rows, no driver concat
         (the driver should not be part of a QPS measurement)."""
         return sum(t.num_rows for t in self._ray.get(self._submit(queries, k, batch_size)))
+
+    def bench_qps(self, queries: list[str], k: int = 10, passes: int = 1) -> int:
+        """Throughput measurement: queries are deterministically shuffled
+        and striped across the pool, ONE remote call per actor with the
+        pass loop actor-side — the driver is entirely off the critical
+        path and each actor gets a fair head/tail mix."""
+        perm = np.random.default_rng(0).permutation(len(queries))
+        shuffled = [queries[i] for i in perm]
+        n_act = len(self.actors)
+        futs = [
+            a.query_many.remote(shuffled[ai::n_act], k, passes)
+            for ai, a in enumerate(self.actors)
+        ]
+        return sum(self._ray.get(futs))
 
     def shutdown(self) -> None:
         for a in self.actors:

@@ -129,11 +129,9 @@ def run_headline(sf_dir: str, num_cpus: int, n_pages: int | None = None) -> dict
     queries = _bench_queries()
     svc = QueryService(index_dir, n_actors=max(2, num_cpus))
     svc.warmup()
-    svc.topk_many_count(queries, k=10, batch_size=32)  # warm caches, untimed
+    svc.bench_qps(queries, k=10, passes=1)  # warm caches, untimed
     t0 = time.time()
-    n_rows = 0
-    for _ in range(QUERY_PASSES):
-        n_rows = svc.topk_many_count(queries, k=10, batch_size=32)
+    n_rows = svc.bench_qps(queries, k=10, passes=QUERY_PASSES)
     query_sec = time.time() - t0
     svc.shutdown()
 
