@@ -810,3 +810,55 @@ def hll_unique_users(sf_dir: str):
             "approx_users": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+@q(
+    "block_join_orders_with_big_item",
+    """
+    SELECT o.o_orderkey, o.o_orderpriority
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+    )
+    """,
+)
+def block_join_orders_with_big_item(sf_dir: str):
+    """Block join parent/child analog (reference
+    solr/core/src/java/org/apache/solr/search/join/ — parents selected by a
+    child predicate over contiguous doc blocks): children are physically
+    nested under their parent as an Arrow list<struct> column (the
+    _childDocuments_ shape, SolrInputDocument.java:39), then the parent
+    filter evaluates the child predicate WITHOUT any join — the nesting IS
+    the co-location. One groupby builds the blocks; the filter is a
+    vectorized pass over the nested column."""
+    import pyarrow.compute as _pc
+
+    ds = load(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def nest(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": [g["l_orderkey"].iloc[0]],
+                "children_qty": [g["l_quantity"].to_numpy()],
+            }
+        )
+
+    nested = ds.groupby("l_orderkey").map_groups(nest, batch_format="pandas")
+
+    def parent_filter(t: pa.Table) -> pa.Table:
+        qty = t.column("children_qty")
+        # child predicate over the nested column: max(child.qty) >= 49
+        mx = _pc.list_max(qty) if hasattr(_pc, "list_max") else pa.array(
+            [max(x) if len(x) else None for x in qty.to_pylist()], pa.float64()
+        )
+        return t.filter(_pc.greater_equal(mx, pa.scalar(49.0))).select(["o_orderkey"])
+
+    parents = nested.map_batches(parent_filter, batch_format="pyarrow")
+    keys = set()
+    for b in parents.iter_batches(batch_format="pyarrow"):
+        keys.update(b.column("o_orderkey").to_pylist())
+    orders = load_arrow(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    return orders.filter(
+        pc.is_in(orders.column("o_orderkey"), value_set=pa.array(sorted(keys), pa.int64()))
+    )
