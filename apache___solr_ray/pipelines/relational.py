@@ -836,23 +836,38 @@ def block_join_orders_with_big_item(sf_dir: str):
 
     ds = load(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
-    def nest(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # co-locate each parent's children by key-hash BUCKET (64 groups, not
+    # 150k): per bucket, Arrow's C++ group_by builds the nested list column
+    # vectorized — the guide's explicit partitioned-hash pattern
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").combine_chunks().to_numpy()
+        return t.append_column(
+            "bucket", pa.array((k * 2654435761 % (1 << 31)) % 64, pa.int32())
+        )
+
+    def nest_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by("l_orderkey").aggregate(
+            [("l_quantity", "list"), ("l_quantity", "max")]
+        )
+        return pa.table(
             {
-                "o_orderkey": [g["l_orderkey"].iloc[0]],
-                "children_qty": [g["l_quantity"].to_numpy()],
+                "o_orderkey": agg.column("l_orderkey"),
+                "children_qty": agg.column("l_quantity_list"),  # the nested block
+                "max_child_qty": agg.column("l_quantity_max"),
             }
         )
 
-    nested = ds.groupby("l_orderkey").map_groups(nest, batch_format="pandas")
+    nested = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(nest_bucket, batch_format="pyarrow")
+    )
 
     def parent_filter(t: pa.Table) -> pa.Table:
-        qty = t.column("children_qty")
-        # child predicate over the nested column: max(child.qty) >= 49
-        mx = _pc.list_max(qty) if hasattr(_pc, "list_max") else pa.array(
-            [max(x) if len(x) else None for x in qty.to_pylist()], pa.float64()
-        )
-        return t.filter(_pc.greater_equal(mx, pa.scalar(49.0))).select(["o_orderkey"])
+        # child predicate over the nested blocks
+        return t.filter(
+            _pc.greater_equal(t.column("max_child_qty"), pa.scalar(49.0))
+        ).select(["o_orderkey"])
 
     parents = nested.map_batches(parent_filter, batch_format="pyarrow")
     keys = set()
