@@ -877,3 +877,66 @@ def block_join_orders_with_big_item(sf_dir: str):
     return orders.filter(
         pc.is_in(orders.column("o_orderkey"), value_set=pa.array(sorted(keys), pa.int64()))
     )
+
+
+@q(
+    "sliding_window_hourly",
+    """
+    WITH hours AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr FROM events GROUP BY 1
+    )
+    SELECT h.hr, count(e.event_id) AS n_3h,
+           round(sum(e.value), 2) AS sum_3h
+    FROM hours h JOIN events e
+      ON e.ts > h.hr + INTERVAL 1 HOUR - INTERVAL 3 HOUR
+     AND e.ts <= h.hr + INTERVAL 1 HOUR
+    GROUP BY h.hr
+    """,
+)
+def sliding_window_hourly(sf_dir: str):
+    """SLIDING window aggregate (3h window, 1h slide) — the windowed-
+    aggregate shape Solr lacks natively (SURVEY §2.9: Ray mapping = derive
+    each row's covering windows vectorized, then ONE groupby; a row lands
+    in ≤3 windows so the explode factor is the window/slide ratio, not a
+    self-join)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()  # us
+        hour = 3_600_000_000
+        end_hr = -(-ts // hour)  # window END hour index (exclusive->label hr = end-1... see below)
+        # windows (by label hr L) covering ts: ts in (L+1h-3h, L+1h] =>
+        # L in [ceil(ts/h)-1, ceil(ts/h)+1]
+        base = end_hr - 1
+        reps = 3
+        ids = np.repeat(t.column("event_id").to_numpy(), reps)
+        vals = np.repeat(t.column("value").to_numpy(), reps)
+        labels = (np.repeat(base, reps) + np.tile(np.arange(reps), len(base))) * hour
+        src_ts = np.repeat(ts, reps)
+        keep = (src_ts > labels + hour - 3 * hour) & (src_ts <= labels + hour)
+        return pa.table(
+            {
+                "hr": pa.array(labels[keep]).cast(pa.timestamp("us")),
+                "event_id": pa.array(ids[keep]),
+                "value": pa.array(vals[keep]),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby("hr")
+        .aggregate(Count(alias_name="n_3h"), Sum("value", alias_name="sum_3h"))
+    )
+    # only windows whose label hour actually occurs in the data (oracle's
+    # `hours` CTE) — broadcast the small hour set
+    hrs = load_arrow(sf_dir, "events", columns=["ts"])
+    import pyarrow.compute as _pc
+
+    valid = _pc.unique(_pc.floor_temporal(hrs.column("ts"), unit="hour").combine_chunks())
+    out = out.map_batches(
+        lambda t: t.filter(_pc.is_in(t.column("hr"), value_set=valid)),
+        batch_format="pyarrow",
+    )
+    return round_cols(out, {"sum_3h": 2})
