@@ -560,7 +560,9 @@ def build_index(
         and committed.get("input_fingerprints") == fingerprints
         and committed.get("config") == cfg.fingerprint_full()
     ):
-        return committed  # fully built & committed — nothing to do
+        # fully built & committed — nothing to do; flag it so callers can
+        # tell archived metrics from a fresh measurement
+        return dict(committed, resumed_commit=True)
 
     os.makedirs(index_dir, exist_ok=True)
 
