@@ -352,3 +352,101 @@ def index_term_df_merged(sf_dir: str):
             "ttf": pa.array([agg[t][1] for t in terms], pa.int64()),
         }
     )
+
+
+@q(
+    "index_search_facet_lang",
+    f"""
+    WITH t AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT lang, count(*) AS n FROM t
+    WHERE len(list_intersect(toks, ['merge', 'spark'])) > 0
+    GROUP BY lang
+    """,
+)
+def index_search_facet_lang(sf_dir: str):
+    """Search + facet (the default Solr request shape: QueryComponent match
+    set -> FacetComponent counts over it): OR-match doc set from the index
+    postings, faceted by the stored lang column. Exact-SQL-checkable
+    because no scores are involved — this validates the postings through
+    the QUERY execution path, not a dump."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    docs = r.match_docs("merge spark", mode="or")
+    counts = r.facet_by(docs, "lang")
+    langs = sorted(counts)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n": pa.array([counts[x] for x in langs], pa.int64()),
+        }
+    )
+
+
+@q(
+    "index_boolean_and_match",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_intersect(toks, ['merge', 'join', 'the'])) = 3
+    """,
+)
+def index_boolean_and_match(sf_dir: str):
+    """Conjunctive boolean match (+merge +join +the) — the required-clause
+    semantics of the `lucene`/`bool` parsers — as posting-set intersection."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    docs = r.match_docs("merge join the", mode="and")
+    ids = sorted(idmap[int(d)] for d in docs)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+@q(
+    "index_prefix_match_count",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT count(*) AS n_docs FROM t
+    WHERE len(list_filter(toks, x -> x LIKE 's%')) > 0
+    """,
+)
+def index_prefix_match_count(sf_dir: str):
+    """PrefixQuery (`s*`): term-dict expansion -> OR over expanded terms —
+    matching doc count must equal DuckDB's recount."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    terms = r.expand_prefix("s")
+    docs = r.match_docs(" ".join(terms), mode="or") if terms else np.zeros(0, np.int64)
+    return pa.table({"n_docs": pa.array([len(docs)], pa.int64())})
+
+
+@q("bm25_topk_lang_en")  # scores involved -> rows-only; parity pytest-asserted
+def bm25_topk_lang_en(sf_dir: str):
+    """Filtered BM25 top-10 (the q + fq request shape): rank over only
+    lang='en' docs — the filter applies BEFORE rank selection."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    allowed = r.doc_filter_mask("lang", "en")
+    qids, ranks, ids, scores = [], [], [], []
+    for qi, query in enumerate(BM25_QUERIES):
+        d, s = r.topk_filtered(query, 10, allowed)
+        qids.extend([qi] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        ids.extend(idmap[int(x)] for x in d)
+        scores.extend(np.round(s.astype(np.float64), 4).tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )

@@ -243,6 +243,107 @@ class IndexReader:
             score_list.append(sc.score(t, m))
         return _topk_from_candidates(docs_list, score_list, k)
 
+    def match_docs(self, query: str, mode: str = "or") -> np.ndarray:
+        """Exact matching doc-id set for a boolean query — the DocSet analog
+        (reference DocSet.java / the `lucene` parser's default-OR vs
+        required-AND clause semantics). No scoring, just set algebra over
+        decoded postings: union for "or", intersection for "and"."""
+        counts = Counter(self.analyzer.analyze(query))
+        sets = []
+        for term in counts:
+            tp = self.term_postings(term)
+            sets.append(tp.decode_all()[0] if tp is not None else np.zeros(0, np.int64))
+        if not sets:
+            return np.zeros(0, np.int64)
+        if mode == "or":
+            return np.unique(np.concatenate(sets))
+        out = sets[0]
+        for s in sets[1:]:
+            out = out[np.isin(out, s, assume_unique=True)]
+        return out
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Indexed terms with the prefix — PrefixQuery term expansion
+        (term-dict scan across this prefix's possible tkey buckets = ALL
+        buckets, since tkey is a hash; per segment the dict is sorted)."""
+        out: set[str] = set()
+        for segs in self._segments_by_tkey.values():
+            for seg in segs:
+                r = self._reader(seg["name"])
+                for term, _df, _ttf in r.iter_terms():
+                    if term.startswith(prefix):
+                        out.add(term)
+        return sorted(out)
+
+    def facet_by(self, doc_ids: np.ndarray, column: str) -> dict[str, int]:
+        """Facet counts of a doc set over a stored doc-sidecar column —
+        search + facet (FacetComponent over a DocSet)."""
+        from collections import Counter as _C
+
+        agg: _C = _C()
+        parts = doc_ids >> np.int64(32)
+        rows = doc_ids & np.int64(0xFFFFFFFF)
+        for part in np.unique(parts):
+            t = pq.read_table(
+                os.path.join(self.dir, "docs", f"part-{int(part):06d}.parquet"),
+                columns=[column],
+            )
+            vals = t.column(column).take(pa.array(rows[parts == part])).to_pylist()
+            agg.update(vals)
+        return dict(agg)
+
+    def doc_filter_mask(self, column: str, value: str):
+        """Vectorized doc-id -> bool filter from a doc-sidecar column (the
+        `fq` filter-query analog; at scale this is a per-part bitset cached
+        like the reference's filterCache)."""
+        masks: dict[int, np.ndarray] = {}
+
+        def allowed(doc_ids: np.ndarray) -> np.ndarray:
+            parts = doc_ids >> np.int64(32)
+            rows = doc_ids & np.int64(0xFFFFFFFF)
+            out = np.zeros(len(doc_ids), dtype=bool)
+            for part in np.unique(parts):
+                p = int(part)
+                if p not in masks:
+                    import pyarrow.compute as _pc
+
+                    t = pq.read_table(
+                        os.path.join(self.dir, "docs", f"part-{p:06d}.parquet"),
+                        columns=[column],
+                    )
+                    masks[p] = np.asarray(
+                        _pc.equal(t.column(column), value).to_numpy(zero_copy_only=False)
+                    )
+                sel = parts == part
+                out[sel] = masks[p][rows[sel]]
+            return out
+
+        return allowed
+
+    def topk_filtered(
+        self, query: str, k: int, allowed
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k over docs passing a filter (fq analog): full scoring of the
+        disjunction, filter applied BEFORE rank selection — exact."""
+        scorers = self._scorers(query)
+        if not scorers:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        docs_list, score_list = [], []
+        for tp, sc in scorers:
+            d, t, m = tp.decode_all()
+            keep = allowed(d)
+            docs_list.append(d[keep])
+            score_list.append(sc.score(t[keep], m[keep]))
+        return _topk_from_candidates(docs_list, score_list, k)
+
+    def topk_and(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Conjunctive (+term +term) top-k: BM25 disjunctive-sum scores
+        restricted to docs containing EVERY query term."""
+        must = self.match_docs(query, mode="and")
+        return self.topk_filtered(
+            query, k, lambda d: np.isin(d, must, assume_unique=False)
+        )
+
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned top-k (identical results to exhaustive)."""
         scorers = self._scorers(query)

@@ -287,3 +287,50 @@ def test_incremental_append_build(ray_session, tmp_path_factory):
         d2, s2 = r_fresh.topk(q_, 10)
         assert d1.tolist() == d2.tolist(), q_
         assert s1.tolist() == s2.tolist(), q_
+
+
+def test_boolean_and_and_filtered_topk(built, corpus_dir):
+    """AND-match set and filtered (fq) top-k vs brute force over the raw
+    corpus — the q+fq and required-clause request shapes."""
+    idx, _, _ = built
+    r = IndexReader(idx)
+    pages = pages_table(N_DOCS, seed=42)
+    analyzer = Analyzer()
+    toks = [set(analyzer.analyze(t)) for t in pages.column("text").to_pylist()]
+    langs = pages.column("lang").to_pylist()
+    parts = plan_partitions(
+        sorted(os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)), ROWS_PER_FILE
+    )
+    doc_ids = np.concatenate(
+        [(p["part_id"] << 32) + np.arange(p["n_rows"], dtype=np.int64) for p in parts]
+    )
+
+    # AND semantics
+    q_and = "the data"
+    terms = set(analyzer.analyze(q_and))
+    want = sorted(int(doc_ids[i]) for i, tk in enumerate(toks) if terms <= tk)
+    got = sorted(int(x) for x in r.match_docs(q_and, mode="and"))
+    assert got == want
+
+    # OR semantics
+    want_or = sorted(int(doc_ids[i]) for i, tk in enumerate(toks) if terms & tk)
+    got_or = sorted(int(x) for x in r.match_docs(q_and, mode="or"))
+    assert got_or == want_or
+
+    # filtered top-k: rank only lang == 'en'; equals unfiltered rank
+    # computed over the en-subset by exhaustive scoring
+    allowed = r.doc_filter_mask("lang", "en")
+    for q_ in QUERIES[:4]:
+        d_f, s_f = r.topk_filtered(q_, 10, allowed)
+        # every hit is en
+        for d in d_f:
+            part, row = int(d) >> 32, int(d) & 0xFFFFFFFF
+            # recompute lang from the corpus row order
+            gidx = int(np.flatnonzero(doc_ids == d)[0])
+            assert langs[gidx] == "en", q_
+        # and no non-filtered doc with a better score was skipped wrongly:
+        d_all, s_all = r.topk_exhaustive(q_, 10**9)
+        mask = allowed(d_all)
+        d_e, s_e = d_all[mask][:10], s_all[mask][:10]
+        assert d_f.tolist() == d_e.tolist(), q_
+        assert s_f.tolist() == s_e.tolist(), q_
