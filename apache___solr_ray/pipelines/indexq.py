@@ -450,3 +450,32 @@ def bm25_topk_lang_en(sf_dir: str):
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+@q("index_grouped_topk_lang")  # scores involved -> rows-only; parity pytest-asserted
+def index_grouped_topk_lang(sf_dir: str):
+    """Result grouping (group.field=lang): top-3 BM25 docs per language for
+    each reference query — Grouping.java / CollapsingQParser analog."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    qids, langs, ranks, ids, scores = [], [], [], [], []
+    for qi, query in enumerate(BM25_QUERIES[:3]):
+        for lang, (d, s) in r.grouped_topk(query, "lang", k_per_group=3).items():
+            for rk, (x, sc) in enumerate(zip(d, s), 1):
+                qids.append(qi)
+                langs.append(lang)
+                ranks.append(rk)
+                ids.append(idmap[int(x)])
+                scores.append(round(float(sc), 4))
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )

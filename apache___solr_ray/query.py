@@ -344,6 +344,53 @@ class IndexReader:
             query, k, lambda d: np.isin(d, must, assume_unique=False)
         )
 
+    def grouped_topk(
+        self, query: str, group_col: str, k_per_group: int = 3
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Result grouping (Grouping.java / group.field analog): top-k docs
+        per value of a doc-sidecar column. One full scoring pass; the
+        group partition happens on the scored candidates."""
+        scorers = self._scorers(query)
+        if not scorers:
+            return {}
+        docs_list, score_list = [], []
+        for tp, sc in scorers:
+            d, t, m = tp.decode_all()
+            docs_list.append(d)
+            score_list.append(sc.score(t, m))
+        d_all, s_all = _topk_from_candidates(docs_list, score_list, 10**9)
+        groups: dict[str, list[int]] = {}
+        parts = d_all >> np.int64(32)
+        rows = d_all & np.int64(0xFFFFFFFF)
+        vals = np.empty(len(d_all), dtype=object)
+        for part in np.unique(parts):
+            t = pq.read_table(
+                os.path.join(self.dir, "docs", f"part-{int(part):06d}.parquet"),
+                columns=[group_col],
+            )
+            sel = parts == part
+            vals[sel] = np.asarray(
+                t.column(group_col).take(pa.array(rows[sel])).to_pylist(), dtype=object
+            )
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for g in sorted(set(vals.tolist())):
+            m = vals == g
+            out[g] = (d_all[m][:k_per_group], s_all[m][:k_per_group])
+        return out
+
+    def topic_poll(
+        self, query: str, checkpoint: int = -1, limit: int = 100
+    ) -> tuple[np.ndarray, int]:
+        """TopicStream analog (reference TopicStream.java: checkpointed
+        pub/sub over an index, resume from stored _version_): return
+        matching doc ids with doc_id > checkpoint, in doc order, plus the
+        new checkpoint. Batch-append + re-poll yields exactly the new docs
+        (at-least-once across a crash: the caller persists the checkpoint)."""
+        docs = self.match_docs(query, mode="or")
+        fresh = docs[docs > checkpoint][:limit]
+        new_ckpt = int(fresh[-1]) if len(fresh) else checkpoint
+        return fresh, new_ckpt
+
     def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned top-k (identical results to exhaustive)."""
         scorers = self._scorers(query)

@@ -334,3 +334,53 @@ def test_boolean_and_and_filtered_topk(built, corpus_dir):
         d_e, s_e = d_all[mask][:10], s_all[mask][:10]
         assert d_f.tolist() == d_e.tolist(), q_
         assert s_f.tolist() == s_e.tolist(), q_
+
+
+def test_grouped_topk(built, corpus_dir):
+    """Result grouping: per-lang top-3 equals brute-force per-lang ranking."""
+    idx, _, _ = built
+    r = IndexReader(idx)
+    pages = pages_table(N_DOCS, seed=42)
+    langs = pages.column("lang").to_pylist()
+    parts = plan_partitions(
+        sorted(os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)), ROWS_PER_FILE
+    )
+    doc_ids = np.concatenate(
+        [(p["part_id"] << 32) + np.arange(p["n_rows"], dtype=np.int64) for p in parts]
+    )
+    lang_of = {int(d): langs[i] for i, d in enumerate(doc_ids)}
+    q_ = "the fast data"
+    groups = r.grouped_topk(q_, "lang", k_per_group=3)
+    d_all, s_all = r.topk_exhaustive(q_, 10**9)
+    for g, (dg, sg) in groups.items():
+        mask = np.array([lang_of[int(d)] == g for d in d_all])
+        want_d = d_all[mask][:3]
+        want_s = s_all[mask][:3]
+        assert dg.tolist() == want_d.tolist(), g
+        assert sg.tolist() == want_s.tolist(), g
+    assert set(groups) == {lang_of[int(d)] for d in d_all}
+
+
+def test_topic_poll_incremental(ray_session, tmp_path_factory):
+    """TopicStream semantics: poll, append new docs, re-poll from the
+    checkpoint -> exactly the new matches, no replays."""
+    d = str(tmp_path_factory.mktemp("pages_topic"))
+    write_pages(d, 256, seed=42, rows_per_file=128)
+    idx = str(tmp_path_factory.mktemp("index_topic"))
+    cfg = IndexConfig(term_partitions=2, target_docs_per_part=128)
+    build_index(d, idx, cfg)
+    r1 = IndexReader(idx)
+    q_ = "the"
+    first, ckpt = r1.topic_poll(q_, checkpoint=-1, limit=10**6)
+    assert len(first) > 0
+    # append and rebuild (incremental: old parts resume)
+    write_pages(d, 384, seed=42, rows_per_file=128)
+    build_index(d, idx, cfg)
+    r2 = IndexReader(idx)
+    fresh, ckpt2 = r2.topic_poll(q_, checkpoint=ckpt, limit=10**6)
+    allm = r2.match_docs(q_, "or")
+    assert set(fresh.tolist()) == set(allm.tolist()) - set(first.tolist())
+    assert all(x > ckpt for x in fresh.tolist())
+    # third poll with nothing new
+    again, ckpt3 = r2.topic_poll(q_, checkpoint=ckpt2, limit=10**6)
+    assert len(again) == 0 and ckpt3 == ckpt2
