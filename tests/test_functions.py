@@ -30,3 +30,54 @@ def test_hll_small_range_linear_counting():
     vals = np.arange(100, dtype=np.int64)
     hll_add(regs, vals)
     assert abs(hll_estimate(regs) - 100) < 5
+
+
+def test_tdigest_accuracy_and_merge():
+    from apache___solr_ray.functions.tdigest import TDigest
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vals = rng.lognormal(0, 1.0, 100_000)
+    td = TDigest().add(vals)
+    assert len(td.means) < 1200  # bounded size (~2-6x compression)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        est = td.quantile(q)
+        # rank error: where does est land in the exact CDF?
+        rank = (vals <= est).mean()
+        assert abs(rank - q) < 0.01, (q, est, exact, rank)
+
+    # mergeability: sketch of halves ~= sketch of whole (rank error bound)
+    t1 = TDigest().add(vals[:50_000])
+    t2 = TDigest().add(vals[50_000:])
+    merged = t1.merge(t2)
+    for q in (0.05, 0.5, 0.95):
+        rank = (vals <= merged.quantile(q)).mean()
+        assert abs(rank - q) < 0.015, q
+
+    # serialization roundtrip
+    again = TDigest.from_bytes(merged.to_bytes())
+    assert again.quantile(0.5) == merged.quantile(0.5)
+
+
+def test_tdigest_query_close_to_exact(ray_session):
+    """The distributed sketch query's p50/p95 land within tight rank error
+    of the exact per-type quantiles."""
+    import duckdb
+
+    from apache___solr_ray.pipelines.relational import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    got = QUERIES["percentile_tdigest_sketch"](sf).to_pandas().set_index("event_type")
+    exact = duckdb.sql(
+        f"""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95
+            FROM read_parquet('{sf}/events.parquet') GROUP BY 1"""
+    ).df().set_index("event_type")
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{sf}/events.parquet')"
+    ).df()
+    for et in exact.index:
+        v = vals[vals.event_type == et]["value"].to_numpy()
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            rank = (v <= got.loc[et, col]).mean()
+            assert abs(rank - q) < 0.02, (et, col, rank)
