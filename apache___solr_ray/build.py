@@ -481,6 +481,10 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
                     )
                 group = pa.concat_tables(pieces, promote_options="permissive")
                 meta = build_segment_from_group(group, seg_dir, tkey, salt)
+            pids = [
+                int(os.path.basename(p)[len("part-") : -len(".parquet")])
+                for p in row["paths"]
+            ]
             out.append(
                 {
                     "skey": tkey * (n_doc_parts + 1) + salt,
@@ -489,6 +493,10 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
                     "n_terms": int(meta["n_terms"]),
                     "n_postings": int(meta["n_postings"]),
                     "bytes": int(meta["bytes"]),
+                    # covered doc-partition range: lets doc-range-sharded
+                    # readers open only overlapping segments
+                    "part_lo": min(pids),
+                    "part_hi": max(pids) + 1,
                 }
             )
         return pa.table(
@@ -496,7 +504,10 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
             if out
             else {
                 k: pa.array([], pa.int64())
-                for k in ("skey", "tkey", "salt", "n_terms", "n_postings", "bytes")
+                for k in (
+                    "skey", "tkey", "salt", "n_terms", "n_postings", "bytes",
+                    "part_lo", "part_hi",
+                )
             }
         )
 
@@ -687,8 +698,15 @@ def build_index(
         "segments": sorted(
             [
                 dict(
-                    {k: int(s[k]) for k in ("skey", "tkey", "salt", "n_terms", "n_postings", "bytes")},
+                    {
+                        k: int(s[k])
+                        for k in (
+                            "skey", "tkey", "salt", "n_terms", "n_postings", "bytes",
+                        )
+                    },
                     name=f"seg-{int(s['tkey']):05d}-{int(s['salt']):05d}",
+                    part_lo=int(s.get("part_lo", 0)),
+                    part_hi=int(s.get("part_hi", n_doc_parts)),
                 )
                 for s in seg_summaries
             ],

@@ -160,7 +160,12 @@ class TermPostings:
 class IndexReader:
     """Open a committed index: stats + segment directory, lazy everything."""
 
-    def __init__(self, index_dir: str, cache_docs_parts: int = 64):
+    def __init__(
+        self,
+        index_dir: str,
+        cache_docs_parts: int = 64,
+        part_range: tuple[int, int] | None = None,
+    ):
         self.dir = index_dir
         man = read_json(os.path.join(index_dir, "index_manifest.json"))
         if man is None:
@@ -175,6 +180,14 @@ class IndexReader:
         for s in man["segments"]:
             s = dict(s)
             s.setdefault("name", f"seg-{s['tkey']:05d}-{s['salt']:05d}")
+            if part_range is not None:
+                # doc-range-sharded reader: skip segments whose covered doc
+                # partitions don't overlap the shard (memory bound = shard's
+                # segments only; manifests without ranges keep everything)
+                p_lo = int(s.get("part_lo", 0))
+                p_hi = int(s.get("part_hi", self.n_doc_parts))
+                if p_hi <= part_range[0] or p_lo >= part_range[1]:
+                    continue
             self._segments_by_tkey.setdefault(s["tkey"], []).append(s)
         for v in self._segments_by_tkey.values():
             v.sort(key=lambda s: s["salt"])
@@ -221,15 +234,32 @@ class IndexReader:
 
     # -- scoring ------------------------------------------------------------
 
-    def _scorers(self, query: str) -> list[tuple[TermPostings, BM25Scorer]]:
+    def _scorers(
+        self, query: str, df_override: dict[str, int] | None = None
+    ) -> list[tuple[TermPostings, BM25Scorer]]:
         counts = Counter(self.analyzer.analyze(query))
         out = []
         for term, n in counts.items():
             tp = self.term_postings(term)
             if tp is not None:
-                # n duplicate query terms == n identical clauses == boost n
-                out.append((tp, BM25Scorer(tp.df, self.doc_count, self.sum_total_tf, boost=float(n))))
+                # n duplicate query terms == n identical clauses == boost n;
+                # df_override carries GLOBAL df for doc-range-sharded readers
+                # (ExactStatsCache semantics — a shard's local df would give
+                # the reference's LocalStatsCache ranking divergence)
+                df = df_override.get(term, tp.df) if df_override else tp.df
+                out.append(
+                    (tp, BM25Scorer(df, self.doc_count, self.sum_total_tf, boost=float(n)))
+                )
         return out
+
+    def term_stats_map(self, query: str) -> dict[str, int]:
+        """Global (term -> df) for a query — the ExactStatsCache round-trip
+        payload a coordinator broadcasts to shards."""
+        return {
+            term: tp.df
+            for term in Counter(self.analyzer.analyze(query))
+            if (tp := self.term_postings(term)) is not None
+        }
 
     def topk_exhaustive(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Decode-everything scorer: the correctness baseline."""
@@ -399,11 +429,16 @@ class IndexReader:
         return _topk_blockmax(scorers, k, span_r=int(self.stats.get("max_part_rows", 0)))
 
     def topk_range(
-        self, query: str, k: int, part_lo: int, part_hi: int
+        self,
+        query: str,
+        k: int,
+        part_lo: int,
+        part_hi: int,
+        df_override: dict[str, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k restricted to doc partitions [part_lo, part_hi) — the
         per-shard leg of scatter/gather."""
-        scorers = self._scorers(query)
+        scorers = self._scorers(query, df_override=df_override)
         if not scorers:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         lo, hi = part_lo << 32, (part_hi << 32) - 1
@@ -658,6 +693,69 @@ class TopKQueryActor:
         if self.resolve_urls:
             cols["url"] = pa.array(urls, pa.string())
         return pa.table(cols)
+
+
+class ShardedQueryService:
+    """Memory-bounded distributed serving: each actor owns a DOC-RANGE
+    shard and opens only the segments overlapping it — the SolrCloud
+    collection-of-shards architecture (reference: one core per shard,
+    scatter-gather in ``HttpShardHandler`` / ``QueryComponent.mergeIds``).
+
+    At 10^12 docs no single node can hold the whole term dictionary set;
+    the doc-range split bounds per-actor memory to its shard's segments
+    (doc-range `salt` chunks written by the storage shuffle align with
+    this: a shard touches ceil(parts/n_shards / chunk) salt files per
+    tkey). Scores are exact: global BM25 stats come from the build
+    (ExactStatsCache semantics), so per-shard scoring + k-way merge is
+    rank- and score-identical to a single evaluator."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4):
+        import ray
+
+        man = read_json(os.path.join(index_dir, "index_manifest.json"))
+        n_parts = man["stats"]["n_doc_parts"]
+        n_shards = max(1, min(n_shards, n_parts))
+        bounds = np.linspace(0, n_parts, n_shards + 1).astype(int)
+
+        @ray.remote(num_cpus=1)
+        class _Shard:
+            def __init__(self, index_dir: str, lo: int, hi: int):
+                self.reader = IndexReader(index_dir, part_range=(lo, hi))
+                self.lo, self.hi = lo, hi
+
+            def topk(self, query: str, k: int, stats: dict):
+                d, s = self.reader.topk_range(
+                    query, k, self.lo, self.hi, df_override=stats
+                )
+                return d, s
+
+            def ping(self):
+                return True
+
+        self._ray = ray
+        self.actors = [
+            _Shard.remote(index_dir, int(lo), int(hi))
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+            if hi > lo
+        ]
+        # coordinator-side stats reader: term-dict lookups only (the
+        # ExactStatsCache role); postings are never decoded here
+        self._stats_reader = IndexReader(index_dir)
+
+    def warmup(self) -> None:
+        self._ray.get([a.ping.remote() for a in self.actors])
+
+    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Scatter to every shard with the global term stats, gather, k-way
+        merge with the reference tie-break — one query, shard-parallel."""
+        stats = self._stats_reader.term_stats_map(query)
+        parts = self._ray.get([a.topk.remote(query, k, stats) for a in self.actors])
+        return merge_topk(parts, k)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            self._ray.kill(a)
+        self.actors = []
 
 
 class QueryService:

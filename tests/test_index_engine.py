@@ -384,3 +384,24 @@ def test_topic_poll_incremental(ray_session, tmp_path_factory):
     # third poll with nothing new
     again, ckpt3 = r2.topic_poll(q_, checkpoint=ckpt2, limit=10**6)
     assert len(again) == 0 and ckpt3 == ckpt2
+
+
+def test_sharded_query_service(built):
+    """ShardedQueryService (doc-range shard actors + mergeIds) must be
+    rank- and score-identical to the single evaluator for every shard
+    count."""
+    from apache___solr_ray.query import ShardedQueryService
+
+    idx, _, _ = built
+    r = IndexReader(idx)
+    for n_shards in (1, 2, 3):
+        svc = ShardedQueryService(idx, n_shards=n_shards)
+        svc.warmup()
+        try:
+            for q in QUERIES[:5]:
+                d1, s1 = r.topk(q, 10)
+                d2, s2 = svc.topk(q, 10)
+                assert d1.tolist() == d2.tolist(), (n_shards, q)
+                assert s1.tolist() == s2.tolist(), (n_shards, q)
+        finally:
+            svc.shutdown()
