@@ -29,7 +29,7 @@ from apache___solr_ray.manifest import read_json, write_json_atomic
 from apache___solr_ray.segment import SegmentReader, write_segment
 
 
-def _merge_group(index_dir: str, tkey: int, sources: list[dict], out_name: str) -> dict:
+def _merge_group(index_dir: str, tkey: int, sources: list[dict], out_name: str, tombs=None) -> dict:
     """K-way merge source segments (sorted term dicts) into one segment."""
     readers = [SegmentReader(os.path.join(index_dir, "segments", s["name"])) for s in sources]
     iters = []
@@ -65,6 +65,13 @@ def _merge_group(index_dir: str, tkey: int, sources: list[dict], out_name: str) 
         docs = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         norms = np.concatenate([p[2] for p in parts])
+        if tombs is not None and len(tombs):
+            # purge: drop tombstoned postings (Lucene merge reclaiming
+            # deletes); a term whose postings vanish leaves the dict
+            alive = ~np.isin(docs, tombs)
+            docs, tfs, norms = docs[alive], tfs[alive], norms[alive]
+            if len(docs) == 0:
+                continue
         from apache___solr_ray import codec
 
         terms.append(term)
@@ -119,18 +126,50 @@ def plan_merges(
 
 
 def merge_segments(
-    index_dir: str, target_per_tkey: int = 1, merge_factor: int = 10
+    index_dir: str,
+    target_per_tkey: int = 1,
+    merge_factor: int = 10,
+    purge_deletes: bool = False,
 ) -> dict:
-    """Run the tiered merge as a Ray Data stage; returns the new manifest."""
+    """Run the tiered merge as a Ray Data stage; returns the new manifest.
+
+    With ``purge_deletes`` the merge physically drops tombstoned postings,
+    recomputes the live collection stats (docCount, sumTotalTermFreq) and
+    clears the tombstone file — Lucene's delete reclamation. Scores change
+    accordingly (stats now reflect live docs only), as in Lucene."""
     import ray.data as rd
+
+    from apache___solr_ray.deletes import (
+        clear_tombstones,
+        load_tombstones,
+        tombstoned_doc_lens,
+    )
 
     man = read_json(os.path.join(index_dir, "index_manifest.json"))
     if man is None:
         raise FileNotFoundError(f"no committed index at {index_dir}")
+    tombs = load_tombstones(index_dir) if purge_deletes else None
     segments = [dict(s) for s in man["segments"]]
     for s in segments:
         s.setdefault("name", f"seg-{s['tkey']:05d}-{s['salt']:05d}")
-    steps = plan_merges(segments, target_per_tkey, merge_factor)
+    if purge_deletes and (tombs is None or len(tombs) == 0):
+        purge_deletes = False
+        tombs = None
+    if purge_deletes:
+        # purging must touch EVERY segment: force a full merge per tkey,
+        # including self-rewrites of tkeys that already hold one segment
+        steps = plan_merges(segments, 1, max(merge_factor, len(segments) + 1))
+        planned = {st[0] for st in steps}
+        for tkey in sorted({s["tkey"] for s in segments} - planned):
+            srcs = [s for s in segments if s["tkey"] == tkey]
+            gen = 0
+            out_name = f"seg-{tkey:05d}-m{gen:04d}"
+            while any(s["name"] == out_name for s in srcs):
+                gen += 1
+                out_name = f"seg-{tkey:05d}-m{gen:04d}"
+            steps.append((tkey, srcs, out_name, []))
+    else:
+        steps = plan_merges(segments, target_per_tkey, merge_factor)
     if not steps:
         return man
 
@@ -149,7 +188,7 @@ def merge_segments(
             tkey = int(batch.column("tkey")[i].as_py())
             chain = _json.loads(batch.column("steps")[i].as_py())
             for _, sources, out_name, _ in chain:
-                meta = _merge_group(index_dir, tkey, sources, out_name)
+                meta = _merge_group(index_dir, tkey, sources, out_name, tombs=tombs)
                 out.append(meta)
         return pa.table(
             {
@@ -193,8 +232,16 @@ def merge_segments(
     man["segments"] = sorted(survivors + new_entries, key=lambda s: (s["tkey"], s["name"]))
     stats = dict(man["stats"])
     stats["n_segments"] = len(man["segments"])
+    if purge_deletes:
+        # live stats after reclaiming deletes (Lucene per-segment stats of
+        # the merged index): remove the tombstoned docs' contribution
+        n_del, len_del = tombstoned_doc_lens(index_dir, tombs)
+        stats["doc_count"] = int(stats["doc_count"]) - n_del
+        stats["sum_total_tf"] = int(stats["sum_total_tf"]) - len_del
     man["stats"] = stats
     write_json_atomic(os.path.join(index_dir, "index_manifest.json"), man)
+    if purge_deletes:
+        clear_tombstones(index_dir)
     # only after the commit point moves do we delete consumed segments
     for name in consumed:
         shutil.rmtree(os.path.join(index_dir, "segments", name), ignore_errors=True)

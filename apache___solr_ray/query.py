@@ -195,7 +195,17 @@ class IndexReader:
         self._term_cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._docs_cache: OrderedDict[int, pa.Table] = OrderedDict()
         self._cache_docs_parts = cache_docs_parts
+        from apache___solr_ray.deletes import load_tombstones
+
+        self.tombstones = load_tombstones(index_dir)
         self.analyzer = Analyzer()  # same default chain as the build
+
+    def _alive(self, doc_ids: np.ndarray) -> np.ndarray | None:
+        """Bool mask of non-tombstoned docs, or None when nothing is
+        deleted (Lucene liveDocs)."""
+        if len(self.tombstones) == 0:
+            return None
+        return ~np.isin(doc_ids, self.tombstones, assume_unique=False)
 
     # -- segment access -----------------------------------------------------
 
@@ -269,6 +279,9 @@ class IndexReader:
         docs_list, score_list = [], []
         for tp, sc in scorers:
             d, t, m = tp.decode_all()
+            alive = self._alive(d)
+            if alive is not None:
+                d, t, m = d[alive], t[alive], m[alive]
             docs_list.append(d)
             score_list.append(sc.score(t, m))
         return _topk_from_candidates(docs_list, score_list, k)
@@ -286,11 +299,13 @@ class IndexReader:
         if not sets:
             return np.zeros(0, np.int64)
         if mode == "or":
-            return np.unique(np.concatenate(sets))
-        out = sets[0]
-        for s in sets[1:]:
-            out = out[np.isin(out, s, assume_unique=True)]
-        return out
+            out = np.unique(np.concatenate(sets))
+        else:
+            out = sets[0]
+            for s in sets[1:]:
+                out = out[np.isin(out, s, assume_unique=True)]
+        alive = self._alive(out)
+        return out if alive is None else out[alive]
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Indexed terms with the prefix — PrefixQuery term expansion
@@ -362,6 +377,9 @@ class IndexReader:
         for tp, sc in scorers:
             d, t, m = tp.decode_all()
             keep = allowed(d)
+            alive = self._alive(d)
+            if alive is not None:
+                keep = keep & alive
             docs_list.append(d[keep])
             score_list.append(sc.score(t[keep], m[keep]))
         return _topk_from_candidates(docs_list, score_list, k)
@@ -386,6 +404,9 @@ class IndexReader:
         docs_list, score_list = [], []
         for tp, sc in scorers:
             d, t, m = tp.decode_all()
+            alive = self._alive(d)
+            if alive is not None:
+                d, t, m = d[alive], t[alive], m[alive]
             docs_list.append(d)
             score_list.append(sc.score(t, m))
         d_all, s_all = _topk_from_candidates(docs_list, score_list, 10**9)
@@ -426,7 +447,12 @@ class IndexReader:
         scorers = self._scorers(query)
         if not scorers:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        return _topk_blockmax(scorers, k, span_r=int(self.stats.get("max_part_rows", 0)))
+        return _topk_blockmax(
+            scorers,
+            k,
+            span_r=int(self.stats.get("max_part_rows", 0)),
+            alive_fn=self._alive if len(self.tombstones) else None,
+        )
 
     def topk_range(
         self,
@@ -445,6 +471,9 @@ class IndexReader:
         docs_list, score_list = [], []
         for tp, sc in scorers:
             d, t, m = tp.decode_range(lo, hi)
+            alive = self._alive(d)
+            if alive is not None:
+                d, t, m = d[alive], t[alive], m[alive]
             if len(d):
                 docs_list.append(d)
                 score_list.append(sc.score(t, m))
@@ -514,7 +543,7 @@ def _topk_from_candidates(docs_list, score_list, k) -> tuple[np.ndarray, np.ndar
     return uniq[order], final[order]
 
 
-def _topk_blockmax(scorers, k, span_r: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def _topk_blockmax(scorers, k, span_r: int = 0, alive_fn=None) -> tuple[np.ndarray, np.ndarray]:
     """Region-at-a-time block-max evaluation, batch-vectorized.
 
     Doc space is partitioned into regions by the union of all terms' block
@@ -599,6 +628,10 @@ def _topk_blockmax(scorers, k, span_r: int = 0) -> tuple[np.ndarray, np.ndarray]
             # block can span regions; the rest decode in their own round)
             rid = np.searchsorted(edges, d, side="left")
             keep = sel_mask[rid]
+            if alive_fn is not None:
+                a = alive_fn(d)
+                if a is not None:
+                    keep = keep & a  # tombstones masked BEFORE θ accumulation
             if keep.any():
                 d, s = d[keep], sc.score(t[keep], m[keep])
                 if dense_ok:

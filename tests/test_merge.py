@@ -82,3 +82,59 @@ def test_merge_preserves_results(merged_index):
         assert np.array_equal(docs0, docs1)
         assert np.array_equal(tfs0, tfs1)
         assert np.array_equal(norms0, norms1)
+
+
+def test_deletes_tombstone_and_purge(ray_session, tmp_path_factory):
+    """DeleteStream semantics: tombstoned docs stop matching immediately
+    with UNCHANGED stats/scores for the others (Lucene liveDocs); a merge
+    with purge_deletes reclaims the postings, updates live stats and clears
+    tombstones."""
+    import numpy as np
+
+    from apache___solr_ray.deletes import delete_by_url, load_tombstones
+    from apache___solr_ray.merge import merge_segments
+
+    d = str(tmp_path_factory.mktemp("pages_del"))
+    write_pages(d, 400, seed=42, rows_per_file=128)
+    idx = str(tmp_path_factory.mktemp("index_del"))
+    cfg = IndexConfig(term_partitions=3, target_docs_per_part=128, max_postings_per_segment=5000)
+    build_index(d, idx, cfg)
+
+    r0 = IndexReader(idx)
+    q_ = "the fast data"
+    d0, s0 = r0.topk(q_, 10)
+    victims = r0.urls_for(d0[:3])
+    n_new = delete_by_url(idx, victims)
+    assert n_new == 3
+
+    r1 = IndexReader(idx)
+    d1, s1 = r1.topk(q_, 10)
+    # deleted docs gone; surviving ranks = old ranking minus victims
+    assert not set(d0[:3].tolist()) & set(d1.tolist())
+    d0_all, s0_all = r0.topk_exhaustive(q_, 10**9)
+    keep = ~np.isin(d0_all, d0[:3])
+    assert d1.tolist() == d0_all[keep][:10].tolist()
+    assert s1.tolist() == s0_all[keep][:10].tolist()  # stats/scores unchanged
+    # blockmax == exhaustive under tombstones
+    d1e, s1e = r1.topk_exhaustive(q_, 10)
+    assert d1.tolist() == d1e.tolist() and s1.tolist() == s1e.tolist()
+    # match_docs excludes
+    assert not set(d0[:3].tolist()) & set(r1.match_docs(q_, "or").tolist())
+
+    # purge
+    man = merge_segments(idx, purge_deletes=True)
+    assert len(load_tombstones(idx)) == 0
+    assert man["stats"]["doc_count"] == 400 - 3
+    r2 = IndexReader(idx)
+    # tombstone file empty, no reader-side masking active, yet the docs are
+    # physically absent from every term's postings
+    assert len(r2.tombstones) == 0
+    for term in ("the", "fast", "data"):
+        tp = r2.term_postings(term)
+        if tp is not None:
+            docs_t, _, _ = tp.decode_all()
+            assert not set(d0[:3].tolist()) & set(docs_t.tolist()), term
+    d2, s2 = r2.topk(q_, 10)
+    assert not set(d0[:3].tolist()) & set(d2.tolist())
+    # same doc order as tombstoned view (scores differ: live stats)
+    assert d2.tolist() == d1.tolist()
