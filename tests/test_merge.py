@@ -138,3 +138,43 @@ def test_deletes_tombstone_and_purge(ray_session, tmp_path_factory):
     assert not set(d0[:3].tolist()) & set(d2.tolist())
     # same doc order as tombstoned view (scores differ: live stats)
     assert d2.tolist() == d1.tolist()
+
+
+def test_upsert_overwrite_by_uniquekey(ray_session, tmp_path_factory):
+    """updateDocument semantics: upserting an existing url replaces its
+    content atomically — old version stops matching, new version serves,
+    untouched partitions resume."""
+    import pyarrow as pa
+
+    from apache___solr_ray.corpus import pages_table
+    from apache___solr_ray.update import upsert_pages
+
+    d = str(tmp_path_factory.mktemp("pages_ups"))
+    write_pages(d, 256, seed=42, rows_per_file=128)
+    idx = str(tmp_path_factory.mktemp("index_ups"))
+    cfg = IndexConfig(term_partitions=2, target_docs_per_part=128, text_from_html=False)
+    build_index(d, idx, cfg)
+
+    r0 = IndexReader(idx)
+    target = r0.urls_for(np.array([5], dtype=np.int64))[0]
+    assert len(r0.match_docs("zzupdatedtoken", "or")) == 0
+
+    new = pa.table(
+        {
+            "url": pa.array([target], pa.string()),
+            "text": pa.array(["zzupdatedtoken fresh content body"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    man = upsert_pages(d, idx, new, cfg)
+    assert man["metrics"]["parts_resumed"] >= 2  # old partitions untouched
+
+    r1 = IndexReader(idx)
+    hits = r1.match_docs("zzupdatedtoken", "or")
+    assert len(hits) == 1
+    assert r1.urls_for(hits)[0] == target  # same uniqueKey, new content
+    # the OLD doc id (5) no longer matches anything
+    assert 5 not in r1.match_docs("the", "or").tolist()
+    # and the new doc serves through BM25
+    dd, ss = r1.topk("zzupdatedtoken", 5)
+    assert dd.tolist() == hits.tolist()
