@@ -495,6 +495,48 @@ class IndexReader:
                 self._docs_cache.popitem(last=False)
         return t
 
+    def fetch_fields(self, doc_ids: np.ndarray, columns: list[str]) -> pa.Table:
+        """Stored-field retrieval for winning ids — the STAGE_GET_FIELDS
+        leg of the distributed query (reference QueryComponent: fields are
+        fetched only for merged top-k ids, never during scoring). Returns
+        one row per doc id, in the given order."""
+        parts = doc_ids >> np.int64(32)
+        rows = doc_ids & np.int64(0xFFFFFFFF)
+        chunks: dict[int, pa.Table] = {}
+        for part in np.unique(parts):
+            chunks[int(part)] = pq.read_table(
+                os.path.join(self.dir, "docs", f"part-{int(part):06d}.parquet"),
+                columns=columns,
+            )
+        out = {c: [] for c in columns}
+        for p, rw in zip(parts, rows):
+            t = chunks[int(p)]
+            for c in columns:
+                out[c].append(t.column(c)[int(rw)].as_py())
+        return pa.table({c: pa.array(out[c]) for c in columns})
+
+    def topk_boosted(self, query: str, k: int, boost_fn) -> tuple[np.ndarray, np.ndarray]:
+        """Function-query boosting (the `boost`/`func` parser analog,
+        reference ValueSourceParser.java): final = bm25 * boost_fn(doc_ids),
+        boost computed from stored doc values AFTER text scoring, ranked by
+        the boosted score (desc, doc asc). Boosted scores are this engine's
+        own semantics (documented), not a Lucene parity surface."""
+        scorers = self._scorers(query)
+        if not scorers:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        docs_list, score_list = [], []
+        for tp, sc in scorers:
+            d, t, m = tp.decode_all()
+            alive = self._alive(d)
+            if alive is not None:
+                d, t, m = d[alive], t[alive], m[alive]
+            docs_list.append(d)
+            score_list.append(sc.score(t, m))
+        d_all, s_all = _topk_from_candidates(docs_list, score_list, 10**9)
+        boosted = (s_all.astype(np.float64) * boost_fn(d_all)).astype(np.float32)
+        order = np.lexsort((d_all, -boosted.astype(np.float64)))[:k]
+        return d_all[order], boosted[order]
+
     def urls_for(self, doc_ids: np.ndarray) -> list[str]:
         out = []
         for d in doc_ids:

@@ -405,3 +405,25 @@ def test_sharded_query_service(built):
                 assert s1.tolist() == s2.tolist(), (n_shards, q)
         finally:
             svc.shutdown()
+
+
+def test_fetch_fields_and_boosted_topk(built):
+    """Stored-field retrieval for winners + function-query boosting."""
+    idx, _, _ = built
+    r = IndexReader(idx)
+    d, s = r.topk("the fast data", 5)
+    t = r.fetch_fields(d, ["url", "doc_len", "lang"])
+    assert t.num_rows == len(d)
+    assert t.column("url").to_pylist() == r.urls_for(d)
+
+    # boost = 1/(1+doc_len/100): shorter docs win ties; verify vs brute
+    def boost(doc_ids):
+        lens = r.fetch_fields(doc_ids, ["doc_len"]).column("doc_len").to_numpy()
+        return 1.0 / (1.0 + lens / 100.0)
+
+    db, sb = r.topk_boosted("the fast data", 10, boost)
+    d_all, s_all = r.topk_exhaustive("the fast data", 10**9)
+    want = (s_all.astype(np.float64) * boost(d_all)).astype(np.float32)
+    order = np.lexsort((d_all, -want.astype(np.float64)))[:10]
+    assert db.tolist() == d_all[order].tolist()
+    assert sb.tolist() == want[order].tolist()
