@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--shuffle", choices=["storage", "ray"], default="storage")
     ap.add_argument("--no-html", action="store_true", help="index the text column directly")
     ap.add_argument("--merge-target", type=int, default=0, help="if >0, tier-merge to N segs/tkey")
+    ap.add_argument("--delete-url", nargs="*", default=[], help="tombstone these uniqueKeys after build")
+    ap.add_argument("--purge-deletes", action="store_true", help="merge with delete reclamation")
     ap.add_argument("--query", nargs="*", default=[], help="smoke queries to serve after build")
     args = ap.parse_args()
 
@@ -64,9 +66,26 @@ def main() -> None:
         )
     )
 
-    if args.merge_target:
-        man = merge_segments(args.index_dir, target_per_tkey=args.merge_target)
-        print(json.dumps({"merged_segments": len(man["segments"])}))
+    if args.delete_url:
+        from apache___solr_ray.deletes import delete_by_url
+
+        n = delete_by_url(args.index_dir, args.delete_url)
+        print(json.dumps({"tombstoned": n}))
+
+    if args.merge_target or args.purge_deletes:
+        man = merge_segments(
+            args.index_dir,
+            target_per_tkey=args.merge_target or 1,
+            purge_deletes=args.purge_deletes,
+        )
+        print(
+            json.dumps(
+                {
+                    "merged_segments": len(man["segments"]),
+                    "live_doc_count": man["stats"]["doc_count"],
+                }
+            )
+        )
 
     if args.query:
         r = IndexReader(args.index_dir)
