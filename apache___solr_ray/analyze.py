@@ -140,3 +140,47 @@ SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def simple_tokenize(text: str) -> list[str]:
     return SIMPLE_TOKEN_RE.findall(text.lower())
+
+
+# ---------------------------------------------------------------------------
+# Optional token-filter factories — the configurable analysis-chain surface
+# (reference: hundreds of filter factories enumerated in
+# solr/solr-ref-guide/modules/indexing-guide/pages/filters.adoc; chains are
+# assembled per field type, FieldTypePluginLoader.java:179-330). These are
+# NOT in the default text_general chain (which stays frozen for parity);
+# compose them explicitly: Analyzer() output -> filter -> filter.
+# ---------------------------------------------------------------------------
+
+
+def shingle_filter(tokens: list[str], n: int = 2, sep: str = " ") -> list[str]:
+    """ShingleFilter analog: token n-grams (word shingles), order-preserving.
+    Emits only the n-grams (outputUnigrams=false shape)."""
+    if len(tokens) < n:
+        return []
+    return [sep.join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def synonym_filter(tokens: list[str], mapping: dict[str, str]) -> list[str]:
+    """SynonymGraphFilter (replace-mode) analog: single-token synonym map
+    applied after lowercasing; unmapped tokens pass through."""
+    return [mapping.get(t, t) for t in tokens]
+
+
+def minimal_plural_stem(token: str) -> str:
+    """Documented minimal English plural stemmer (frozen spec, in the
+    spirit of Lucene's EnglishMinimalStemFilter — semantics are THIS
+    engine's documented rules, mirrored exactly by the SQL oracle):
+
+    - tokens shorter than 4 chars are unchanged,
+    - tokens ending in 'ss' or 'us' are unchanged,
+    - otherwise a trailing 's' is dropped.
+    """
+    if len(token) < 4 or not token.endswith("s"):
+        return token
+    if token.endswith(("ss", "us")):
+        return token
+    return token[:-1]
+
+
+def stem_filter(tokens: list[str]) -> list[str]:
+    return [minimal_plural_stem(t) for t in tokens]

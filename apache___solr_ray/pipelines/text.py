@@ -726,3 +726,144 @@ def json_loader_roundtrip(sf_dir: str):
         )
     ds = read_json(path)
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+# -- analysis-chain factory queries (ShingleFilter / Synonym / Stemmer) ------
+
+
+@q(
+    "shingle_bigram_top",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def shingle_bigram_top(sf_dir: str):
+    """ShingleFilter analog: word-bigram counts — the shingle stage feeds
+    phrase-ish statistics (and MinHash shingling reuses the same op)."""
+    from collections import Counter as _C
+
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.analyze import shingle_filter
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: _C = _C()
+        for txt in t.column("text").to_pylist():
+            agg.update(shingle_filter(simple_tokenize(txt or ""), 2))
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "bigram": pa.array([k for k, _ in items], pa.string()),
+                "pn": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+@q(
+    "stemmed_term_counts",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    s AS (
+      SELECT CASE WHEN len(t) < 4 OR t NOT LIKE '%s' THEN t
+                  WHEN t LIKE '%ss' OR t LIKE '%us' THEN t
+                  ELSE substr(t, 1, len(t)-1) END AS stem
+      FROM toks
+    )
+    SELECT stem, count(*) AS n FROM s GROUP BY stem
+    """,
+)
+def stemmed_term_counts(sf_dir: str):
+    """Minimal plural stemmer (EnglishMinimalStemFilter-style, frozen spec
+    in analyze.minimal_plural_stem) over the corpus — the SQL CASE mirrors
+    the spec exactly."""
+    from collections import Counter as _C
+
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.analyze import stem_filter
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: _C = _C()
+        for txt in t.column("text").to_pylist():
+            agg.update(stem_filter(simple_tokenize(txt or "")))
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "stem": pa.array([k for k, _ in items], pa.string()),
+                "pn": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("stem")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+
+_SYNONYMS = {"fast": "quick", "big": "large", "spark": "ray"}
+
+
+@q(
+    "synonym_normalized_counts",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    s AS (
+      SELECT CASE t WHEN 'fast' THEN 'quick' WHEN 'big' THEN 'large'
+                    WHEN 'spark' THEN 'ray' ELSE t END AS term
+      FROM toks
+    )
+    SELECT term, count(*) AS n FROM s GROUP BY term HAVING count(*) >= 20
+    """,
+)
+def synonym_normalized_counts(sf_dir: str):
+    """SynonymGraphFilter (replace-mode) analog: counts after applying a
+    literal synonym map; the SQL CASE is the same mapping."""
+    from collections import Counter as _C
+
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.analyze import synonym_filter
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: _C = _C()
+        for txt in t.column("text").to_pylist():
+            agg.update(synonym_filter(simple_tokenize(txt or ""), _SYNONYMS))
+        items = sorted(agg.items())
+        return pa.table(
+            {
+                "term": pa.array([k for k, _ in items], pa.string()),
+                "pn": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), 20)), batch_format="pyarrow"
+    )

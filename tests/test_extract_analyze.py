@@ -136,3 +136,33 @@ def test_simple_tokenize_matches_duckdb_semantics():
             params=[t],
         ).fetchone()[0]
         assert simple_tokenize(t) == sql
+
+
+def test_token_filter_factories():
+    """Optional chain factories: shingles, synonyms, minimal plural stem
+    (frozen spec — mirrored by the SQL oracles in pipelines.text)."""
+    from apache___solr_ray.analyze import (
+        minimal_plural_stem,
+        shingle_filter,
+        stem_filter,
+        synonym_filter,
+    )
+
+    assert shingle_filter(["a", "b", "c", "d"], 2) == ["a b", "b c", "c d"]
+    assert shingle_filter(["a", "b", "c"], 3) == ["a b c"]
+    assert shingle_filter(["a"], 2) == []
+    assert synonym_filter(["fast", "dog"], {"fast": "quick"}) == ["quick", "dog"]
+    cases = {
+        "dogs": "dog",       # plain plural
+        "glass": "glass",    # -ss unchanged
+        "bus": "bus",        # <4 chars unchanged
+        "virus": "virus",    # -us unchanged
+        "is": "is",          # short
+        "its": "its",        # <4 chars
+        "tables": "table",
+        "queries": "querie", # minimal stemmer, by spec
+        "s": "s",
+    }
+    for tok, want in cases.items():
+        assert minimal_plural_stem(tok) == want, tok
+    assert stem_filter(["dogs", "glass"]) == ["dog", "glass"]
