@@ -58,7 +58,7 @@ from __future__ import annotations
 import os
 import time
 import pyarrow.compute as pc
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd

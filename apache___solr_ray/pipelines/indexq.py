@@ -298,8 +298,6 @@ def ensure_merged_index(sf_dir: str) -> str:
     """A copy of the doc index built with many doc-range sub-segments, then
     tier-merged down to one segment per tkey (merge.merge_segments — the
     TieredMergePolicy analog). Cached per corpus per process."""
-    import shutil
-
     from apache___solr_ray.build import IndexConfig, build_index
     from apache___solr_ray.merge import merge_segments
 

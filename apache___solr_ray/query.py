@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from apache___solr_ray.analyze import Analyzer
-from apache___solr_ray.lucene import BM25Scorer, sum_term_scores
+from apache___solr_ray.lucene import BM25Scorer
 from apache___solr_ray.manifest import read_json
 from apache___solr_ray.segment import SegmentReader
 
