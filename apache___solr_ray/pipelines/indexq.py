@@ -477,3 +477,71 @@ def index_grouped_topk_lang(sf_dir: str):
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+@q(
+    "index_wildcard_match_count",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT count(*) AS n_docs FROM t
+    WHERE len(list_filter(toks, x -> x LIKE 's%t')) > 0
+    """,
+)
+def index_wildcard_match_count(sf_dir: str):
+    """WildcardQuery (`s*t`): term-dict expansion by pattern -> OR over the
+    expansions (reference wildcard/ReversedWildcardFilter surface)."""
+    import fnmatch
+
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    terms = set()
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            for term, _df, _ttf in sr.iter_terms():
+                if fnmatch.fnmatchcase(term, "s*t"):
+                    terms.add(term)
+            sr.close()
+    docs = (
+        r.match_docs(" ".join(sorted(terms)), mode="or")
+        if terms
+        else np.zeros(0, np.int64)
+    )
+    return pa.table({"n_docs": pa.array([len(docs)], pa.int64())})
+
+
+@q(
+    "index_fuzzy_match_count",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT count(*) AS n_docs FROM t
+    WHERE len(list_filter(toks, x -> levenshtein(x, 'mergr') <= 1)) > 0
+    """,
+)
+def index_fuzzy_match_count(sf_dir: str):
+    """FuzzyQuery (`mergr~1`): edit-distance-1 term-dict expansion -> OR
+    match (the `fuzzy` parser; expansion shares the spell-suggest
+    machinery)."""
+    from apache___solr_ray.pipelines.text import _levenshtein1
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    terms = set()
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            for term, _df, _ttf in sr.iter_terms():
+                if _levenshtein1(term, "mergr"):
+                    terms.add(term)
+            sr.close()
+    docs = (
+        r.match_docs(" ".join(sorted(terms)), mode="or")
+        if terms
+        else np.zeros(0, np.int64)
+    )
+    return pa.table({"n_docs": pa.array([len(docs)], pa.int64())})
