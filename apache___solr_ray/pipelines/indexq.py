@@ -545,3 +545,65 @@ def index_fuzzy_match_count(sf_dir: str):
         else np.zeros(0, np.int64)
     )
     return pa.table({"n_docs": pa.array([len(docs)], pa.int64())})
+
+
+@q(
+    "index_min_match_2of3",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_intersect(toks, ['merge', 'spark', 'vector'])) >= 2
+    """,
+)
+def index_min_match_2of3(sf_dir: str):
+    """Minimum-should-match (edismax `mm=2`): docs containing at least 2 of
+    the 3 query terms — per-term posting sets counted per doc (one bincount
+    over the union, no per-doc loop)."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    sets = []
+    for term in ("merge", "spark", "vector"):
+        tp = r.term_postings(term)
+        if tp is not None:
+            sets.append(tp.decode_all()[0])
+    if not sets:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    allc = np.concatenate(sets)
+    uniq, cnt = np.unique(allc, return_counts=True)
+    hits = uniq[cnt >= 2]
+    ids = sorted(idmap[int(d)] for d in hits)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+@q(
+    "index_stats_over_match",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS dl, list_distinct({_TOKS}) AS toks
+               FROM documents)
+    SELECT count(*) AS n, CAST(min(dl) AS BIGINT) AS min_len,
+           CAST(max(dl) AS BIGINT) AS max_len, CAST(sum(dl) AS BIGINT) AS sum_len
+    FROM t WHERE len(list_intersect(toks, ['merge', 'spark'])) > 0
+    """,
+)
+def index_stats_over_match(sf_dir: str):
+    """StatsComponent piggybacking a query (reference SearchHandler default
+    component chain: Query -> Stats): numeric doc_len stats over the OR
+    match set, doc lengths fetched from the stored sidecar for exactly the
+    matching ids."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    docs = r.match_docs("merge spark", mode="or")
+    lens = r.fetch_fields(docs, ["doc_len"]).column("doc_len").to_numpy()
+    return pa.table(
+        {
+            "n": pa.array([len(docs)], pa.int64()),
+            "min_len": pa.array([int(lens.min()) if len(lens) else 0], pa.int64()),
+            "max_len": pa.array([int(lens.max()) if len(lens) else 0], pa.int64()),
+            "sum_len": pa.array([int(lens.sum())], pa.int64()),
+        }
+    )
