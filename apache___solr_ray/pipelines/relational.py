@@ -41,9 +41,9 @@ def q(name: str, sql: str | None = None):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
            floor((sum(CAST(l_quantity AS BIGINT)) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_qty,
            count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -233,7 +233,7 @@ def percentile_value(sf_dir: str):
     "join_customer_orders",
     """
     SELECT c_mktsegment, count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_totalprice_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -353,7 +353,7 @@ def anti_join_customers_without_orders(sf_dir: str):
 @q(
     "rollup_nation_revenue",
     """
-    SELECT n_name, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+    SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                   JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
@@ -464,7 +464,7 @@ def collapse_latest_event(sf_dir: str):
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events)
     SELECT user_id,
-           sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            count(*) AS n_events
     FROM o GROUP BY user_id
     """,
@@ -559,7 +559,7 @@ def select_rename_project(sf_dir: str):
 @q(
     "q3_high_revenue_orders",
     """
-    SELECT l_orderkey, sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+    SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -710,12 +710,17 @@ def expand_top_event(sf_dir: str):
 
     def top(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["value", "event_id"], ascending=[False, True])
-        first = g.iloc[0]
         return pd.DataFrame(
             {
-                "user_id": [first["user_id"]],
-                "top_event_id": [first["event_id"]],
-                "top_value": [round(float(first["value"]), 4)],
+                "user_id": [int(g["user_id"].iloc[0])],
+                "top_event_id": [int(g["event_id"].iloc[0])],
+                "top_value": [
+                    float(
+                        pc.round(
+                            pa.scalar(float(g["value"].iloc[0])), ndigits=4, round_mode="half_towards_infinity"
+                        ).as_py()
+                    )
+                ],
                 "n_collapsed": [len(g) - 1],
             }
         )
