@@ -55,6 +55,7 @@ order does, and that is fixed by the deterministic partition plan.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import time
 import pyarrow.compute as pc
@@ -407,6 +408,7 @@ def _plan_storage_segments(
     index = salt; doc ids ascend with part id, so salted sub-segments are
     disjoint ascending doc ranges — the query side concatenates views.
     """
+    fp_by_part = {int(p["part_id"]): str(p["fingerprint"]) for p in parts}
     per_part: list[tuple[int, dict]] = []
     for p in parts:
         man = read_json(
@@ -417,11 +419,22 @@ def _plan_storage_segments(
         per_part.append((int(p["part_id"]), man["tkey_rgs"]))
     per_part.sort()
 
+    def lineage_of(srcs: list[tuple[int, int, int]]) -> str:
+        # identity of the exact inputs that feed this segment: which parts,
+        # which row groups, how many postings, and each part's INPUT
+        # fingerprint — so a stale seg dir from a different corpus/config
+        # can never be resumed just because posting counts coincide
+        h = hashlib.sha1()
+        for part_id, rg, n in srcs:
+            h.update(f"{part_id}:{rg}:{n}:{fp_by_part.get(part_id, '')};".encode())
+        return h.hexdigest()
+
     tasks: list[dict] = []
     for t in range(cfg.term_partitions):
         salt, acc = 0, 0
         paths: list[str] = []
         rgs: list[int] = []
+        srcs: list[tuple[int, int, int]] = []
         for part_id, tkey_rgs in per_part:
             ent = tkey_rgs.get(str(t))
             if not ent:
@@ -429,17 +442,24 @@ def _plan_storage_segments(
             rg, n = int(ent[0]), int(ent[1])
             if acc and acc + n > cfg.max_postings_per_segment:
                 tasks.append(
-                    {"tkey": t, "salt": salt, "paths": paths, "rgs": rgs, "expected": acc}
+                    {
+                        "tkey": t, "salt": salt, "paths": paths, "rgs": rgs,
+                        "expected": acc, "lineage": lineage_of(srcs),
+                    }
                 )
-                salt, acc, paths, rgs = salt + 1, 0, [], []
+                salt, acc, paths, rgs, srcs = salt + 1, 0, [], [], []
             paths.append(
                 os.path.join(index_dir, "postings_raw", f"part-{part_id:06d}.parquet")
             )
             rgs.append(rg)
+            srcs.append((part_id, rg, n))
             acc += n
         if paths:
             tasks.append(
-                {"tkey": t, "salt": salt, "paths": paths, "rgs": rgs, "expected": acc}
+                {
+                    "tkey": t, "salt": salt, "paths": paths, "rgs": rgs,
+                    "expected": acc, "lineage": lineage_of(srcs),
+                }
             )
     return tasks
 
@@ -457,8 +477,9 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
                 and existing.get("n_postings") == expected
                 and existing.get("tkey") == tkey
                 and existing.get("salt") == salt
+                and existing.get("lineage") == row["lineage"]
             ):
-                meta = existing  # resume: already built from these inputs
+                meta = existing  # resume: built from exactly these inputs
             else:
                 pieces = []
                 for p, rg in zip(row["paths"], row["rgs"]):
@@ -480,7 +501,9 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
                         )
                     )
                 group = pa.concat_tables(pieces, promote_options="permissive")
-                meta = build_segment_from_group(group, seg_dir, tkey, salt)
+                meta = build_segment_from_group(
+                    group, seg_dir, tkey, salt, extra_meta={"lineage": row["lineage"]}
+                )
             pids = [
                 int(os.path.basename(p)[len("part-") : -len(".parquet")])
                 for p in row["paths"]
@@ -522,15 +545,28 @@ def _make_segment_writer(index_dir: str, n_doc_parts: int):
         seg_dir = os.path.join(index_dir, "segments", f"seg-{tkey:05d}-{salt:05d}")
         meta_path = os.path.join(seg_dir, "meta.json")
         existing = read_json(meta_path)
+        # content checksum: cheap group invariants (order-independent) so a
+        # stale segment from a different corpus can't be resumed on a
+        # posting-count coincidence
+        doc_np = group.column("doc_id").combine_chunks().to_numpy()
+        chk = (
+            f"{group.num_rows}:"
+            f"{int(doc_np.min()) if len(doc_np) else 0}:"
+            f"{int(doc_np.max()) if len(doc_np) else 0}:"
+            f"{int(pc.sum(group.column('tf')).as_py() or 0)}"
+        )
         if (
             existing is not None
             and existing.get("n_postings") == group.num_rows
             and existing.get("tkey") == tkey
             and existing.get("salt") == salt
+            and existing.get("checksum") == chk
         ):
             meta = existing  # resume: segment already written for this group
         else:
-            meta = build_segment_from_group(group, seg_dir, tkey, salt)
+            meta = build_segment_from_group(
+                group, seg_dir, tkey, salt, extra_meta={"checksum": chk}
+            )
         return pa.table(
             {
                 "skey": pa.array([skey], pa.int64()),
@@ -723,5 +759,13 @@ def build_index(
             "parts_resumed": int(sum(1 for s in summaries if s["resumed"])),
         },
     }
+    # re-assert purge-merged deletes BEFORE the commit point: phase B just
+    # rebuilt segments from postings_raw, which still contains any docs a
+    # previous purge-merge physically reclaimed (deletes.record_purged)
+    from apache___solr_ray.deletes import reapply_purged
+
+    n_reapplied = reapply_purged(index_dir, fingerprints)
+    if n_reapplied:
+        man["metrics"]["tombstones_reapplied"] = n_reapplied
     write_json_atomic(os.path.join(index_dir, "index_manifest.json"), man)
     return man

@@ -25,6 +25,7 @@ import pyarrow.parquet as pq
 from apache___solr_ray.manifest import read_json, write_json_atomic
 
 TOMBSTONE_FILE = "tombstones.json"
+PURGED_FILE = "purged.json"
 
 
 def load_tombstones(index_dir: str) -> np.ndarray:
@@ -55,6 +56,48 @@ def delete_by_url(index_dir: str, urls: list[str]) -> int:
 
 def clear_tombstones(index_dir: str) -> None:
     write_json_atomic(os.path.join(index_dir, TOMBSTONE_FILE), {"doc_ids": []})
+
+
+def record_purged(index_dir: str, doc_ids, input_fingerprints: list[str]) -> None:
+    """Durable purge ledger: remember which doc ids a purge-merge physically
+    reclaimed, tagged with the *input fingerprint* of the doc partition each
+    id belongs to. A later ``build_index`` (append / upsert) rebuilds
+    segments from ``postings_raw`` — which still contains the purged docs —
+    so the ledger lets it re-apply the deletes as tombstones instead of
+    silently resurrecting them. An entry whose partition fingerprint no
+    longer matches refers to rebuilt (different) content and is dropped."""
+    existing = read_json(os.path.join(index_dir, PURGED_FILE)) or {"entries": {}}
+    entries: dict[str, str] = dict(existing.get("entries", {}))
+    for d in doc_ids:
+        part = int(d) >> 32
+        fp = input_fingerprints[part] if part < len(input_fingerprints) else ""
+        entries[str(int(d))] = fp
+    write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"entries": entries})
+
+
+def reapply_purged(index_dir: str, current_fingerprints: list[str]) -> int:
+    """Re-assert purged deletes after a rebuild: every ledger entry whose
+    partition input-fingerprint still matches the current build is merged
+    back into ``tombstones.json`` (the doc exists again in the rebuilt
+    segments and must stay dead). Stale entries (partition content changed,
+    so the purged doc no longer exists) are pruned. Returns the number of
+    re-applied tombstones."""
+    ledger = read_json(os.path.join(index_dir, PURGED_FILE))
+    if not ledger or not ledger.get("entries"):
+        return 0
+    keep: dict[str, str] = {}
+    reapply: list[int] = []
+    for doc_s, fp in ledger["entries"].items():
+        part = int(doc_s) >> 32
+        if part < len(current_fingerprints) and current_fingerprints[part] == fp:
+            keep[doc_s] = fp
+            reapply.append(int(doc_s))
+    if reapply:
+        existing = load_tombstones(index_dir)
+        merged = sorted(set(existing.tolist()) | set(reapply))
+        write_json_atomic(os.path.join(index_dir, TOMBSTONE_FILE), {"doc_ids": merged})
+    write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"entries": keep})
+    return len(reapply)
 
 
 def tombstoned_doc_lens(index_dir: str, tombs: np.ndarray) -> tuple[int, int]:

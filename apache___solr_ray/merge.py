@@ -142,6 +142,7 @@ def merge_segments(
     from apache___solr_ray.deletes import (
         clear_tombstones,
         load_tombstones,
+        record_purged,
         tombstoned_doc_lens,
     )
 
@@ -241,6 +242,11 @@ def merge_segments(
     man["stats"] = stats
     write_json_atomic(os.path.join(index_dir, "index_manifest.json"), man)
     if purge_deletes:
+        # postings_raw still holds the reclaimed docs; a later rebuild from
+        # it must not resurrect them — persist the purge in the ledger that
+        # build_index re-applies (deletes.reapply_purged) before clearing
+        # the live tombstone mask
+        record_purged(index_dir, tombs, man.get("input_fingerprints") or [])
         clear_tombstones(index_dir)
     # only after the commit point moves do we delete consumed segments
     for name in consumed:

@@ -689,7 +689,14 @@ def _topk_blockmax(scorers, k, span_r: int = 0, alive_fn=None) -> tuple[np.ndarr
                 if n_cand >= k and len(acc) > k:
                     kth = np.partition(acc, len(acc) - k)[len(acc) - k]
                     if kth > 0:
-                        threshold = float(np.float32(kth))
+                        # float32(kth) can round ABOVE the true float64 kth;
+                        # a region bound in [kth, float32(kth)) would then be
+                        # pruned though it may hold a score-tying doc. Step
+                        # one ulp down so ">= threshold keeps ties" holds.
+                        t32 = np.float32(kth)
+                        if float(t32) > float(kth):
+                            t32 = np.nextafter(t32, np.float32(-np.inf))
+                        threshold = float(t32)
         elif dl:
             d, s = _topk_from_candidates(dl, sl, 10**9)
             docs_acc.append(d)

@@ -52,6 +52,7 @@ def write_segment(
     dfs: list[int],
     ttfs: list[int],
     max_tfs: list[int],
+    extra_meta: dict | None = None,
 ) -> dict:
     """Write one immutable segment directory atomically (tmp dir + rename)."""
     tmp = seg_dir + ".tmp"
@@ -81,6 +82,8 @@ def write_segment(
         "n_postings": int(sum(dfs)),
         "bytes": int(offsets[-1]),
     }
+    if extra_meta:
+        meta.update(extra_meta)
     write_json_atomic(os.path.join(tmp, "meta.json"), meta)
     if os.path.exists(seg_dir):
         import shutil
@@ -90,7 +93,9 @@ def write_segment(
     return meta
 
 
-def build_segment_from_group(group: pa.Table, seg_dir: str, tkey: int, salt: int) -> dict:
+def build_segment_from_group(
+    group: pa.Table, seg_dir: str, tkey: int, salt: int, extra_meta: dict | None = None
+) -> dict:
     """Encode a (term, doc_id, tf, norm) group table into a segment.
 
     Sorts by (term, doc_id) — Ray's groupby does not guarantee intra-group
@@ -125,7 +130,9 @@ def build_segment_from_group(group: pa.Table, seg_dir: str, tkey: int, salt: int
     dfs = (ends - starts).astype(np.int64)
     ttfs = np.add.reduceat(tf_arr, starts) if len(starts) else np.zeros(0, np.int64)
     max_tfs = np.maximum.reduceat(tf_arr, starts) if len(starts) else np.zeros(0, np.int64)
-    return write_segment(seg_dir, tkey, salt, terms_list, payloads, dfs, ttfs, max_tfs)
+    return write_segment(
+        seg_dir, tkey, salt, terms_list, payloads, dfs, ttfs, max_tfs, extra_meta=extra_meta
+    )
 
 
 class SegmentReader:

@@ -140,6 +140,49 @@ def test_deletes_tombstone_and_purge(ray_session, tmp_path_factory):
     assert d2.tolist() == d1.tolist()
 
 
+def test_purge_survives_rebuild(ray_session, tmp_path_factory):
+    """Durable deletes: after merge_segments(purge_deletes=True), the corpus
+    and postings_raw still contain the reclaimed docs — a later append +
+    build_index rebuilds segments from postings_raw and must NOT resurrect
+    them. The purge ledger (deletes.record_purged) re-applies the deletes
+    as tombstones at the next commit (reapply_purged)."""
+    from apache___solr_ray.deletes import delete_by_url, load_tombstones
+    from apache___solr_ray.merge import merge_segments
+
+    d = str(tmp_path_factory.mktemp("pages_pr"))
+    write_pages(d, 256, seed=42, rows_per_file=128)
+    idx = str(tmp_path_factory.mktemp("index_pr"))
+    cfg = IndexConfig(term_partitions=2, target_docs_per_part=128, max_postings_per_segment=5000)
+    build_index(d, idx, cfg)
+
+    r0 = IndexReader(idx)
+    q_ = "the fast data"
+    d0, _ = r0.topk(q_, 10)
+    victims = r0.urls_for(d0[:2])
+    assert delete_by_url(idx, victims) == 2
+    merge_segments(idx, purge_deletes=True)
+    assert len(load_tombstones(idx)) == 0  # physically reclaimed
+
+    # append new docs -> build_index rebuilds segments from postings_raw,
+    # which still carries the purged docs
+    write_pages(d, 384, seed=42, rows_per_file=128)
+    man = build_index(d, idx, cfg)
+    assert man["metrics"].get("tombstones_reapplied") == 2
+
+    r1 = IndexReader(idx)
+    hits = set(r1.match_docs(q_, "or").tolist())
+    assert not set(d0[:2].tolist()) & hits, "purged docs resurrected by rebuild"
+    dd, _ = r1.topk(q_, 20)
+    assert not set(d0[:2].tolist()) & set(dd.tolist())
+    # the re-applied tombstones are live again until the next purge
+    assert set(load_tombstones(idx).tolist()) == set(d0[:2].tolist())
+
+    # second purge reclaims them again and the ledger stays consistent
+    merge_segments(idx, purge_deletes=True)
+    r2 = IndexReader(idx)
+    assert not set(d0[:2].tolist()) & set(r2.match_docs(q_, "or").tolist())
+
+
 def test_upsert_overwrite_by_uniquekey(ray_session, tmp_path_factory):
     """updateDocument semantics: upserting an existing url replaces its
     content atomically — old version stops matching, new version serves,
