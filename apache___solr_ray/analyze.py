@@ -73,14 +73,21 @@ class Analyzer:
     # -- vectorized batch path ------------------------------------------------
 
     def term_freqs(
-        self, texts: list[str] | pa.Array
-    ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+        self, texts: list[str] | pa.Array, positions: bool = False
+    ) -> tuple:
         """Batch → per-(doc,term) tf tuples.
 
         Returns ``(terms, doc_idx, tf, doc_len)`` where ``terms`` is a
         pa.StringArray aligned with ``doc_idx``/``tf`` (one row per distinct
         (doc, term) pair, doc-major then term-sorted within doc is NOT
         guaranteed), and ``doc_len[d]`` is the analyzed token count of doc d.
+
+        With ``positions=True`` a fifth element is returned: a
+        ``pa.BinaryArray`` aligned with the pairs, each value the VInt
+        gap-encoded ascending position list of that (doc, term) pair.
+        Positions are the token index BEFORE stop-filtering (Lucene
+        StopFilter position-increment semantics: removed stopwords leave
+        gaps), 0-based.
         """
         if isinstance(texts, (pa.Array, pa.ChunkedArray)):
             texts = texts.to_pylist()
@@ -109,27 +116,69 @@ class Analyzer:
             flat += toks
         if not flat:
             empty = pa.array([], type=pa.string())
-            return empty, np.array([], np.int64), np.array([], np.int64), counts
+            base = (empty, np.array([], np.int64), np.array([], np.int64), counts)
+            if positions:
+                return base + (pa.array([], type=pa.binary()),)
+            return base
         arr = pa.array(flat, type=pa.string())
         arr = pc.utf8_lower(arr)
         dict_arr = pc.dictionary_encode(arr)
         codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = dict_arr.dictionary
         doc_of_token = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        tok_pos = None
+        if positions:
+            # token index within its doc, pre-stop-filter (posIncrement)
+            doc_starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=doc_starts[1:])
+            tok_pos = np.arange(len(codes), dtype=np.int64) - doc_starts[doc_of_token]
         if self.stopwords:
             stop_mask = np.array([v in self.stopwords for v in vocab.to_pylist()], dtype=bool)
             keep = ~stop_mask[codes]
             codes = codes[keep]
             doc_of_token = doc_of_token[keep]
+            if tok_pos is not None:
+                tok_pos = tok_pos[keep]
             counts = np.bincount(doc_of_token, minlength=len(counts)).astype(np.int64)
         # combined (doc, term) key -> tf
         nvocab = len(vocab)
         key = doc_of_token * nvocab + codes
-        uniq, tf = np.unique(key, return_counts=True)
-        doc_idx = uniq // nvocab
-        term_codes = (uniq % nvocab).astype(np.int64)
+        if not positions:
+            uniq, tf = np.unique(key, return_counts=True)
+            doc_idx = uniq // nvocab
+            term_codes = (uniq % nvocab).astype(np.int64)
+            terms = pc.take(vocab, pa.array(term_codes))
+            return terms, doc_idx, tf.astype(np.int64), counts
+        # positions path: stable sort keeps each pair's positions ascending
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        ps = tok_pos[order]
+        change = np.flatnonzero(np.diff(ks) != 0) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(ks)]])
+        tf = (ends - starts).astype(np.int64)
+        pair_keys = ks[starts]
+        doc_idx = pair_keys // nvocab
+        term_codes = (pair_keys % nvocab).astype(np.int64)
         terms = pc.take(vocab, pa.array(term_codes))
-        return terms, doc_idx, tf.astype(np.int64), counts
+        from apache___solr_ray.codec import _varint_fill, _varint_lengths
+
+        gaps = np.empty(len(ps), dtype=np.uint64)
+        if len(ps):
+            gaps[0] = ps[0]
+            gaps[1:] = (ps[1:] - ps[:-1]).astype(np.uint64)
+            gaps[starts] = ps[starts].astype(np.uint64)
+        byte_off = np.zeros(len(ps) + 1, dtype=np.int64)
+        np.cumsum(_varint_lengths(gaps), out=byte_off[1:])
+        stream = _varint_fill(gaps, np.diff(byte_off), byte_off)
+        # zero-copy BinaryArray over the stream: pair i's bytes are
+        # stream[byte_off[starts[i]] : byte_off[ends[i]]], and runs are
+        # consecutive, so the value offsets are just byte_off at run starts
+        offsets = byte_off[np.concatenate([starts, [len(ps)]])].astype(np.int32)
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(), len(starts), [None, pa.py_buffer(offsets), pa.py_buffer(stream)]
+        )
+        return terms, doc_idx, tf, counts, pos_arr
 
 
 #: Simple tokenizer used by the SQL-oracle-checked text operators: lowercase

@@ -104,12 +104,15 @@ class IndexConfig:
     text_from_html: bool = True        # extract text from html (the real path)
     shuffle: str = "storage"           # "storage" (external shuffle) | "ray" (object-store)
     max_postings_per_segment: int = 16_000_000  # doc-range split threshold ("storage" plan)
+    #: index token positions (Lucene text-field default; enables phrase
+    #: queries). Off = omitTermFreqAndPositions-style slimmer postings.
+    store_positions: bool = True
 
     def fingerprint(self) -> str:
         return (
             f"T={self.term_partitions};salt={self.salt_threshold};"
             f"part={self.target_docs_per_part};stop={sorted(self.stopwords)};"
-            f"html={self.text_from_html};fmt=5"
+            f"html={self.text_from_html};pos={int(self.store_positions)};fmt=6"
         )
 
     def fingerprint_full(self) -> str:
@@ -202,16 +205,19 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     # and Arrow-level dictionary columns proved slower (per-row-group
     # dictionary pages + unification on concat). tkey is precomputed here so
     # the phase-B shuffle never hashes a term string.
-    post_schema = pa.schema(
-        [
-            ("term", pa.string()),
-            ("row", pa.int32()),
-            ("tf", pa.int32()),
-            ("norm", pa.uint8()),
-            ("tkey", pa.int32()),
-            ("part", pa.int32()),
-        ]
-    )
+    post_fields = [
+        ("term", pa.string()),
+        ("row", pa.int32()),
+        ("tf", pa.int32()),
+        ("norm", pa.uint8()),
+        ("tkey", pa.int32()),
+        ("part", pa.int32()),
+    ]
+    if cfg.store_positions:
+        # per-posting VInt position payload (self-contained gap stream) —
+        # opaque bytes from here to the segment encoder
+        post_fields.append(("pos", pa.binary()))
+    post_schema = pa.schema(post_fields)
     post_batches: list[pa.Table] = []
 
     urls: list[pa.Array] = []
@@ -230,26 +236,28 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
             text = extract_batch(tbl.column("html"))
         else:
             text = tbl.column("text").combine_chunks()
-        terms, doc_idx, tf, doc_len = analyzer.term_freqs(text)
+        if cfg.store_positions:
+            terms, doc_idx, tf, doc_len, pos_arr = analyzer.term_freqs(text, positions=True)
+        else:
+            terms, doc_idx, tf, doc_len = analyzer.term_freqs(text)
+            pos_arr = None
         norms_per_doc = int_to_byte4_array(doc_len)
         # hash each *distinct* term once (dictionary), fan out via codes
         denc = pc.dictionary_encode(terms)
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
         tkey_vocab = (term_hash(vocab) % np.uint64(cfg.term_partitions)).astype(np.int32)
-        post_batches.append(
-            pa.table(
-                {
-                    "term": terms,
-                    "row": pa.array((row_base + doc_idx).astype(np.int32)),
-                    "tf": pa.array(tf.astype(np.int32)),
-                    "norm": pa.array(norms_per_doc[doc_idx]),
-                    "tkey": pa.array(tkey_vocab[codes]),
-                    "part": pa.array(np.full(len(codes), part_id, dtype=np.int32)),
-                },
-                schema=post_schema,
-            )
-        )
+        cols = {
+            "term": terms,
+            "row": pa.array((row_base + doc_idx).astype(np.int32)),
+            "tf": pa.array(tf.astype(np.int32)),
+            "norm": pa.array(norms_per_doc[doc_idx]),
+            "tkey": pa.array(tkey_vocab[codes]),
+            "part": pa.array(np.full(len(codes), part_id, dtype=np.int32)),
+        }
+        if pos_arr is not None:
+            cols["pos"] = pos_arr
+        post_batches.append(pa.table(cols, schema=post_schema))
         n_postings += len(doc_idx)
         # partial df: terms are unique per (doc, term) already, so df is a
         # bincount over dictionary codes — vectorized, no Python loop
@@ -383,16 +391,16 @@ def _make_skey_fn(heads_ref, n_term_parts: int, n_doc_parts: int):
             salt = np.where(salted_vocab[codes], part + 1, 0)
             skey = tkey * (n_doc_parts + 1) + salt
         doc_id = (part << 32) + tbl.column("row").combine_chunks().to_numpy().astype(np.int64)
-        out = pa.table(
-            {
-                "term": tbl.column("term"),
-                "doc_id": pa.array(doc_id),
-                "tf": tbl.column("tf"),
-                "norm": tbl.column("norm"),
-                "skey": pa.array(skey, pa.int64()),
-            }
-        )
-        return out
+        cols = {
+            "term": tbl.column("term"),
+            "doc_id": pa.array(doc_id),
+            "tf": tbl.column("tf"),
+            "norm": tbl.column("norm"),
+            "skey": pa.array(skey, pa.int64()),
+        }
+        if "pos" in tbl.column_names:
+            cols["pos"] = tbl.column("pos")
+        return pa.table(cols)
 
     return add_skey
 
@@ -420,11 +428,13 @@ def _plan_storage_segments(
     per_part.sort()
 
     def lineage_of(srcs: list[tuple[int, int, int]]) -> str:
-        # identity of the exact inputs that feed this segment: which parts,
-        # which row groups, how many postings, and each part's INPUT
-        # fingerprint — so a stale seg dir from a different corpus/config
-        # can never be resumed just because posting counts coincide
+        # identity of the exact inputs that feed this segment: the build
+        # config (codec/analysis knobs) plus which parts, which row groups,
+        # how many postings, and each part's INPUT fingerprint — so a stale
+        # seg dir from a different corpus OR config can never be resumed
+        # just because posting counts coincide
         h = hashlib.sha1()
+        h.update(cfg.fingerprint_full().encode())
         for part_id, rg, n in srcs:
             h.update(f"{part_id}:{rg}:{n}:{fp_by_part.get(part_id, '')};".encode())
         return h.hexdigest()
@@ -464,7 +474,9 @@ def _plan_storage_segments(
     return tasks
 
 
-def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
+def _make_storage_segment_fn(index_dir: str, n_doc_parts: int, store_positions: bool = False):
+    read_cols = ["term", "row", "tf", "norm"] + (["pos"] if store_positions else [])
+
     def build_one(batch: pa.Table) -> pa.Table:
         _limit_threads()
         out = []
@@ -483,23 +495,20 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
             else:
                 pieces = []
                 for p, rg in zip(row["paths"], row["rgs"]):
-                    t = pq.ParquetFile(p).read_row_groups(
-                        [rg], columns=["term", "row", "tf", "norm"]
-                    )
+                    t = pq.ParquetFile(p).read_row_groups([rg], columns=read_cols)
                     part_id = int(os.path.basename(p)[len("part-") : -len(".parquet")])
                     doc = (part_id << 32) + t.column("row").combine_chunks().to_numpy().astype(
                         np.int64
                     )
-                    pieces.append(
-                        pa.table(
-                            {
-                                "term": t.column("term"),
-                                "doc_id": pa.array(doc),
-                                "tf": t.column("tf"),
-                                "norm": t.column("norm"),
-                            }
-                        )
-                    )
+                    cols = {
+                        "term": t.column("term"),
+                        "doc_id": pa.array(doc),
+                        "tf": t.column("tf"),
+                        "norm": t.column("norm"),
+                    }
+                    if store_positions:
+                        cols["pos"] = t.column("pos")
+                    pieces.append(pa.table(cols))
                 group = pa.concat_tables(pieces, promote_options="permissive")
                 meta = build_segment_from_group(
                     group, seg_dir, tkey, salt, extra_meta={"lineage": row["lineage"]}
@@ -537,7 +546,7 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int):
     return build_one
 
 
-def _make_segment_writer(index_dir: str, n_doc_parts: int):
+def _make_segment_writer(index_dir: str, n_doc_parts: int, cfg_fp: str = ""):
     def write_group(group: pa.Table) -> pa.Table:
         _limit_threads()
         skey = int(group.column("skey")[0].as_py())
@@ -550,7 +559,7 @@ def _make_segment_writer(index_dir: str, n_doc_parts: int):
         # posting-count coincidence
         doc_np = group.column("doc_id").combine_chunks().to_numpy()
         chk = (
-            f"{group.num_rows}:"
+            f"{cfg_fp}:{group.num_rows}:"
             f"{int(doc_np.min()) if len(doc_np) else 0}:"
             f"{int(doc_np.max()) if len(doc_np) else 0}:"
             f"{int(pc.sum(group.column('tf')).as_py() or 0)}"
@@ -660,7 +669,7 @@ def build_index(
         seg_summaries = (
             rd.from_items(seg_tasks)
             .map_batches(
-                _make_storage_segment_fn(index_dir, n_doc_parts),
+                _make_storage_segment_fn(index_dir, n_doc_parts, cfg.store_positions),
                 batch_format="pyarrow",
                 batch_size=1,
             )
@@ -709,7 +718,8 @@ def build_index(
         seg_summaries = (
             post.groupby("skey")
             .map_groups(
-                _make_segment_writer(index_dir, n_doc_parts), batch_format="pyarrow"
+                _make_segment_writer(index_dir, n_doc_parts, cfg.fingerprint_full()),
+                batch_format="pyarrow",
             )
             .take_all()
         )

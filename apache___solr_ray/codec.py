@@ -11,19 +11,27 @@ Per-term payload::
     u16 n_blocks
     u32 d_len            (delta VInt stream length in bytes)
     u32 t_len            (tf VInt stream length in bytes)
-    n_blocks × block header (fixed 19 bytes → this IS the skip data):
+    u32 p_len            (position VInt stream length in bytes; 0 = field
+                          indexed without positions — omitTermFreqAndPositions)
+    n_blocks × block header (fixed 27 bytes → this IS the skip data):
         u64  last_doc_id  (inclusive; enables binary-search skipping)
         u32  d_off        (block's byte offset within the delta stream)
         u32  t_off        (block's byte offset within the tf stream)
         u16  n_docs       (<= BLOCK)
         u32  max_tf       (block-max impact bound input)
         u8   min_norm     (block-max impact bound input)
+        u32  p_off        (block's byte offset within the position stream)
     delta stream  (VInt doc gaps; a term's first delta is the absolute doc id,
                    every later delta is doc[i] - doc[i-1], across block
                    boundaries too — so the whole stream is encodable in ONE
                    vectorized pass over a sorted group)
     tf stream     (VInt tf - 1)
     norm bytes    (raw u8, one per posting)
+    position stream (VInt position gaps, tf values per posting; each
+                   posting's first value is its absolute first position —
+                   self-contained per posting, so segment merges concatenate
+                   raw bytes without re-encoding. Laid out LAST so BM25
+                   evaluation never touches it; only phrase queries pay.)
 
 Scoring needs (tf, norm) per posting; storing the norm byte inline (as
 Lucene's impact lists pair (freq, norm)) means query evaluation never
@@ -48,10 +56,11 @@ _HEADER_DTYPE = np.dtype(
         ("n_docs", "<u2"),
         ("max_tf", "<u4"),
         ("min_norm", "u1"),
+        ("p_off", "<u4"),
     ]
 )
-HEADER_BYTES = _HEADER_DTYPE.itemsize  # 23
-_PRELUDE = 2 + 4 + 4  # u16 n_blocks, u32 d_len, u32 t_len
+HEADER_BYTES = _HEADER_DTYPE.itemsize  # 27
+_PRELUDE = 2 + 4 + 4 + 4  # u16 n_blocks, u32 d_len, u32 t_len, u32 p_len
 
 
 def _varint_lengths(v: np.ndarray) -> np.ndarray:
@@ -109,6 +118,8 @@ def encode_postings_group(
     norms: np.ndarray,
     starts: np.ndarray,
     ends: np.ndarray,
+    pos_data: np.ndarray | None = None,
+    pos_off: np.ndarray | None = None,
 ) -> list[bytes]:
     """Encode many terms' postings in ONE vectorized pass.
 
@@ -116,6 +127,13 @@ def encode_postings_group(
     (term, doc_id); ``starts``/``ends`` delimit each term's run. The VInt
     math runs once over the full arrays; the per-term Python work is six
     buffer slices + one join.
+
+    ``pos_data``/``pos_off``: optional per-posting position payloads —
+    ``pos_data`` is a uint8 array of already-VInt-gap-encoded positions in
+    the SAME posting order (posting i's bytes are
+    ``pos_data[pos_off[i]:pos_off[i+1]]``, ``len(pos_off) == n+1``).
+    Because each posting's stream is self-contained, the encoder only
+    slices — no re-encoding.
     """
     n = len(doc_ids)
     n_terms = len(starts)
@@ -165,6 +183,10 @@ def encode_postings_group(
     # reduceat over global block starts (bs is ascending and covers [0, n))
     headers["max_tf"] = np.maximum.reduceat(tfs, bs).astype(np.uint32)
     headers["min_norm"] = np.minimum.reduceat(norms, bs)
+    if pos_data is not None:
+        pos_off = np.asarray(pos_off, dtype=np.int64)
+        headers["p_off"] = (pos_off[bs] - pos_off[starts[term_of_block]]).astype(np.uint32)
+        p_bytes = pos_data.tobytes() if isinstance(pos_data, np.ndarray) else bytes(pos_data)
 
     d_bytes = d_stream.tobytes()
     t_bytes = t_stream.tobytes()
@@ -176,22 +198,33 @@ def encode_postings_group(
         s, e = starts[i], ends[i]
         dl = int(d_pos[e] - d_pos[s])
         tl = int(t_pos[e] - t_pos[s])
+        pl = int(pos_off[e] - pos_off[s]) if pos_data is not None else 0
         prelude = (
             int(nb[i]).to_bytes(2, "little")
             + dl.to_bytes(4, "little")
             + tl.to_bytes(4, "little")
+            + pl.to_bytes(4, "little")
         )
-        out.append(
+        payload = (
             prelude
             + hdr_bytes[first_block[i] * HEADER_BYTES : first_block[i + 1] * HEADER_BYTES]
             + d_bytes[d_pos[s] : d_pos[e]]
             + t_bytes[t_pos[s] : t_pos[e]]
             + n_bytes[s:e]
         )
+        if pos_data is not None:
+            payload += p_bytes[pos_off[s] : pos_off[e]]
+        out.append(payload)
     return out
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray) -> bytes:
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    pos_data: np.ndarray | None = None,
+    pos_off: np.ndarray | None = None,
+) -> bytes:
     """Encode one term's postings (doc-id ascending) into the block layout."""
     n = len(doc_ids)
     assert n > 0
@@ -201,7 +234,42 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray) -> 
         np.asarray(norms),
         np.array([0], dtype=np.int64),
         np.array([n], dtype=np.int64),
+        pos_data=pos_data,
+        pos_off=pos_off,
     )[0]
+
+
+def encode_position_gaps(positions: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Gap+VInt encode a flat positions array with per-posting resets.
+
+    ``positions`` is the concatenation of every posting's ascending position
+    list; ``run_starts`` marks each posting's first slot. Returns the uint8
+    stream; per-value byte lengths come from ``position_value_lengths``."""
+    p = positions.astype(np.int64, copy=False)
+    gaps = np.empty(len(p), dtype=np.uint64)
+    if len(p):
+        gaps[0] = p[0]
+        gaps[1:] = (p[1:] - p[:-1]).astype(np.uint64)
+        gaps[run_starts] = p[run_starts].astype(np.uint64)
+    return varint_encode(gaps)
+
+
+def decode_position_stream(buf: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of ``encode_position_gaps``: decode ``sum(tfs)`` VInt gaps
+    and rebuild absolute positions with a reset at each posting's first
+    value. Vectorized (cumsum + per-run adjustment)."""
+    total = int(tfs.sum())
+    gaps, _ = varint_decode(buf, total)
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    run_starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=run_starts[1:])
+    C = np.cumsum(gaps.astype(np.int64))
+    Cext = np.concatenate([[0], C])
+    # subtract, for every slot, the cumulative sum at its run's start so
+    # each posting's positions restart from its absolute first value
+    adj = np.repeat(Cext[run_starts], tfs.astype(np.int64))
+    return C - adj
 
 
 class PostingsView:
@@ -212,13 +280,14 @@ class PostingsView:
     headers only for skipped ranges.
     """
 
-    __slots__ = ("buf", "headers", "d_base", "t_base", "n_base", "n_off", "_cache")
+    __slots__ = ("buf", "headers", "d_base", "t_base", "n_base", "p_base", "p_len", "n_off", "_cache")
 
     def __init__(self, payload: memoryview | bytes):
         buf = np.frombuffer(payload, dtype=np.uint8)
         n_blocks = int(np.frombuffer(payload[:2], dtype="<u2")[0])
         d_len = int(np.frombuffer(payload[2:6], dtype="<u4")[0])
         t_len = int(np.frombuffer(payload[6:10], dtype="<u4")[0])
+        p_len = int(np.frombuffer(payload[10:14], dtype="<u4")[0])
         self.headers = np.frombuffer(
             payload[_PRELUDE : _PRELUDE + n_blocks * HEADER_BYTES], dtype=_HEADER_DTYPE
         )
@@ -228,8 +297,14 @@ class PostingsView:
         n_off = np.zeros(n_blocks + 1, dtype=np.int64)
         np.cumsum(self.headers["n_docs"].astype(np.int64), out=n_off[1:])
         self.n_off = n_off
+        self.p_base = self.n_base + int(n_off[-1])
+        self.p_len = p_len
         self.buf = buf
         self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    @property
+    def has_positions(self) -> bool:
+        return self.p_len > 0
 
     @property
     def n_blocks(self) -> int:
@@ -302,3 +377,42 @@ class PostingsView:
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return self.decode_blocks(np.arange(self.n_blocks, dtype=np.int64))
+
+    # -- positions ----------------------------------------------------------
+
+    def decode_blocks_positions(self, bis: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+        """Flat absolute positions for the selected blocks.
+
+        ``bis`` sorted unique; ``tfs`` must be the tf array returned by
+        ``decode_blocks(bis)`` (per-posting value counts). The result aligns
+        with ``np.repeat(docs, tfs)``. Only phrase/span evaluation pays this
+        cost — the position stream is never touched by BM25 scoring."""
+        if not self.has_positions:
+            raise ValueError("segment was built without positions")
+        if len(bis) == 0:
+            return np.zeros(0, dtype=np.int64)
+        h = self.headers
+        p_off = h["p_off"].astype(np.int64)
+        p_ends = np.concatenate([p_off[1:], [self.p_len]])
+        pbuf = np.concatenate(
+            [self.buf[self.p_base + p_off[b] : self.p_base + p_ends[b]] for b in bis]
+        )
+        return decode_position_stream(pbuf, tfs.astype(np.int64))
+
+    def positions_raw(self, tfs: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """(pos_stream uint8, per-posting byte offsets int64 [n+1]) — the raw
+        self-contained per-posting position payloads, for zero-re-encode
+        merging. ``tfs`` (all postings' tf, in order) is decoded if absent."""
+        if not self.has_positions:
+            raise ValueError("segment was built without positions")
+        if tfs is None:
+            tfs = self.decode_all()[1]
+        data = self.buf[self.p_base : self.p_base + self.p_len]
+        # VInt value boundaries = bytes with the continuation bit clear;
+        # posting i's payload ends after its cumulative tf-th value
+        value_ends = np.flatnonzero((data & 0x80) == 0)
+        last_value = np.cumsum(tfs.astype(np.int64)) - 1
+        off = np.zeros(len(tfs) + 1, dtype=np.int64)
+        if len(tfs):
+            off[1:] = value_ends[last_value] + 1
+        return data, off

@@ -138,7 +138,13 @@ class BM25Scorer:
         b: np.float32 = B,
         boost: float = 1.0,
     ):
-        self.idf = idf(doc_freq, doc_count)
+        # a sequence of dfs = multi-term weight (Lucene PhraseQuery /
+        # SynonymQuery path: BM25Similarity.idfExplain sums the per-term
+        # double idfs before the float32 weight is formed)
+        if isinstance(doc_freq, (list, tuple, np.ndarray)):
+            self.idf = float(sum(idf(int(d), doc_count) for d in doc_freq))
+        else:
+            self.idf = idf(doc_freq, doc_count)
         avgdl = np.float32(sum_total_tf / float(doc_count))
         one = np.float32(1.0)
         # float32 elementwise, same op order as the Java expression

@@ -59,12 +59,23 @@ def _merge_group(index_dir: str, tkey: int, sources: list[dict], out_name: str, 
         parts = []
         for si, _, _ in group:
             v = readers[si].postings(term)
-            parts.append(v.decode_all())
+            dec = v.decode_all()
+            if v.has_positions:
+                pdata, poff = v.positions_raw(tfs=dec[1])
+                parts.append((dec, pdata, np.diff(poff)))
+            else:
+                parts.append((dec, None, None))
         # segments hold disjoint doc ranges -> sort parts by first doc, concat
-        parts.sort(key=lambda p: int(p[0][0]) if len(p[0]) else 0)
-        docs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        norms = np.concatenate([p[2] for p in parts])
+        parts.sort(key=lambda p: int(p[0][0][0]) if len(p[0][0]) else 0)
+        docs = np.concatenate([p[0][0] for p in parts])
+        tfs = np.concatenate([p[0][1] for p in parts])
+        norms = np.concatenate([p[0][2] for p in parts])
+        # positions merge = raw byte concat (per-posting streams are
+        # self-contained); present iff every part carries them
+        pos_data = pos_lens = None
+        if all(p[1] is not None for p in parts):
+            pos_data = np.concatenate([p[1] for p in parts])
+            pos_lens = np.concatenate([p[2] for p in parts])
         if tombs is not None and len(tombs):
             # purge: drop tombstoned postings (Lucene merge reclaiming
             # deletes); a term whose postings vanish leaves the dict
@@ -72,10 +83,28 @@ def _merge_group(index_dir: str, tkey: int, sources: list[dict], out_name: str, 
             docs, tfs, norms = docs[alive], tfs[alive], norms[alive]
             if len(docs) == 0:
                 continue
+            if pos_data is not None:
+                off = np.zeros(len(pos_lens) + 1, dtype=np.int64)
+                np.cumsum(pos_lens, out=off[1:])
+                keep_lens = pos_lens[alive]
+                starts_keep = off[:-1][alive]
+                # gather the surviving postings' byte slices
+                rel = np.arange(int(keep_lens.sum()), dtype=np.int64)
+                run0 = np.zeros(len(keep_lens), dtype=np.int64)
+                np.cumsum(keep_lens[:-1], out=run0[1:])
+                rel -= np.repeat(run0, keep_lens)
+                pos_data = pos_data[np.repeat(starts_keep, keep_lens) + rel]
+                pos_lens = keep_lens
         from apache___solr_ray import codec
 
+        pos_off = None
+        if pos_data is not None:
+            pos_off = np.zeros(len(pos_lens) + 1, dtype=np.int64)
+            np.cumsum(pos_lens, out=pos_off[1:])
         terms.append(term)
-        payloads.append(codec.encode_postings(docs, tfs, norms))
+        payloads.append(
+            codec.encode_postings(docs, tfs, norms, pos_data=pos_data, pos_off=pos_off)
+        )
         dfs.append(int(len(docs)))
         ttfs.append(int(tfs.sum()))
         max_tfs.append(int(tfs.max()))

@@ -607,3 +607,88 @@ def index_stats_over_match(sf_dir: str):
             "sum_len": pa.array([int(lens.sum())], pa.int64()),
         }
     )
+
+
+# -- phrase queries (positions) ---------------------------------------------
+
+PHRASE_SET = [["fast", "merge"], ["hash", "join"], ["value", "table", "part"]]
+
+
+def _phrase_oracle_sql(phrases: list[list[str]]) -> str:
+    """Zip-unnest tokens with ordinality, self-join pos+1 per clause —
+    DuckDB recomputation of exact-phrase frequency per doc."""
+    parts = []
+    for terms in phrases:
+        label = " ".join(terms)
+        joins = "".join(
+            f" JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+        parts.append(
+            f"SELECT '{label}' AS phrase, t0.doc_id, count(*) AS phrase_freq\n"
+            f"    FROM toks t0{joins} WHERE {conds} GROUP BY t0.doc_id"
+        )
+    body = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents
+    )
+    {body}
+    """
+
+
+@q("index_phrase_freqs", _phrase_oracle_sql(PHRASE_SET))
+def index_phrase_freqs(sf_dir: str):
+    """Exact-phrase match (slop=0) from the index's position streams —
+    (phrase, doc_id, phrase_freq) for a fixed phrase set, equal to DuckDB
+    recounting adjacent token runs. Positions are stored as per-posting
+    VInt gap streams (codec v2); evaluation decodes positions only for
+    blocks holding candidate docs (reference semantics: Lucene
+    ExactPhraseMatcher; Solr surface TestComplexPhraseQParserPlugin.java)."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ph_out, id_out, f_out = [], [], []
+    for terms in PHRASE_SET:
+        label = " ".join(terms)
+        docs, freqs, _ = r.phrase_freqs(label)
+        ph_out.extend([label] * len(docs))
+        id_out.extend(idmap[int(d)] for d in docs)
+        f_out.extend(int(f) for f in freqs)
+    return pa.table(
+        {
+            "phrase": pa.array(ph_out, pa.string()),
+            "doc_id": pa.array(id_out, pa.int64()),
+            "phrase_freq": pa.array(f_out, pa.int64()),
+        }
+    )
+
+
+@q("index_phrase_topk")  # BM25 scores involved -> rows-only; parity pytest-asserted
+def index_phrase_topk(sf_dir: str):
+    """BM25-scored phrase top-10 (tf = phrase freq, summed clause idfs —
+    Lucene PhraseWeight), served from the built index."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    rows = []
+    for terms in PHRASE_SET:
+        label = " ".join(terms)
+        docs, scores = r.topk_phrase(label, 10)
+        for rank, (d, s) in enumerate(zip(docs, scores), 1):
+            rows.append((label, rank, idmap[int(d)], float(s)))
+    return pa.table(
+        {
+            "phrase": pa.array([x[0] for x in rows], pa.string()),
+            "rank": pa.array([x[1] for x in rows], pa.int64()),
+            "doc_id": pa.array([x[2] for x in rows], pa.int64()),
+            "score": pa.array([x[3] for x in rows], pa.float32()),
+        }
+    )

@@ -156,6 +156,38 @@ class TermPostings:
             np.concatenate([p[2] for p in parts]),
         )
 
+    def positions_for_docs(self, docs_sorted: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Positions of this term restricted to the given (sorted, unique)
+        doc ids. Returns flat ``(doc_rep, pos)`` — one row per occurrence.
+        Only blocks that can contain a candidate doc are decoded; the
+        position stream is sliced per selected block (never for skipped
+        doc ranges) — the phrase path's skip behavior."""
+        out_docs: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        for v in self.views:
+            lasts = v.headers["last_doc"].astype(np.int64)
+            if len(lasts) == 0:
+                continue
+            cand = docs_sorted[docs_sorted <= lasts[-1]]
+            if len(cand) == 0:
+                continue
+            bis = np.unique(np.searchsorted(lasts, cand, side="left"))
+            bis = bis[bis < len(lasts)]
+            if len(bis) == 0:
+                continue
+            d, t, _ = v.decode_blocks(bis)
+            sel = np.isin(d, docs_sorted, assume_unique=True)
+            if not sel.any():
+                continue
+            pos_flat = v.decode_blocks_positions(bis, t)
+            rep_sel = np.repeat(sel, t)
+            out_docs.append(np.repeat(d[sel], t[sel]))
+            out_pos.append(pos_flat[rep_sel])
+        if not out_docs:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy()
+        return np.concatenate(out_docs), np.concatenate(out_pos)
+
 
 class IndexReader:
     """Open a committed index: stats + segment directory, lazy everything."""
@@ -306,6 +338,87 @@ class IndexReader:
                 out = out[np.isin(out, s, assume_unique=True)]
         alive = self._alive(out)
         return out if alive is None else out[alive]
+
+    def phrase_freqs(self, phrase: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact-phrase evaluation (Lucene PhraseQuery, slop=0) from the
+        position streams. Returns ``(doc_ids, phrase_freq, norms)`` for every
+        live doc where the analyzed tokens of ``phrase`` occur consecutively;
+        phrase_freq counts the start positions (the PhraseQuery tf).
+
+        Evaluation: candidate docs = intersection of all terms' postings
+        (rarest term first); positions decoded ONLY for blocks holding
+        candidates; adjacency via one sorted-key intersection per term
+        (key = candidate_rank << 32 | position - clause_offset).
+
+        Reference semantics: Lucene ExactPhraseMatcher; Solr surface
+        ``solr/core/src/test/org/apache/solr/search/TestComplexPhraseQParserPlugin.java``.
+        """
+        toks = self.analyzer.analyze(phrase)
+        z = np.zeros(0, dtype=np.int64)
+        if not toks:
+            return z, z.copy(), np.zeros(0, dtype=np.uint8)
+        tps = [self.term_postings(t) for t in toks]
+        if any(tp is None for tp in tps):
+            return z, z.copy(), np.zeros(0, dtype=np.uint8)
+        if len(toks) == 1:
+            d, t, m = tps[0].decode_all()
+            alive = self._alive(d)
+            if alive is not None:
+                d, t, m = d[alive], t[alive], m[alive]
+            return d, t, m
+        # candidates: intersect doc sets, rarest first so the working set
+        # shrinks fastest (Lucene leads with the lowest-cost scorer)
+        order = np.argsort([tp.df for tp in tps], kind="stable")
+        cand = d0 = m0 = None
+        for j, i in enumerate(order):
+            d, _t, m = tps[i].decode_all()
+            if j == 0:
+                d0, m0 = d, m
+            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return z, z.copy(), np.zeros(0, dtype=np.uint8)
+        alive = self._alive(cand)
+        if alive is not None:
+            cand = cand[alive]
+        if len(cand) == 0:
+            return z, z.copy(), np.zeros(0, dtype=np.uint8)
+        # adjacency: for clause i at offset i, key = rank(doc) << 32 | (pos - i);
+        # a phrase start is a key present for every clause
+        keys = None
+        for i, tp in enumerate(tps):
+            doc_rep, pos = tp.positions_for_docs(cand)
+            p = pos - i
+            ok = p >= 0
+            rank = np.searchsorted(cand, doc_rep[ok])
+            k = (rank << np.int64(32)) | p[ok]
+            k.sort()
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if len(keys) == 0:
+                return z, z.copy(), np.zeros(0, dtype=np.uint8)
+        ranks = (keys >> np.int64(32)).astype(np.int64)
+        freq = np.bincount(ranks, minlength=len(cand)).astype(np.int64)
+        hit = freq > 0
+        docs = cand[hit]
+        # norms for scoring come from any clause's postings (same doc norm)
+        norms = m0[np.searchsorted(d0, docs)]
+        return docs, freq[hit], norms
+
+    def match_docs_phrase(self, phrase: str) -> np.ndarray:
+        """DocSet of the exact phrase — the `\"...\"` clause analog."""
+        return self.phrase_freqs(phrase)[0]
+
+    def topk_phrase(self, phrase: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """BM25-scored phrase top-k: tf = phrase frequency, weight uses the
+        SUM of the clause terms' idfs (BM25Similarity.idfExplain over
+        multiple termStats — the Lucene PhraseWeight construction)."""
+        docs, freq, norms = self.phrase_freqs(phrase)
+        if len(docs) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        toks = self.analyzer.analyze(phrase)
+        dfs = [tp.df for t in toks if (tp := self.term_postings(t)) is not None]
+        sc = BM25Scorer(dfs, self.doc_count, self.sum_total_tf)
+        scores = sc.score(freq, norms)
+        return _topk_from_candidates([docs], [scores], k)
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Indexed terms with the prefix — PrefixQuery term expansion

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 from apache___solr_ray import codec
 from apache___solr_ray.manifest import write_json_atomic
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: optional per-posting position stream in the codec
 
 TERMS_SCHEMA = pa.schema(
     [
@@ -96,10 +96,12 @@ def write_segment(
 def build_segment_from_group(
     group: pa.Table, seg_dir: str, tkey: int, salt: int, extra_meta: dict | None = None
 ) -> dict:
-    """Encode a (term, doc_id, tf, norm) group table into a segment.
+    """Encode a (term, doc_id, tf, norm[, pos]) group table into a segment.
 
     Sorts by (term, doc_id) — Ray's groupby does not guarantee intra-group
-    order (SURVEY §7.4) — then encodes each term run.
+    order (SURVEY §7.4) — then encodes each term run. An optional ``pos``
+    binary column (per-posting VInt position payloads from the analyzer)
+    is carried through by slicing, never re-encoded.
     """
     # sort by (term, doc_id) WITHOUT a string sort over every posting: the
     # group's distinct-term dictionary is tiny (vocab/term_partitions), so
@@ -126,7 +128,22 @@ def build_segment_from_group(
     ends = np.concatenate([change, [len(rs)]]) if len(rs) else np.zeros(0, np.int64)
     sorted_vocab = vocab[order_v]
     terms_list = [sorted_vocab[rs[s]] for s in starts]
-    payloads = codec.encode_postings_group(doc_arr, tf_arr, norm_arr, starts, ends)
+    pos_data = pos_off = None
+    if "pos" in group.column_names and group.num_rows:
+        taken = pc.take(group.column("pos").combine_chunks(), pa.array(idx))
+        if isinstance(taken, pa.ChunkedArray):
+            taken = taken.combine_chunks()
+        # pc.take emits a packed array (offset 0, values in row order), so
+        # the data buffer IS the reordered concatenated stream
+        off32 = np.frombuffer(taken.buffers()[1], dtype=np.int32)[
+            taken.offset : taken.offset + len(taken) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(taken.buffers()[2], dtype=np.uint8)
+        pos_data = data[off32[0] : off32[-1]]
+        pos_off = off32 - off32[0]
+    payloads = codec.encode_postings_group(
+        doc_arr, tf_arr, norm_arr, starts, ends, pos_data=pos_data, pos_off=pos_off
+    )
     dfs = (ends - starts).astype(np.int64)
     ttfs = np.add.reduceat(tf_arr, starts) if len(starts) else np.zeros(0, np.int64)
     max_tfs = np.maximum.reduceat(tf_arr, starts) if len(starts) else np.zeros(0, np.int64)
