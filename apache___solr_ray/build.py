@@ -93,6 +93,24 @@ def _limit_threads() -> None:
 
 
 @dataclass(frozen=True)
+class FieldSpec:
+    """One indexed field of the schema (reference: IndexSchema.java field
+    declarations + FieldProperties). ``source`` is the corpus column the
+    field's text comes from; ``copy_sources`` (copyField analog,
+    DocumentBuilder.java:183-230) makes this field index the concatenation
+    of OTHER fields' source text instead — token positions continue across
+    the copied sources (posIncrementGap=0, documented divergence from
+    Solr's default 100 for multivalued fields)."""
+
+    name: str
+    source: str = ""                      # corpus column; "" -> copy-only field
+    copy_sources: tuple[str, ...] = ()    # field NAMES whose text fans in
+
+    def key(self) -> str:
+        return f"{self.name}<{self.source}|{','.join(self.copy_sources)}"
+
+
+@dataclass(frozen=True)
 class IndexConfig:
     """Build configuration (the solrconfig.xml/schema analog)."""
 
@@ -107,12 +125,19 @@ class IndexConfig:
     #: index token positions (Lucene text-field default; enables phrase
     #: queries). Off = omitTermFreqAndPositions-style slimmer postings.
     store_positions: bool = True
+    #: multi-field schema (IndexSchema analog). Empty = the single implicit
+    #: ``text`` field (from html or the text column per text_from_html).
+    #: Non-empty: each field's terms are keyed ``<field>:<term>`` in the
+    #: shared term space (the term dict sorts by (field, term), as Lucene's
+    #: per-field terms do) with per-field collection stats for BM25.
+    fields: tuple[FieldSpec, ...] = ()
 
     def fingerprint(self) -> str:
         return (
             f"T={self.term_partitions};salt={self.salt_threshold};"
             f"part={self.target_docs_per_part};stop={sorted(self.stopwords)};"
-            f"html={self.text_from_html};pos={int(self.store_positions)};fmt=6"
+            f"html={self.text_from_html};pos={int(self.store_positions)};"
+            f"flds=[{';'.join(f.key() for f in self.fields)}];fmt=6"
         )
 
     def fingerprint_full(self) -> str:
@@ -120,6 +145,56 @@ class IndexConfig:
         (segment layout), while per-part manifests use ``fingerprint()`` so
         phase-A outputs survive a phase-B reconfiguration."""
         return f"{self.fingerprint()};shuf={self.shuffle};maxpost={self.max_postings_per_segment}"
+
+
+def _schema_columns(cfg: IndexConfig) -> list[str]:
+    """Corpus columns phase A must read for the configured schema."""
+    if not cfg.fields:
+        return ["url", "lang", "html"] if cfg.text_from_html else ["url", "lang", "text"]
+    cols = {"url", "lang"}
+    cols.update(fs.source for fs in cfg.fields if fs.source)
+    return sorted(cols)
+
+
+def _field_texts(tbl: pa.Table, cfg: IndexConfig) -> list[tuple[str, pa.Array]]:
+    """Resolve each schema field's text for one batch — the DocumentBuilder
+    copyField fan-in (reference DocumentBuilder.java:183-230). Returns
+    ``[(field_name, string_array)]``; the default schema is one unnamed
+    field (terms stay unprefixed, byte-compatible with single-field
+    indexes). A source column named ``html`` goes through the HTML→text
+    extractor; any other source is read as a string column."""
+    if not cfg.fields:
+        if cfg.text_from_html:
+            return [("", extract_batch(tbl.column("html")))]
+        return [("", tbl.column("text").combine_chunks())]
+    resolved: dict[str, pa.Array] = {}
+    for fs in cfg.fields:
+        if not fs.source:
+            continue
+        col = tbl.column(fs.source)
+        if fs.source == "html":
+            resolved[fs.name] = extract_batch(col)
+        else:
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if not pa.types.is_string(arr.type):
+                arr = pc.cast(arr, pa.string())
+            resolved[fs.name] = arr
+    out: list[tuple[str, pa.Array]] = []
+    for fs in cfg.fields:
+        txt = resolved.get(fs.name)
+        if fs.copy_sources:
+            pieces = ([txt] if txt is not None else []) + [
+                resolved[s] for s in fs.copy_sources
+            ]
+            txt = (
+                pc.binary_join_element_wise(*pieces, " ")
+                if len(pieces) > 1
+                else pieces[0]
+            )
+        if txt is None:
+            raise ValueError(f"field {fs.name!r} has no source and no copy_sources")
+        out.append((fs.name, txt))
+    return out
 
 
 def term_hash(terms: np.ndarray) -> np.ndarray:
@@ -194,7 +269,7 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     t0 = time.time()
     analyzer = Analyzer(stopwords=cfg.stopwords)
     pf = pq.ParquetFile(desc["path"])
-    columns = ["url", "lang", "html"] if cfg.text_from_html else ["url", "lang", "text"]
+    columns = _schema_columns(cfg)
 
     post_path = os.path.join(index_dir, "postings_raw", f"part-{part_id:06d}.parquet")
     os.makedirs(os.path.dirname(post_path), exist_ok=True)
@@ -224,6 +299,10 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     langs: list[pa.Array] = []
     lens: list[np.ndarray] = []
     df_partials: list[pa.Table] = []
+    # per-field collection stats (Lucene CollectionStatistics per field:
+    # docCount = docs with ≥1 token in the field, sumTotalTermFreq)
+    f_sum_len: dict[str, int] = {fs.name: 0 for fs in cfg.fields}
+    f_doc_count: dict[str, int] = {fs.name: 0 for fs in cfg.fields}
     row_base = 0
     n_postings = 0
     for batch in pf.iter_batches(
@@ -232,46 +311,55 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         columns=columns,
     ):
         tbl = pa.Table.from_batches([batch])
-        if cfg.text_from_html:
-            text = extract_batch(tbl.column("html"))
-        else:
-            text = tbl.column("text").combine_chunks()
-        if cfg.store_positions:
-            terms, doc_idx, tf, doc_len, pos_arr = analyzer.term_freqs(text, positions=True)
-        else:
-            terms, doc_idx, tf, doc_len = analyzer.term_freqs(text)
-            pos_arr = None
-        norms_per_doc = int_to_byte4_array(doc_len)
-        # hash each *distinct* term once (dictionary), fan out via codes
-        denc = pc.dictionary_encode(terms)
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-        tkey_vocab = (term_hash(vocab) % np.uint64(cfg.term_partitions)).astype(np.int32)
-        cols = {
-            "term": terms,
-            "row": pa.array((row_base + doc_idx).astype(np.int32)),
-            "tf": pa.array(tf.astype(np.int32)),
-            "norm": pa.array(norms_per_doc[doc_idx]),
-            "tkey": pa.array(tkey_vocab[codes]),
-            "part": pa.array(np.full(len(codes), part_id, dtype=np.int32)),
-        }
-        if pos_arr is not None:
-            cols["pos"] = pos_arr
-        post_batches.append(pa.table(cols, schema=post_schema))
-        n_postings += len(doc_idx)
-        # partial df: terms are unique per (doc, term) already, so df is a
-        # bincount over dictionary codes — vectorized, no Python loop
-        df_partials.append(
-            pa.table(
-                {
-                    "term": denc.dictionary,
-                    "df": pa.array(np.bincount(codes, minlength=len(vocab)), pa.int64()),
-                }
+        total_len = np.zeros(tbl.num_rows, dtype=np.int64)
+        for fname, ftext in _field_texts(tbl, cfg):
+            if cfg.store_positions:
+                terms, doc_idx, tf, doc_len, pos_arr = analyzer.term_freqs(
+                    ftext, positions=True
+                )
+            else:
+                terms, doc_idx, tf, doc_len = analyzer.term_freqs(ftext)
+                pos_arr = None
+            if fname:
+                # per-field term space: "<field>:<term>" (the term dict
+                # sorts by (field, term), as Lucene per-field terms do)
+                terms = pc.binary_join_element_wise(pa.scalar(fname + ":"), terms, "")
+                f_sum_len[fname] += int(doc_len.sum())
+                f_doc_count[fname] += int((doc_len > 0).sum())
+            total_len += doc_len
+            norms_per_doc = int_to_byte4_array(doc_len)
+            # hash each *distinct* term once (dictionary), fan out via codes
+            denc = pc.dictionary_encode(terms)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            tkey_vocab = (term_hash(vocab) % np.uint64(cfg.term_partitions)).astype(np.int32)
+            cols = {
+                "term": terms,
+                "row": pa.array((row_base + doc_idx).astype(np.int32)),
+                "tf": pa.array(tf.astype(np.int32)),
+                "norm": pa.array(norms_per_doc[doc_idx]),
+                "tkey": pa.array(tkey_vocab[codes]),
+                "part": pa.array(np.full(len(codes), part_id, dtype=np.int32)),
+            }
+            if pos_arr is not None:
+                cols["pos"] = pos_arr
+            post_batches.append(pa.table(cols, schema=post_schema))
+            n_postings += len(doc_idx)
+            # partial df: terms are unique per (doc, term) already, so df is
+            # a bincount over dictionary codes — vectorized, no Python loop
+            df_partials.append(
+                pa.table(
+                    {
+                        "term": denc.dictionary,  # already field-prefixed
+                        "df": pa.array(
+                            np.bincount(codes, minlength=len(vocab)), pa.int64()
+                        ),
+                    }
+                )
             )
-        )
         urls.append(tbl.column("url").combine_chunks())
         langs.append(tbl.column("lang").combine_chunks())
-        lens.append(doc_len)
+        lens.append(total_len)
         row_base += tbl.num_rows
 
     # write the part's postings SORTED by tkey, one Parquet row group per
@@ -350,6 +438,10 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         "n_postings": int(n_postings),
         "n_terms_partial": tdf.num_rows,
         "tkey_rgs": tkey_rgs,
+        "field_stats": {
+            n: {"doc_count": f_doc_count[n], "sum_total_tf": f_sum_len[n]}
+            for n in f_sum_len
+        },
         "wall_sec": round(time.time() - t0, 3),
         "resumed": False,
     }
@@ -632,6 +724,8 @@ def build_index(
             )
             for i in range(batch.num_rows)
         ]
+        import json
+
         return pa.table(
             {
                 "part_id": pa.array([s["part_id"] for s in out], pa.int64()),
@@ -639,6 +733,9 @@ def build_index(
                 "sum_doc_len": pa.array([s["sum_doc_len"] for s in out], pa.int64()),
                 "n_postings": pa.array([s["n_postings"] for s in out], pa.int64()),
                 "resumed": pa.array([s["resumed"] for s in out], pa.bool_()),
+                "field_stats": pa.array(
+                    [json.dumps(s.get("field_stats", {})) for s in out], pa.string()
+                ),
             }
         )
 
@@ -725,6 +822,18 @@ def build_index(
         )
     phase_b_sec = time.time() - t_start - phase_a_sec - heads_sec
 
+    field_stats: dict[str, dict[str, int]] = {}
+    if cfg.fields:
+        import json
+
+        for s in summaries:
+            for fname, fs_ in json.loads(s.get("field_stats") or "{}").items():
+                agg_f = field_stats.setdefault(
+                    fname, {"doc_count": 0, "sum_total_tf": 0}
+                )
+                agg_f["doc_count"] += int(fs_["doc_count"])
+                agg_f["sum_total_tf"] += int(fs_["sum_total_tf"])
+
     stats = {
         "field": "text",
         "doc_count": int(n_docs),
@@ -735,6 +844,8 @@ def build_index(
         "n_segments": len(seg_summaries),
         "head_terms": sorted(heads),
     }
+    if field_stats:
+        stats["fields"] = {k: field_stats[k] for k in sorted(field_stats)}
     write_json_atomic(os.path.join(index_dir, "stats.json"), stats)
 
     man = {

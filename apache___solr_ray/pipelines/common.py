@@ -34,21 +34,21 @@ def broadcast_join(ds, small: pa.Table, left_key: str, right_key: str, take: dic
 
 def semi_join_filter(ds, key_col: str, keys, keep: bool = True):
     """Semi/anti join by broadcast key set (reference JoinQParserPlugin
-    semi-join / ComplementStream anti-join semantics)."""
+    semi-join / ComplementStream anti-join semantics). The key set is
+    ``ray.put`` once as an Arrow array and each batch is filtered with the
+    vectorized ``pc.is_in`` kernel (hash probe in C, no Python loop)."""
     import ray
 
-    ref = ray.put(frozenset(keys))
+    ref = ray.put(pa.array(list(set(keys))))
     state: dict = {}
 
     def flt(t: pa.Table) -> pa.Table:
         if "keys" not in state:
-            state["keys"] = state0 = ray.get(ref)
-        ks = state["keys"]
-        col = t.column(key_col).to_pylist()
-        mask = np.fromiter((v in ks for v in col), dtype=bool, count=len(col))
+            state["keys"] = ray.get(ref)
+        mask = pc.is_in(t.column(key_col), value_set=state["keys"])
         if not keep:
-            mask = ~mask
-        return t.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(flt, batch_format="pyarrow")
 

@@ -59,7 +59,7 @@ def ensure_doc_index(sf_dir: str) -> str:
     if hit is not None:
         return hit
     src = os.path.join(sf_dir, "documents.parquet")
-    fp = f"{src}:{os.path.getsize(src)}:{pq.ParquetFile(src).metadata.num_rows}"
+    fp = f"{src}:{os.path.getsize(src)}:{pq.ParquetFile(src).metadata.num_rows}:v2"
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     base = f"/tmp/apache___solr_ray_cache/{key}"
     pages_dir = os.path.join(base, "pages")
@@ -67,11 +67,19 @@ def ensure_doc_index(sf_dir: str) -> str:
     os.makedirs(pages_dir, exist_ok=True)
     pages_path = os.path.join(pages_dir, "docs-000000.parquet")
     if not os.path.exists(pages_path):
-        t = pq.read_table(src, columns=["doc_id", "text", "lang"])
+        t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
         urls = pa.array([f"doc://{d:012d}" for d in t.column("doc_id").to_pylist()], pa.string())
         tmp = pages_path + ".tmp"
         pq.write_table(
-            pa.table({"url": urls, "text": t.column("text"), "lang": t.column("lang")}), tmp
+            pa.table(
+                {
+                    "url": urls,
+                    "text": t.column("text"),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                }
+            ),
+            tmp,
         )
         os.replace(tmp, pages_path)
     cfg = IndexConfig(
@@ -82,6 +90,37 @@ def ensure_doc_index(sf_dir: str) -> str:
     )
     build_index(pages_dir, index_dir, cfg)
     _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+_MF_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_doc_index_mf(sf_dir: str) -> str:
+    """Multi-field schema build over ``documents`` (IndexSchema analog):
+    ``text`` ← documents.text, ``src`` ← documents.source, and a catch-all
+    ``all`` copyField fanning in both (DocumentBuilder.java:183-230)."""
+    from apache___solr_ray.build import FieldSpec, IndexConfig, build_index
+
+    hit = _MF_INDEX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    base = os.path.dirname(os.path.normpath(ensure_doc_index(sf_dir)))  # writes pages/
+    pages_dir = os.path.join(base, "pages")
+    index_dir = os.path.join(base, "index_mf")
+    cfg = IndexConfig(
+        term_partitions=8,
+        salt_threshold=10_000_000,
+        target_docs_per_part=4096,
+        text_from_html=False,
+        fields=(
+            FieldSpec("text", source="text"),
+            FieldSpec("src", source="source"),
+            FieldSpec("all", copy_sources=("text", "src")),
+        ),
+    )
+    build_index(pages_dir, index_dir, cfg)
+    _MF_INDEX_CACHE[sf_dir] = index_dir
     return index_dir
 
 
@@ -240,9 +279,9 @@ def terms_prefix_enum(sf_dir: str):
     for segs in r._segments_by_tkey.values():
         for seg in segs:
             sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
-            for term, df, _ in sr.iter_terms():
-                if term.startswith("s"):
-                    agg[term] += df
+            ts, dfs = sr.terms_with_prefix_stats("s")
+            for term, df in zip(ts, dfs):
+                agg[term] += int(df)
             sr.close()
     terms = sorted(agg)
     return pa.table(
@@ -490,26 +529,12 @@ def index_grouped_topk_lang(sf_dir: str):
 def index_wildcard_match_count(sf_dir: str):
     """WildcardQuery (`s*t`): term-dict expansion by pattern -> OR over the
     expansions (reference wildcard/ReversedWildcardFilter surface)."""
-    import fnmatch
-
     from apache___solr_ray.query import IndexReader
-    from apache___solr_ray.segment import SegmentReader
 
     index_dir = ensure_doc_index(sf_dir)
     r = IndexReader(index_dir)
-    terms = set()
-    for segs in r._segments_by_tkey.values():
-        for seg in segs:
-            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
-            for term, _df, _ttf in sr.iter_terms():
-                if fnmatch.fnmatchcase(term, "s*t"):
-                    terms.add(term)
-            sr.close()
-    docs = (
-        r.match_docs(" ".join(sorted(terms)), mode="or")
-        if terms
-        else np.zeros(0, np.int64)
-    )
+    terms = r.expand_wildcard("s*t")
+    docs = r.match_docs(" ".join(terms), mode="or") if terms else np.zeros(0, np.int64)
     return pa.table({"n_docs": pa.array([len(docs)], pa.int64())})
 
 
@@ -527,23 +552,11 @@ def index_fuzzy_match_count(sf_dir: str):
     machinery)."""
     from apache___solr_ray.pipelines.text import _levenshtein1
     from apache___solr_ray.query import IndexReader
-    from apache___solr_ray.segment import SegmentReader
 
     index_dir = ensure_doc_index(sf_dir)
     r = IndexReader(index_dir)
-    terms = set()
-    for segs in r._segments_by_tkey.values():
-        for seg in segs:
-            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
-            for term, _df, _ttf in sr.iter_terms():
-                if _levenshtein1(term, "mergr"):
-                    terms.add(term)
-            sr.close()
-    docs = (
-        r.match_docs(" ".join(sorted(terms)), mode="or")
-        if terms
-        else np.zeros(0, np.int64)
-    )
+    terms = r.expand_fuzzy1("mergr", _levenshtein1)
+    docs = r.match_docs(" ".join(terms), mode="or") if terms else np.zeros(0, np.int64)
     return pa.table({"n_docs": pa.array([len(docs)], pa.int64())})
 
 
@@ -690,5 +703,86 @@ def index_phrase_topk(sf_dir: str):
             "rank": pa.array([x[1] for x in rows], pa.int64()),
             "doc_id": pa.array([x[2] for x in rows], pa.int64()),
             "score": pa.array([x[3] for x in rows], pa.float32()),
+        }
+    )
+
+
+# -- multi-field schema (IndexSchema / copyField / edismax qf) ---------------
+
+
+@q(
+    "index_field_df",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+         a AS (SELECT doc_id,
+                      unnest(list_append({_TOKS}, lower(source))) AS term
+               FROM documents)
+    SELECT 'text' AS field, term, count(DISTINCT doc_id) AS df,
+           CAST(count(*) AS BIGINT) AS ttf
+    FROM t GROUP BY term
+    UNION ALL
+    SELECT 'src', lower(source), count(DISTINCT doc_id),
+           CAST(count(*) AS BIGINT)
+    FROM documents GROUP BY lower(source)
+    UNION ALL
+    SELECT 'all', term, count(DISTINCT doc_id), CAST(count(*) AS BIGINT)
+    FROM a GROUP BY term
+    """,
+)
+def index_field_df(sf_dir: str):
+    """Per-field term dictionary of the multi-field build — df/ttf for every
+    ``<field>:<term>`` must equal DuckDB recounting each field's source
+    column, including the ``all`` copyField fan-in of text+source
+    (reference IndexSchema.java per-field terms, DocumentBuilder copyField)."""
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_doc_index_mf(sf_dir)
+    r = IndexReader(index_dir)
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            for term, df, ttf in sr.iter_terms():
+                a = agg[term]
+                a[0] += df
+                a[1] += ttf
+            sr.close()
+    keys = sorted(agg)
+    fields = [k.split(":", 1)[0] for k in keys]
+    terms = [k.split(":", 1)[1] for k in keys]
+    return pa.table(
+        {
+            "field": pa.array(fields, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "ttf": pa.array([agg[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
+@q("index_dismax_topk")  # BM25 scores -> rows-only; parity pytest-asserted
+def index_dismax_topk(sf_dir: str):
+    """edismax multi-field top-10 (qf per-field boosts + tie breaker,
+    reference ExtendedDismaxQParser.java): per term, per-field BM25 with
+    that field's own collection stats, combined max + tie*(sum-max)."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index_mf(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    rows = []
+    for qi, query in enumerate(["fast merge src3", "spark src11 window"]):
+        docs, scores = r.topk_dismax(
+            query, qf={"text": 1.0, "src": 2.0}, k=10, tie=0.1
+        )
+        for rank, (d, s) in enumerate(zip(docs, scores), 1):
+            rows.append((qi, rank, idmap[int(d)], round(float(s), 4)))
+    return pa.table(
+        {
+            "qid": pa.array([x[0] for x in rows], pa.int64()),
+            "rank": pa.array([x[1] for x in rows], pa.int64()),
+            "doc_id": pa.array([x[2] for x in rows], pa.int64()),
+            "score": pa.array([x[3] for x in rows], pa.float64()),
         }
     )

@@ -206,6 +206,9 @@ class IndexReader:
         self.stats = man["stats"]
         self.doc_count = self.stats["doc_count"]
         self.sum_total_tf = self.stats["sum_total_tf"]
+        #: per-field CollectionStatistics for multi-field schemas
+        #: (ExactStatsCache is per-field in the reference too)
+        self.field_stats: dict[str, dict] = self.stats.get("fields") or {}
         self.n_doc_parts = self.stats["n_doc_parts"]
         self.T = self.stats["term_partitions"]
         self._segments_by_tkey: dict[int, list[dict]] = {}
@@ -276,12 +279,27 @@ class IndexReader:
 
     # -- scoring ------------------------------------------------------------
 
+    def _field_collection_stats(self, field: str | None) -> tuple[int, int]:
+        """(docCount, sumTotalTermFreq) for BM25's avgdl — per-field when the
+        schema has that field (Lucene CollectionStatistics is per-field),
+        else the whole-collection stats of the implicit single field."""
+        if field and field in self.field_stats:
+            fs = self.field_stats[field]
+            return int(fs["doc_count"]), int(fs["sum_total_tf"])
+        return self.doc_count, self.sum_total_tf
+
     def _scorers(
-        self, query: str, df_override: dict[str, int] | None = None
+        self,
+        query: str,
+        df_override: dict[str, int] | None = None,
+        field: str | None = None,
     ) -> list[tuple[TermPostings, BM25Scorer]]:
         counts = Counter(self.analyzer.analyze(query))
+        dc, stf = self._field_collection_stats(field)
+        prefix = f"{field}:" if field else ""
         out = []
-        for term, n in counts.items():
+        for tok, n in counts.items():
+            term = prefix + tok
             tp = self.term_postings(term)
             if tp is not None:
                 # n duplicate query terms == n identical clauses == boost n;
@@ -289,9 +307,7 @@ class IndexReader:
                 # (ExactStatsCache semantics — a shard's local df would give
                 # the reference's LocalStatsCache ranking divergence)
                 df = df_override.get(term, tp.df) if df_override else tp.df
-                out.append(
-                    (tp, BM25Scorer(df, self.doc_count, self.sum_total_tf, boost=float(n)))
-                )
+                out.append((tp, BM25Scorer(df, dc, stf, boost=float(n))))
         return out
 
     def term_stats_map(self, query: str) -> dict[str, int]:
@@ -303,9 +319,11 @@ class IndexReader:
             if (tp := self.term_postings(term)) is not None
         }
 
-    def topk_exhaustive(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    def topk_exhaustive(
+        self, query: str, k: int = 10, field: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Decode-everything scorer: the correctness baseline."""
-        scorers = self._scorers(query)
+        scorers = self._scorers(query, field=field)
         if not scorers:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         docs_list, score_list = [], []
@@ -421,16 +439,39 @@ class IndexReader:
         return _topk_from_candidates([docs], [scores], k)
 
     def expand_prefix(self, prefix: str) -> list[str]:
-        """Indexed terms with the prefix — PrefixQuery term expansion
-        (term-dict scan across this prefix's possible tkey buckets = ALL
-        buckets, since tkey is a hash; per segment the dict is sorted)."""
+        """Indexed terms with the prefix — PrefixQuery term expansion. Every
+        tkey bucket can hold matches (tkey is a hash), but per segment the
+        dict is sorted, so each segment is two binary searches + a slice
+        (no per-term scan; Lucene seeks the TermsEnum identically)."""
         out: set[str] = set()
         for segs in self._segments_by_tkey.values():
             for seg in segs:
-                r = self._reader(seg["name"])
-                for term, _df, _ttf in r.iter_terms():
-                    if term.startswith(prefix):
-                        out.add(term)
+                out.update(self._reader(seg["name"]).terms_with_prefix(prefix))
+        return sorted(out)
+
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        """WildcardQuery expansion: ``*``/``?`` translated to SQL-LIKE and
+        matched by the vectorized C kernel per segment dict."""
+        like = (
+            pattern.replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("*", "%")
+            .replace("?", "_")
+        )
+        out: set[str] = set()
+        for segs in self._segments_by_tkey.values():
+            for seg in segs:
+                out.update(self._reader(seg["name"]).terms_matching_like(like))
+        return sorted(out)
+
+    def expand_fuzzy1(self, term: str, dist_fn) -> list[str]:
+        """FuzzyQuery (edit distance ≤ 1) expansion: vectorized length
+        prefilter per segment dict, distance computed only on survivors."""
+        out: set[str] = set()
+        for segs in self._segments_by_tkey.values():
+            for seg in segs:
+                out.update(self._reader(seg["name"]).terms_within_edit1(term, dist_fn))
         return sorted(out)
 
     def facet_by(self, doc_ids: np.ndarray, column: str) -> dict[str, int]:
@@ -555,9 +596,11 @@ class IndexReader:
         new_ckpt = int(fresh[-1]) if len(fresh) else checkpoint
         return fresh, new_ckpt
 
-    def topk(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    def topk(
+        self, query: str, k: int = 10, field: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned top-k (identical results to exhaustive)."""
-        scorers = self._scorers(query)
+        scorers = self._scorers(query, field=field)
         if not scorers:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         return _topk_blockmax(
@@ -566,6 +609,54 @@ class IndexReader:
             span_r=int(self.stats.get("max_part_rows", 0)),
             alive_fn=self._alive if len(self.tombstones) else None,
         )
+
+    def topk_dismax(
+        self,
+        query: str,
+        qf: dict[str, float],
+        k: int = 10,
+        tie: float = 0.0,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """edismax per-field scoring (reference ExtendedDismaxQParser:
+        ``qf`` per-field boosts + ``tie`` breaker). Per query term, each
+        listed field contributes ``boost_f * BM25_f(term)`` with that
+        field's own df/docCount/avgdl; the term's score per doc is Lucene's
+        DisjunctionMaxQuery combination ``max + tie * (sum - max)``; terms
+        then sum (default-OR). Scores accumulate in float64 and round-trip
+        through float32 like the single-field path."""
+        counts = Counter(self.analyzer.analyze(query))
+        docs_list, score_list = [], []
+        for tok, n in counts.items():
+            per_field: list[tuple[np.ndarray, np.ndarray]] = []
+            for fname, boost in qf.items():
+                tp = self.term_postings(f"{fname}:{tok}")
+                if tp is None:
+                    continue
+                dc, stf = self._field_collection_stats(fname)
+                sc = BM25Scorer(tp.df, dc, stf, boost=float(n) * float(boost))
+                d, t, m = tp.decode_all()
+                alive = self._alive(d)
+                if alive is not None:
+                    d, t, m = d[alive], t[alive], m[alive]
+                if len(d):
+                    per_field.append((d, sc.score(t, m).astype(np.float64)))
+            if not per_field:
+                continue
+            if len(per_field) == 1:
+                uniq, comb = per_field[0]
+            else:
+                all_d = np.concatenate([d for d, _ in per_field])
+                all_s = np.concatenate([s for _, s in per_field])
+                uniq, inv = np.unique(all_d, return_inverse=True)
+                mx = np.full(len(uniq), -np.inf)
+                np.maximum.at(mx, inv, all_s)
+                sm = np.bincount(inv, weights=all_s, minlength=len(uniq))
+                comb = mx + tie * (sm - mx)
+            docs_list.append(uniq)
+            score_list.append(np.asarray(comb, dtype=np.float32))
+        if not docs_list:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        return _topk_from_candidates(docs_list, score_list, k)
 
     def topk_range(
         self,
@@ -615,18 +706,29 @@ class IndexReader:
         one row per doc id, in the given order."""
         parts = doc_ids >> np.int64(32)
         rows = doc_ids & np.int64(0xFFFFFFFF)
-        chunks: dict[int, pa.Table] = {}
-        for part in np.unique(parts):
-            chunks[int(part)] = pq.read_table(
-                os.path.join(self.dir, "docs", f"part-{int(part):06d}.parquet"),
+        # group ids by part, one vectorized take per part, then restore the
+        # caller's order with one final take (no per-cell Python)
+        order = np.argsort(parts, kind="stable")
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        pieces: list[pa.Table] = []
+        sorted_parts = parts[order]
+        sorted_rows = rows[order]
+        bounds = np.flatnonzero(np.diff(sorted_parts) != 0) + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        ends = np.concatenate([bounds, [len(sorted_parts)]]).astype(np.int64)
+        for s, e in zip(starts, ends):
+            if s == e:
+                continue
+            part = int(sorted_parts[s])
+            t = pq.read_table(
+                os.path.join(self.dir, "docs", f"part-{part:06d}.parquet"),
                 columns=columns,
             )
-        out = {c: [] for c in columns}
-        for p, rw in zip(parts, rows):
-            t = chunks[int(p)]
-            for c in columns:
-                out[c].append(t.column(c)[int(rw)].as_py())
-        return pa.table({c: pa.array(out[c]) for c in columns})
+            pieces.append(t.take(pa.array(sorted_rows[s:e])))
+        if not pieces:
+            return pa.table({c: pa.array([]) for c in columns})
+        return pa.concat_tables(pieces).take(pa.array(inv))
 
     def topk_boosted(self, query: str, k: int, boost_fn) -> tuple[np.ndarray, np.ndarray]:
         """Function-query boosting (the `boost`/`func` parser analog,

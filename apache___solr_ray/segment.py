@@ -196,6 +196,49 @@ class SegmentReader:
         for i in range(len(self._terms)):
             yield self._terms[i], int(self._df[i]), int(self._ttf[i])
 
+    # -- vectorized term-dict expansion (MultiTermQuery rewrites) ----------
+
+    def terms_with_prefix(self, prefix: str) -> np.ndarray:
+        """Sorted-dict range scan: two binary searches, no per-term Python
+        (Lucene PrefixQuery seeks the TermsEnum to the prefix the same way)."""
+        lo = int(np.searchsorted(self._terms, prefix, side="left"))
+        succ = _prefix_successor(prefix)
+        hi = (
+            int(np.searchsorted(self._terms, succ, side="left"))
+            if succ is not None
+            else len(self._terms)
+        )
+        return self._terms[lo:hi]
+
+    def terms_with_prefix_stats(self, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+        """(terms, dfs) in the prefix range — the TermsComponent payload."""
+        lo = int(np.searchsorted(self._terms, prefix, side="left"))
+        succ = _prefix_successor(prefix)
+        hi = (
+            int(np.searchsorted(self._terms, succ, side="left"))
+            if succ is not None
+            else len(self._terms)
+        )
+        return self._terms[lo:hi], self._df[lo:hi]
+
+    def _terms_arrow(self) -> pa.Array:
+        a = getattr(self, "_terms_pa", None)
+        if a is None:
+            a = self._terms_pa = pa.array(self._terms, pa.string())
+        return a
+
+    def terms_matching_like(self, like: str) -> np.ndarray:
+        """Wildcard expansion via the C-level SQL-LIKE kernel (``%``/``_``)."""
+        mask = pc.match_like(self._terms_arrow(), like).to_numpy(zero_copy_only=False)
+        return self._terms[mask]
+
+    def terms_within_edit1(self, target: str, dist_fn) -> np.ndarray:
+        """Fuzzy expansion: vectorized length-window prefilter (edit distance
+        ≥ |len difference|), then ``dist_fn`` only on survivors."""
+        lens = pc.utf8_length(self._terms_arrow()).to_numpy(zero_copy_only=False)
+        cand = self._terms[np.abs(lens - len(target)) <= 1]
+        return cand[[bool(dist_fn(t, target)) for t in cand]]
+
     def close(self):
         try:
             if self._mm:
@@ -203,3 +246,13 @@ class SegmentReader:
             self._f.close()
         except Exception:
             pass
+
+
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than every string with this prefix (exact
+    upper bound for the dict range scan); None = prefix is all U+10FFFF."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
