@@ -791,24 +791,19 @@ def percentile_per_type(sf_dir: str):
 @q("hll_unique_users")  # approx sketch: rows-only driver check; bound asserted in pytest
 def hll_unique_users(sf_dir: str):
     """HLLAgg analog (reference HLLAgg.java): mergeable HyperLogLog sketch
-    of distinct user_id per event_type. Partial sketches are built per
-    batch inside map_batches (the combiner), merged driver-side — the
-    groupby shuffle moves only 2^12-byte registers, never user ids."""
-    from apache___solr_ray.functions.hll import HLL_P, hll_estimate, hll_partial_batch
+    of distinct user_id per event_type, run as a native ``AggregateFnV2``
+    — per-block partial registers, register-max merges INSIDE the groupby
+    shuffle (no driver-side merge loop), estimate at finalize. The
+    exchange moves 4 KiB registers per (group, block), never user ids."""
+    from apache___solr_ray.functions.aggs import HLLSketch
 
     ds = load(sf_dir, "events", columns=["event_type", "user_id"])
-    partials = ds.map_batches(hll_partial_batch("event_type", "user_id"), batch_format="pyarrow")
-    merged: dict[str, np.ndarray] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for et, regs in zip(
-            b.column("event_type").to_pylist(), b.column("registers").to_pylist()
-        ):
-            r = np.frombuffer(bytes(regs), dtype=np.uint8)
-            if et in merged:
-                merged[et] = np.maximum(merged[et], r)
-            else:
-                merged[et] = r.copy()
-    rows = sorted((et, int(round(hll_estimate(r)))) for et, r in merged.items())
+    rows = sorted(
+        (r["event_type"], int(r["approx_users"]))
+        for r in ds.groupby("event_type")
+        .aggregate(HLLSketch(on="user_id", alias_name="approx_users"))
+        .take_all()
+    )
     return pa.table(
         {
             "event_type": pa.array([r[0] for r in rows], pa.string()),
@@ -1019,43 +1014,30 @@ def asof_last_purchase_before_click(sf_dir: str):
 
 @q("percentile_tdigest_sketch")  # approx sketch -> rows-only; accuracy pytest-asserted
 def percentile_tdigest_sketch(sf_dir: str):
-    """PercentileAgg's scale path: per-batch t-digest partials inside
-    map_batches (one ~13 KB sketch per (event_type, batch)), register-style
-    merge driver-side — quantiles over 10^12 rows shuffle kilobytes. The
+    """PercentileAgg's scale path as a native ``AggregateFnV2``: per-block
+    t-digest partials, sketch merges INSIDE the groupby shuffle (no
+    driver-side merge loop) — quantiles over 10^12 rows shuffle kilobytes.
+    One digest per group comes back; both quantiles are read from it. The
     exact variants (percentile_value / percentile_per_type) are the
     oracle-checked baselines; this entry is the mergeable-sketch form."""
+    from apache___solr_ray.functions.aggs import TDigestSketch
     from apache___solr_ray.functions.tdigest import TDigest
 
     ds = load(sf_dir, "events", columns=["event_type", "value"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        types = np.asarray(t.column("event_type").to_pylist(), dtype=object)
-        vals = t.column("value").to_numpy()
-        out_t, out_b = [], []
-        for et in np.unique(types):
-            td = TDigest().add(vals[types == et])
-            out_t.append(str(et))
-            out_b.append(td.to_bytes())
-        return pa.table(
-            {"event_type": pa.array(out_t, pa.string()), "sketch": pa.array(out_b, pa.binary())}
-        )
-
-    merged: dict[str, "TDigest"] = {}
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for et, sk in zip(b.column("event_type").to_pylist(), b.column("sketch").to_pylist()):
-            td = TDigest.from_bytes(bytes(sk))
-            if et in merged:
-                merged[et].merge(td)
-            else:
-                merged[et] = td
-    types = sorted(merged)
+    groups = sorted(
+        (
+            (r["event_type"], TDigest.from_bytes(r["sketch"]))
+            for r in ds.groupby("event_type")
+            .aggregate(TDigestSketch(on="value", alias_name="sketch"))
+            .take_all()
+        ),
+        key=lambda g: g[0],
+    )
     return pa.table(
         {
-            "event_type": pa.array(types, pa.string()),
-            "p50": pa.array([round(merged[t].quantile(0.5), 4) for t in types]),
-            "p95": pa.array([round(merged[t].quantile(0.95), 4) for t in types]),
+            "event_type": pa.array([g[0] for g in groups], pa.string()),
+            "p50": pa.array([round(g[1].quantile(0.5), 4) for g in groups]),
+            "p95": pa.array([round(g[1].quantile(0.95), 4) for g in groups]),
         }
     )
 

@@ -1,6 +1,7 @@
 """Sketch/function accuracy tests (HLL — the HLLAgg analog)."""
 
 import numpy as np
+import pyarrow as pa
 
 from apache___solr_ray.functions.hll import _M, hll_add, hll_estimate
 
@@ -81,3 +82,43 @@ def test_tdigest_query_close_to_exact(ray_session):
         for q, col in ((0.5, "p50"), (0.95, "p95")):
             rank = (v <= got.loc[et, col]).mean()
             assert abs(rank - q) < 0.02, (et, col, rank)
+
+
+def test_aggfnv2_sketches_match_manual_merge(ray_session):
+    """The AggregateFnV2 in-shuffle path must equal a manual single-process
+    fold of the same data (partitioning cannot change the estimate)."""
+    import ray
+
+    from apache___solr_ray.functions.aggs import HLLSketch, TDigestSketch
+    from apache___solr_ray.functions.hll import _M, hll_add, hll_estimate
+    from apache___solr_ray.functions.tdigest import TDigest
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 5000, size=20_000)
+    floats = rng.normal(50, 10, size=20_000)
+    keys = rng.integers(0, 3, size=20_000)
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "v": vals, "f": floats})
+    ).repartition(7)
+
+    got = {
+        r["k"]: r["n"]
+        for r in ds.groupby("k").aggregate(HLLSketch(on="v", alias_name="n")).take_all()
+    }
+    for k in np.unique(keys):
+        regs = np.zeros(_M, dtype=np.uint8)
+        hll_add(regs, vals[keys == k])
+        assert got[int(k)] == int(round(hll_estimate(regs)))
+        exact = len(np.unique(vals[keys == k]))
+        assert abs(got[int(k)] - exact) / exact < 0.05
+
+    gq = {
+        r["k"]: TDigest.from_bytes(r["sk"]).quantile(0.9)
+        for r in ds.groupby("k")
+        .aggregate(TDigestSketch(on="f", alias_name="sk"))
+        .take_all()
+    }
+    for k in np.unique(keys):
+        v = floats[keys == k]
+        rank = (v <= gq[int(k)]).mean()
+        assert abs(rank - 0.9) < 0.02
