@@ -232,12 +232,29 @@ def ann_lsh_bucketed_top20(sf_dir: str):
 # -- IVF (inverted-file) ANN: the k-means coarse-quantizer scale path --------
 
 
-def _ivf_centroids(sf_dir: str, n_lists: int = 8, iters: int = 5) -> np.ndarray:
+def _ivf_centroids(
+    sf_dir: str, n_lists: int = 8, iters: int = 5, max_train: int = 65_536
+) -> np.ndarray:
     """Deterministic k-means coarse quantizer (Lloyd, fixed seed/iters) —
-    trained driver-side on a sample (at 100 TB: a read-limit sample; the
-    centroid matrix is tiny and broadcast to every assignment task)."""
-    t = load_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    trained driver-side on a BOUNDED sample: a deterministic
+    every-k-th-row thinning streamed through ``iter_batches``, never the
+    full table (k-means needs only O(n_lists) × oversampling rows; at
+    100 TB the stream stops after ``max_train`` rows). The centroid matrix
+    is tiny and broadcast to every assignment task."""
+    n_total = load(sf_dir, "embeddings", columns=["vec_id"]).count()
+    step = max(1, n_total // max_train)
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    rows: list[np.ndarray] = []
+    taken = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = b.column("vec_id").to_numpy()
+        keep = (ids % step) == 0
+        if keep.any():
+            rows.append(np.array(b.column("embedding").take(pa.array(np.flatnonzero(keep))).to_pylist(), dtype=np.float64))
+            taken += int(keep.sum())
+        if taken >= max_train:
+            break
+    X = np.concatenate(rows) if rows else np.zeros((0, 0))
     rng = np.random.Generator(np.random.PCG64(11))
     C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):

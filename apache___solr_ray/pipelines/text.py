@@ -518,6 +518,103 @@ def mlt_similar_docs(sf_dir: str):
     return pa.Table.from_pandas(tbl.reset_index(drop=True), preserve_index=False)
 
 
+_BIG = (1 << 62)
+
+
+def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int = 8, max_rounds: int = 64):
+    """Distributed min-label propagation over an edge Dataset — every round
+    is Ray Data shuffles (edge⋈label join + groupby-min); the driver holds
+    only the changed-label count. Labels are materialized per round
+    (iterative-algorithm checkpoint: without it the lazy lineage would
+    re-run all prior rounds each iteration). Converges in O(diameter)
+    rounds; labels only decrease, fixpoint = zero changes.
+
+    Cost controls for 10^12 nodes: propagation runs only over
+    edge-INCIDENT nodes (isolated nodes trivially label themselves and are
+    joined back at the end — with a ~2% duplicate rate that is a 25×
+    smaller per-round working set), and the changed-count rides the same
+    groupby as the min (own messages carry the old label; a row changed
+    iff new < old), so a round is exactly one join + one groupby."""
+    from ray.data.aggregate import Count, Min
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.select_columns(["a", "b"]).map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()
+
+    # seed labels: distinct edge endpoints, label = self
+    labels = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t.column("src"), "label": t.column("src")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # neighbor messages: old=BIG sentinel; own messages: old=label —
+        # after groupby-min, changed == (label < old) with no extra join
+        neigh = edges.join(
+            labels, "inner", num_partitions, on=("src",), right_on=("node",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst"),
+                    "cand": t.column("label"),
+                    "old": pa.array(np.full(t.num_rows, _BIG), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "cand": t.column("label"), "old": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        agg = (
+            neigh.union(own)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"), Min("old", alias_name="old"))
+            .materialize()
+        )
+        changed = agg.filter(expr="label < old").count()
+        labels = agg.select_columns(["node", "label"])
+        if changed == 0:
+            break
+
+    # join isolated nodes back: full left-outer against the propagated set
+    def init_labels(t: pa.Table) -> pa.Table:
+        ids = t.column(t.column_names[0]).to_numpy()
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    full = nodes_ds.map_batches(init_labels, batch_format="pyarrow").join(
+        labels, "left_outer", num_partitions, on=("node",), right_on=("node",)
+    )
+    return full.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "label": pc.coalesce(t.column("label"), t.column("node")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 @q(
     "near_dup_components",
     f"""
@@ -539,64 +636,24 @@ def mlt_similar_docs(sf_dir: str):
     """,
 )
 def near_dup_components(sf_dir: str):
-    """Near-duplicate clustering: connected components over the exact-Jaccard
-    edge set via distributed min-label propagation — iterative
-    groupby rounds until fixpoint (the GraphTermsQParser/GatherNodesStream
-    iterative-expansion analog, SURVEY §2.4, and the standard dedup-cluster
-    step of a training-data pipeline). Oracle: DuckDB recursive CTE.
-
-    Each round: labels = min over (own label, neighbors' labels) via ONE
-    groupby over the (node, candidate_label) edge-message table. Converges
-    in O(diameter) rounds; every round is a Ray Data shuffle, no driver
-    state beyond the convergence check.
-    """
-    from ray.data.aggregate import Min
+    """Near-duplicate clustering at the 100-TB shape: MinHash/LSH candidate
+    pairs (band groupby) -> exact token-set Jaccard verification of the
+    candidates only (hash joins ship token sets; stages/dedup.py
+    ``lsh_verified_pairs``) -> distributed min-label propagation
+    (``connected_components_ds``). No stage materializes the corpus or the
+    edge set driver-side. The brute-force O(n²) pair stage remains as the
+    pytest cross-check (tests/test_similarity.py); the DuckDB recursive-CTE
+    oracle checks this LSH path directly (recall at J≥0.9 is 1-4e-8 per
+    pair with 16×4 banding — exact at any testable scale)."""
+    from apache___solr_ray.stages.dedup import lsh_verified_pairs, token_hash_ds
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = jaccard_pairs_exact(ds, "text", "doc_id", threshold_num=9, threshold_den=10)
-    edges = pairs.select_columns(["a", "b"]).to_pandas()
-
-    ids = load(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"].to_numpy()
-    # labels start as self; iterate min-label propagation distributed
-    import ray.data as rd
-
-    labels = pd.DataFrame({"node": ids, "label": ids})
-    a = edges["a"].to_numpy()
-    b = edges["b"].to_numpy()
-    sym_src = np.concatenate([a, b])
-    sym_dst = np.concatenate([b, a])
-    # size-adaptive round executor: the round IS a groupby-min over edge
-    # messages; below the threshold a driver-side pandas groupby avoids a
-    # whole Ray shuffle per round (same computation, same result) — above
-    # it, the distributed path runs (message volume = 2|E| + |V| per round)
-    def round_min(msgs: pd.DataFrame) -> pd.DataFrame:
-        if len(msgs) < 5_000_000:
-            return msgs.groupby("node", as_index=False)["cand"].min().rename(
-                columns={"cand": "label"}
-            )
-        return (
-            rd.from_pandas(msgs)
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .to_pandas()
-        )
-
-    for _ in range(64):  # diameter bound; breaks at fixpoint
-        lab = labels.set_index("node")["label"]
-        msgs = pd.DataFrame(
-            {
-                "node": np.concatenate([sym_dst, labels["node"].to_numpy()]),
-                "cand": np.concatenate(
-                    [lab.loc[sym_src].to_numpy(), labels["label"].to_numpy()]
-                ),
-            }
-        )
-        new = round_min(msgs).sort_values("node").reset_index(drop=True)
-        old = labels.sort_values("node").reset_index(drop=True)
-        converged = (new["label"].to_numpy() == old["label"].to_numpy()).all()
-        labels = new
-        if converged:
-            break
+    toks = token_hash_ds(load(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id")
+    pairs = lsh_verified_pairs(
+        ds, toks, "text", "doc_id", threshold_num=9, threshold_den=10
+    )
+    nodes = load(sf_dir, "documents", columns=["doc_id"])
+    labels = connected_components_ds(pairs, nodes).to_pandas().sort_values("node")
     return pa.table(
         {
             "doc_id": pa.array(labels["node"].to_numpy(), pa.int64()),

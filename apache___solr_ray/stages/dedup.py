@@ -210,19 +210,35 @@ def add_minhash_bands(col: str, id_col: str, num_hashes: int = 64, bands: int = 
     return Stage
 
 
-def minhash_lsh_candidates(ds, col: str, id_col: str, num_hashes: int = 64, bands: int = 16, shingle: int = 3):
+def minhash_lsh_candidates(
+    ds,
+    col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    max_bucket: int = 1024,
+):
     """Full LSH pipeline: signatures -> band buckets -> candidate pairs
     (a < b), deduplicated. The groupby on (band, band_hash) is the only
-    shuffle; buckets are tiny unless the corpus is pathological."""
+    shuffle. A pathological hot bucket (boilerplate pages) is capped:
+    above ``max_bucket`` members the bucket emits a star to its min id
+    (O(k) edges instead of O(k²)) — members of a hot bucket collide on a
+    full band, so for dedup/connected-components the star preserves the
+    cluster w.h.p.; the cap is logged in the row count, not silent."""
     import pandas as pd  # noqa: F811
 
     Stage = add_minhash_bands(col, id_col, num_hashes, bands, shingle)
     banded = ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) > max_bucket:
+            a, b = np.full(len(ids) - 1, ids[0]), ids[1:]
+        else:
+            iu, ju = np.triu_indices(len(ids), k=1)
+            a, b = ids[iu], ids[ju]
+        return pd.DataFrame({"a": a, "b": b})
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
 
@@ -230,6 +246,89 @@ def minhash_lsh_candidates(ds, col: str, id_col: str, num_hashes: int = 64, band
         return g.head(1)
 
     return pairs.groupby(["a", "b"]).map_groups(dedup, batch_format="pandas")
+
+
+def token_hash_ds(ds, col: str, id_col: str):
+    """Per-doc distinct-token hash set as a bytes payload (uint64 LE) —
+    stays a Dataset (never materialized driver-side), joinable by id.
+    Bytes because Acero's hash join can't carry list columns."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        out = []
+        for x in t.column(col).to_pylist():
+            s = sorted(set(simple_tokenize(x or "")))
+            h = (
+                np.unique(_hash_strings(np.asarray(s, dtype=object)))
+                if s
+                else np.zeros(0, np.uint64)
+            )
+            out.append(h.tobytes())
+        return pa.table({id_col: t.column(id_col), "th": pa.array(out, pa.binary())})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def lsh_verified_pairs(
+    ds,
+    tok_ds,
+    col: str,
+    id_col: str,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 1,
+    max_bucket: int = 1024,
+    num_partitions: int = 8,
+):
+    """Scale path for exact-threshold near-dup pairs: MinHash/LSH candidate
+    generation (band groupby), then EXACT token-set Jaccard verification of
+    candidates only — two hash joins ship each candidate its two token
+    sets, the check is integer-exact (``den*|A∩B| >= num*|A∪B|``), and no
+    stage materializes the corpus driver-side. ``shingle=1`` makes MinHash
+    estimate token-set Jaccard, matching the brute-force oracle
+    (``jaccard_pairs_exact``); recall at J≥0.9 with 16×4 banding is
+    1 - (1-J^4)^16 ≈ 1 - 4e-8."""
+    cand = minhash_lsh_candidates(
+        ds, col, id_col, num_hashes, bands, shingle, max_bucket
+    )
+
+    def _rename_th(suffix):
+        def run(t: pa.Table) -> pa.Table:
+            i = t.column_names.index("th")
+            return t.set_column(i, f"th{suffix}", t.column("th"))
+
+        return run
+
+    j = cand.join(
+        tok_ds, "inner", num_partitions, on=("a",), right_on=(id_col,)
+    ).map_batches(_rename_th("_a"), batch_format="pyarrow")
+    j = j.join(tok_ds, "inner", num_partitions, on=("b",), right_on=(id_col,))
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_out, b_out, inter_out, union_out = [], [], [], []
+        av = t.column("a").to_pylist()
+        bv = t.column("b").to_pylist()
+        for ai, bi, ra, rb in zip(av, bv, t.column("th_a").to_pylist(), t.column("th").to_pylist()):
+            ha = np.frombuffer(ra, dtype=np.uint64)
+            hb = np.frombuffer(rb, dtype=np.uint64)
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            union = len(ha) + len(hb) - inter
+            if union > 0 and threshold_den * inter >= threshold_num * union:
+                a_out.append(ai)
+                b_out.append(bi)
+                inter_out.append(inter)
+                union_out.append(union)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "n_inter": pa.array(inter_out, pa.int64()),
+                "n_union": pa.array(union_out, pa.int64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # -- SimHash -----------------------------------------------------------------

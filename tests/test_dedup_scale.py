@@ -1,0 +1,79 @@
+"""Scale-path dedup parity: the LSH candidate->verify->propagate pipeline
+must produce exactly the brute-force results at test scale (the brute pair
+stage is the oracle; the LSH path is what runs at 100 TB)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs_set(tbl):
+    return set(zip(tbl.column("a").to_pylist(), tbl.column("b").to_pylist()))
+
+
+@pytest.fixture(scope="module")
+def brute_pairs(ray_session):
+    from apache___solr_ray.sources import load
+    from apache___solr_ray.stages.dedup import jaccard_pairs_exact
+
+    ds = load(SF, "documents", columns=["doc_id", "text"])
+    import pyarrow as pa
+    import ray
+
+    refs = jaccard_pairs_exact(ds, "text", "doc_id", 9, 10).to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+@pytest.fixture(scope="module")
+def lsh_pairs(ray_session):
+    from apache___solr_ray.sources import load
+    from apache___solr_ray.stages.dedup import lsh_verified_pairs, token_hash_ds
+
+    ds = load(SF, "documents", columns=["doc_id", "text"])
+    toks = token_hash_ds(load(SF, "documents", columns=["doc_id", "text"]), "text", "doc_id")
+    import pyarrow as pa
+    import ray
+
+    refs = lsh_verified_pairs(ds, toks, "text", "doc_id", 9, 10).to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+def test_lsh_pairs_equal_brute(brute_pairs, lsh_pairs):
+    assert _pairs_set(lsh_pairs) == _pairs_set(brute_pairs)
+    # and the exact intersection/union counts agree pairwise
+    b = {(r["a"], r["b"]): (r["n_inter"], r["n_union"]) for r in brute_pairs.to_pylist()}
+    for r in lsh_pairs.to_pylist():
+        assert b[(r["a"], r["b"])] == (r["n_inter"], r["n_union"])
+
+
+def test_components_equal_union_find(ray_session, brute_pairs):
+    """Distributed min-label propagation == driver union-find over the same
+    edges (smallest-id representative)."""
+    from apache___solr_ray.pipelines.text import connected_components_ds
+    from apache___solr_ray.sources import load
+
+    import ray.data as rd
+
+    nodes = load(SF, "documents", columns=["doc_id"])
+    ids = sorted(r["doc_id"] for r in nodes.take_all())
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _pairs_set(brute_pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+
+    labels = connected_components_ds(
+        rd.from_arrow(brute_pairs), load(SF, "documents", columns=["doc_id"])
+    )
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert got == want
