@@ -786,3 +786,61 @@ def index_dismax_topk(sf_dir: str):
             "score": pa.array([x[3] for x in rows], pa.float64()),
         }
     )
+
+
+# -- numeric range filtering (frange / point-field ranges) -------------------
+
+
+@q(
+    "index_range_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len
+    FROM t
+    WHERE len(list_intersect(toks, ['merge'])) > 0
+      AND len(toks) BETWEEN 40 AND 120
+    """,
+)
+def index_range_filter(sf_dir: str):
+    """Numeric range filter over an indexed match set — the `frange` /
+    IntPointField range-query analog (reference
+    FunctionRangeQParserPlugin.java, IntPointField.java): term query
+    'merge' AND doc_len in [40, 120], evaluated as a cached per-part
+    docValues range mask over the doc sidecar."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    docs = r.match_docs("merge", mode="or")
+    keep = r.doc_range_mask("doc_len", 40, 120)(docs)
+    docs = docs[keep]
+    lens = r.fetch_fields(docs, ["doc_len"]).column("doc_len").to_numpy() if len(docs) else np.zeros(0, np.int64)
+    ids = [idmap[int(d)] for d in docs]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "doc_len": pa.array(lens.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+@q("index_frange_topk")  # BM25 scores -> rows-only; parity pytest-asserted
+def index_frange_topk(sf_dir: str):
+    """BM25 top-10 under a numeric range filter (fq={!frange l=40 u=120}
+    analog): scoring the disjunction, mask applied before rank selection."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    docs, scores = r.topk_filtered(
+        "fast merge join", 10, r.doc_range_mask("doc_len", 40, 120)
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(docs) + 1), pa.int64()),
+            "doc_id": pa.array([idmap[int(d)] for d in docs], pa.int64()),
+            "score": pa.array(np.round(scores.astype(np.float64), 4), pa.float64()),
+        }
+    )

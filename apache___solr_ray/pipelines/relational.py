@@ -1092,3 +1092,86 @@ def range_join_value_bands(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_v"))
     )
     return round_cols(out, {"sum_v": 2})
+
+
+@q(
+    "left_outer_join_order_counts",
+    """
+    SELECT c_custkey, CAST(COALESCE(oc.n, 0) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+    ) oc ON c_custkey = o_custkey
+    """,
+)
+def left_outer_join_order_counts(sf_dir: str):
+    """Left outer broadcast join (reference LeftOuterJoinStream.java:
+    unmatched left tuples pass through with the right side null): every
+    customer keeps a row; customers with no orders get n_orders = 0. The
+    small side is the pre-aggregated per-customer order count (combiner
+    before the join, so the broadcast table is |customers|-bounded)."""
+    from ray.data.aggregate import Count
+
+    from apache___solr_ray.pipelines.common import broadcast_join
+
+    counts = (
+        load(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    counts_tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    cust = load(sf_dir, "customer", columns=["c_custkey"])
+    joined = broadcast_join(
+        cust, counts_tbl, "c_custkey", "o_custkey", {"n": "n_orders"}, how="left"
+    )
+
+    def fill0(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n_orders")
+        filled = pc.fill_null(pc.cast(t.column("n_orders"), pa.int64()), 0)
+        return t.set_column(i, "n_orders", filled).select(["c_custkey", "n_orders"])
+
+    return joined.map_batches(fill0, batch_format="pyarrow")
+
+
+@q(
+    "full_outer_join_customers_events",
+    """
+    WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id)
+    SELECT CAST(COALESCE(c.c_custkey, e.user_id) AS BIGINT) AS key,
+           CAST(c.c_custkey IS NOT NULL AS BIGINT) AS has_customer,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events
+    FROM customer c FULL OUTER JOIN e ON c.c_custkey = e.user_id
+    """,
+)
+def full_outer_join_customers_events(sf_dir: str):
+    """Full outer join (reference FullOuterJoinStream.java: unmatched
+    tuples from BOTH sides pass through) — customers vs per-user event
+    counts, run as Ray Data's native distributed hash join (both sides
+    partitioned by key; a broadcast join cannot express full-outer because
+    right-only rows would re-emit per batch)."""
+    from ray.data.aggregate import Count
+
+    ev = (
+        load(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+    )
+    cust = load(sf_dir, "customer", columns=["c_custkey"])
+    joined = cust.join(
+        ev, "full_outer", 8, on=("c_custkey",), right_on=("user_id",)
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("c_custkey"), pa.int64())
+        # the right key survives as its own column in outer joins
+        u = pc.cast(t.column("user_id"), pa.int64()) if "user_id" in t.column_names else c
+        n = pc.cast(t.column("n_events"), pa.int64())
+        return pa.table(
+            {
+                "key": pc.coalesce(c, u),
+                "has_customer": pc.cast(pc.is_valid(c), pa.int64()),
+                "n_events": pc.fill_null(n, 0),
+            }
+        )
+
+    return joined.map_batches(proj, batch_format="pyarrow")

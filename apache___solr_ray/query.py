@@ -519,6 +519,46 @@ class IndexReader:
 
         return allowed
 
+    def doc_range_mask(self, column: str, lo=None, hi=None):
+        """Numeric/date range filter over a doc-sidecar (docValues) column —
+        the `frange` / point-field range-query analog (reference
+        FunctionRangeQParserPlugin.java, IntPointField.java). Bounds are
+        inclusive; None = unbounded. Per-part bool masks are computed once
+        with Arrow kernels and cached (the filterCache shape)."""
+        masks: dict[int, np.ndarray] = {}
+
+        def allowed(doc_ids: np.ndarray) -> np.ndarray:
+            import pyarrow.compute as _pc
+
+            parts = doc_ids >> np.int64(32)
+            rows = doc_ids & np.int64(0xFFFFFFFF)
+            out = np.zeros(len(doc_ids), dtype=bool)
+            for part in np.unique(parts):
+                p = int(part)
+                if p not in masks:
+                    t = pq.read_table(
+                        os.path.join(self.dir, "docs", f"part-{p:06d}.parquet"),
+                        columns=[column],
+                    )
+                    col = t.column(column)
+                    m = None
+                    if lo is not None:
+                        m = _pc.greater_equal(col, lo)
+                    if hi is not None:
+                        mh = _pc.less_equal(col, hi)
+                        m = mh if m is None else _pc.and_(m, mh)
+                    if m is None:
+                        masks[p] = np.ones(len(col), dtype=bool)
+                    else:
+                        masks[p] = np.asarray(
+                            _pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+                        )
+                sel = parts == part
+                out[sel] = masks[p][rows[sel]]
+            return out
+
+        return allowed
+
     def topk_filtered(
         self, query: str, k: int, allowed
     ) -> tuple[np.ndarray, np.ndarray]:

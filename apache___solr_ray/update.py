@@ -39,3 +39,85 @@ def upsert_pages(
     os.replace(tmp, path)
 
     return build_index(corpus_dir, index_dir, cfg)
+
+
+def _fetch_stored(corpus_dir: str, urls: list[str]) -> pa.Table:
+    """Latest stored row per url (point lookup over the corpus files —
+    parquet predicate pushdown prunes row groups; upsert files sort after
+    the originals, so 'latest version wins' = keep the LAST occurrence in
+    file order, mirroring the tombstone semantics of upsert_pages)."""
+    import pyarrow.dataset as pads
+
+    files = sorted(
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    dset = pads.dataset(files, format="parquet")
+    t = dset.to_table(filter=pads.field("url").isin(urls))
+    # keep last occurrence per url (files scanned in sorted order)
+    seen: dict[str, int] = {}
+    for i, u in enumerate(t.column("url").to_pylist()):
+        seen[u] = i
+    return t.take(pa.array(sorted(seen.values()))) if seen else t
+
+
+def atomic_update(
+    corpus_dir: str,
+    index_dir: str,
+    updates: list[dict],
+    cfg: IndexConfig,
+) -> dict:
+    """Atomic/partial updates — the AtomicUpdateDocumentMerger analog
+    (reference ``solr/core/src/java/org/apache/solr/update/processor/
+    AtomicUpdateDocumentMerger.java``; test surface AtomicUpdatesTest.java).
+
+    Each update is ``{"url": <uniqueKey>, <field>: {"set"|"inc"|"add"|
+    "remove": value}, ...}``. The stored doc is fetched, ops are merged
+    field-wise (set = replace, inc = numeric add, add/remove = multivalued
+    list append/delete), and the merged doc goes through the normal
+    overwrite-by-uniqueKey path — old segments stay untouched (tombstone +
+    append + resumable rebuild), exactly Solr's update-reindexes-the-
+    whole-merged-doc semantics. Raises KeyError for an unknown url (Solr
+    rejects atomic ops against a missing doc unless every field is
+    createable — we keep the strict form)."""
+    urls = [u["url"] for u in updates]
+    stored = _fetch_stored(corpus_dir, urls)
+    by_url = {
+        u: {c: stored.column(c)[i].as_py() for c in stored.column_names}
+        for i, u in enumerate(stored.column("url").to_pylist())
+    }
+    merged_rows = []
+    for upd in updates:
+        url = upd["url"]
+        if url not in by_url:
+            raise KeyError(f"atomic update against missing uniqueKey {url!r}")
+        doc = dict(by_url[url])
+        for field, op in upd.items():
+            if field == "url":
+                continue
+            if not isinstance(op, dict) or len(op) != 1:
+                raise ValueError(f"field {field!r}: op must be {{set|inc|add|remove: value}}")
+            (verb, val), = op.items()
+            if verb == "set":
+                doc[field] = val
+            elif verb == "inc":
+                doc[field] = (doc.get(field) or 0) + val
+            elif verb == "add":
+                cur = doc.get(field)
+                if cur is None:
+                    cur = []
+                elif not isinstance(cur, list):
+                    raise ValueError(f"field {field!r} is not multivalued; use set")
+                doc[field] = cur + (val if isinstance(val, list) else [val])
+            elif verb == "remove":
+                cur = doc.get(field) or []
+                if not isinstance(cur, list):
+                    raise ValueError(f"field {field!r} is not multivalued; use set")
+                rm = set(val if isinstance(val, list) else [val])
+                doc[field] = [x for x in cur if x not in rm]
+            else:
+                raise ValueError(f"unknown atomic verb {verb!r}")
+        merged_rows.append(doc)
+    merged = pa.Table.from_pylist(merged_rows, schema=stored.schema)
+    return upsert_pages(corpus_dir, index_dir, merged, cfg)

@@ -221,3 +221,64 @@ def test_upsert_overwrite_by_uniquekey(ray_session, tmp_path_factory):
     # and the new doc serves through BM25
     dd, ss = r1.topk("zzupdatedtoken", 5)
     assert dd.tolist() == hits.tolist()
+
+
+def test_atomic_updates_set_inc_add_remove(ray_session, tmp_path_factory):
+    """AtomicUpdateDocumentMerger semantics (reference AtomicUpdatesTest):
+    set replaces, inc adds numerically, add/remove edit a multivalued list;
+    the merged doc reindexes through the overwrite path, untouched
+    partitions resume, and the stored merged values round-trip."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from apache___solr_ray.update import _fetch_stored, atomic_update
+
+    d = str(tmp_path_factory.mktemp("pages_atomic"))
+    # corpus with extra stored fields: numeric views + multivalued tags
+    t = pa.table(
+        {
+            "url": pa.array([f"u://{i}" for i in range(64)], pa.string()),
+            "text": pa.array([f"body token{i} shared" for i in range(64)], pa.string()),
+            "lang": pa.array(["en"] * 64, pa.string()),
+            "views": pa.array([10] * 64, pa.int64()),
+            "tags": pa.array([["a", "b"]] * 64, pa.list_(pa.string())),
+        }
+    )
+    pq_.write_table(t, f"{d}/pages-000000.parquet", row_group_size=32)
+    idx = str(tmp_path_factory.mktemp("index_atomic"))
+    cfg = IndexConfig(term_partitions=2, target_docs_per_part=32, text_from_html=False)
+    build_index(d, idx, cfg)
+
+    man = atomic_update(
+        d,
+        idx,
+        [
+            {
+                "url": "u://5",
+                "text": {"set": "zzatomictoken replaced body"},
+                "views": {"inc": 7},
+                "tags": {"add": "c"},
+            },
+            {"url": "u://9", "views": {"inc": -3}, "tags": {"remove": "a"}},
+        ],
+        cfg,
+    )
+    assert man["metrics"]["parts_resumed"] >= 1  # old partitions untouched
+
+    r = IndexReader(idx)
+    hits = r.match_docs("zzatomictoken", "or")
+    assert r.urls_for(hits) == ["u://5"]
+    # u://9 text unchanged -> still matches its original token
+    assert len(r.match_docs("token9", "or")) == 1
+
+    stored = _fetch_stored(d, ["u://5", "u://9"])
+    by = {row["url"]: row for row in stored.to_pylist()}
+    assert by["u://5"]["views"] == 17 and by["u://5"]["tags"] == ["a", "b", "c"]
+    assert by["u://5"]["text"].startswith("zzatomictoken")
+    assert by["u://9"]["views"] == 7 and by["u://9"]["tags"] == ["b"]
+
+    # strict form: unknown uniqueKey raises
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        atomic_update(d, idx, [{"url": "u://nope", "views": {"inc": 1}}], cfg)
