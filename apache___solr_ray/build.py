@@ -383,8 +383,23 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     tmp_post = post_path + ".tmp"
     # zstd: the shuffle intermediates are read back by phase B — trading
     # cheap decompression CPU (scales with cores) for disk bandwidth (does
-    # not) keeps the reduce side compute-bound
-    writer = pq.ParquetWriter(tmp_post, post_schema, compression="zstd", compression_level=1)
+    # not) keeps the reduce side compute-bound. Byte diet: `row` ascends in
+    # runs (batch-major within each tkey run), so DELTA_BINARY_PACKED cuts
+    # it ~5×; tkey/part are constants per run — delta packs them to ~0.
+    # Dictionary stays ON only where it wins (terms/tf/norm); the binary
+    # pos stream dict-encodes badly and zstd-plain is smaller.
+    writer = pq.ParquetWriter(
+        tmp_post,
+        post_schema,
+        compression="zstd",
+        compression_level=1,
+        use_dictionary=["term", "tf", "norm"],
+        column_encoding={
+            "row": "DELTA_BINARY_PACKED",
+            "tkey": "DELTA_BINARY_PACKED",
+            "part": "DELTA_BINARY_PACKED",
+        },
+    )
     tkey_rgs: dict[str, list[int]] = {}  # tkey -> [row_group_index, n_rows]
     for rg_i, (s, e) in enumerate(zip(run_starts, run_ends)):
         writer.write_table(all_post.slice(int(s), int(e - s)), row_group_size=int(e - s))
@@ -438,6 +453,7 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         "n_postings": int(n_postings),
         "n_terms_partial": tdf.num_rows,
         "tkey_rgs": tkey_rgs,
+        "postings_raw_bytes": os.path.getsize(post_path),
         "field_stats": {
             n: {"doc_count": f_doc_count[n], "sum_total_tf": f_sum_len[n]}
             for n in f_sum_len
@@ -733,6 +749,9 @@ def build_index(
                 "sum_doc_len": pa.array([s["sum_doc_len"] for s in out], pa.int64()),
                 "n_postings": pa.array([s["n_postings"] for s in out], pa.int64()),
                 "resumed": pa.array([s["resumed"] for s in out], pa.bool_()),
+                "postings_raw_bytes": pa.array(
+                    [int(s.get("postings_raw_bytes", 0)) for s in out], pa.int64()
+                ),
                 "field_stats": pa.array(
                     [json.dumps(s.get("field_stats", {})) for s in out], pa.string()
                 ),
@@ -872,6 +891,14 @@ def build_index(
         "metrics": {
             "n_docs": int(n_docs),
             "n_postings": int(sum(s["n_postings"] for s in summaries)),
+            "postings_raw_bytes": int(
+                sum(s.get("postings_raw_bytes", 0) for s in summaries)
+            ),
+            "postings_raw_bytes_per_posting": round(
+                sum(s.get("postings_raw_bytes", 0) for s in summaries)
+                / max(1, sum(s["n_postings"] for s in summaries)),
+                3,
+            ),
             "phase_a_sec": round(phase_a_sec, 3),
             "heads_sec": round(heads_sec, 3),
             "phase_b_sec": round(phase_b_sec, 3),
