@@ -844,3 +844,31 @@ def index_frange_topk(sf_dir: str):
             "score": pa.array(np.round(scores.astype(np.float64), 4), pa.float64()),
         }
     )
+
+
+@q("index_cursor_pages")  # BM25 scores -> rows-only; parity pytest-asserted
+def index_cursor_pages(sf_dir: str):
+    """CursorMark over BM25 results: three 5-row pages walked with the
+    (score, doc) cursor — concatenated pages must equal topk(15) exactly
+    (asserted in pytest), with no skip/repeat across tied scores."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    rows = []
+    cursor = None
+    for page in range(3):
+        d, s, cursor = r.cursor_page("fast merge join", 5, cursor)
+        for rank, (x, sc) in enumerate(zip(d, s), 1):
+            rows.append((page, rank, idmap[int(x)], round(float(sc), 4)))
+        if cursor is None:
+            break
+    return pa.table(
+        {
+            "page": pa.array([x[0] for x in rows], pa.int64()),
+            "rank": pa.array([x[1] for x in rows], pa.int64()),
+            "doc_id": pa.array([x[2] for x in rows], pa.int64()),
+            "score": pa.array([x[3] for x in rows], pa.float64()),
+        }
+    )

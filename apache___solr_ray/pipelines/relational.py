@@ -1175,3 +1175,135 @@ def full_outer_join_customers_events(sf_dir: str):
         )
 
     return joined.map_batches(proj, batch_format="pyarrow")
+
+
+@q(
+    "facet_missing_countvals_sumsq",
+    """
+    WITH t AS (SELECT event_type,
+                      CASE WHEN value <= 100 THEN value END AS v
+               FROM events)
+    SELECT event_type,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+           CAST(count(v) AS BIGINT) AS countvals,
+           round(sum(COALESCE(v * v, 0)), 2) AS sumsq
+    FROM t GROUP BY event_type
+    """,
+)
+def facet_missing_countvals_sumsq(sf_dir: str):
+    """The JSON-facet refinement aggregates missing / countvals / sumsq
+    (reference MissingAgg.java, CountValsAgg.java, SumsqAgg.java) over a
+    nullable derived value — indicators and squares computed vectorized
+    per batch, so each is a plain partial+final Sum in the one groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        mask = pc.less_equal(v, 100.0)
+        vn = pc.if_else(mask, v, pa.scalar(None, pa.float64()))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "is_missing": pc.cast(pc.invert(pc.fill_null(mask, False)), pa.int64()),
+                "has_val": pc.cast(pc.is_valid(vn), pa.int64()),
+                "v2": pc.fill_null(pc.multiply(vn, vn), 0.0),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("is_missing", alias_name="missing"),
+            Sum("has_val", alias_name="countvals"),
+            Sum("v2", alias_name="sumsq"),
+        )
+    )
+    return round_cols(out, {"sumsq": 2})
+
+
+@q(
+    "sample_events_hash",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE ((event_id % 1000003) * 2654435761 + 12345) % 1000000007 % 100 < 10
+    """,
+)
+def sample_events_hash(sf_dir: str):
+    """Seeded pseudo-random sampling (reference RandomStream.java:53-58 —
+    a deterministic seeded sample of the result set): a Knuth
+    multiplicative hash of the key decides membership, so the sample is
+    ~Bernoulli(10%) yet reproducible and embarrassingly parallel (pure
+    map-side filter, mirrored exactly by the oracle's integer arithmetic).
+    Unlike `sample_events_mod`, key locality does not leak into the sample
+    (adjacent ids scatter across the hash space)."""
+    ds = load(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        h = ((ids % 1000003) * 2654435761 + 12345) % 1000000007 % 100
+        return t.filter(pa.array(h < 10))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+@q(
+    "cursor_orders_pages",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT CAST((rn - 1) // 50 AS BIGINT) AS page, o_orderkey, price
+    FROM ranked WHERE rn <= 150
+    """,
+)
+def cursor_orders_pages(sf_dir: str):
+    """CursorMark deep paging over a sorted export (reference
+    CursorMark.java: totem = last row's (sort value, uniqueKey); each page
+    filters strictly-after the cursor then sort+limit — no offset scan, so
+    page N costs the same as page 1). Three 50-row pages; each page is its
+    own Ray sort+limit over the cursor-filtered stream."""
+    pages = []
+    cursor = None  # (price, orderkey) of the last emitted row
+    for page_no in range(3):
+        ds = load(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+        def prep(t: pa.Table, _c=cursor) -> pa.Table:
+            price = pc.round(
+                pc.cast(t.column("o_totalprice"), pa.float64()),
+                ndigits=2,
+                round_mode="half_towards_infinity",
+            )
+            t = pa.table({"o_orderkey": t.column("o_orderkey"), "price": price})
+            if _c is not None:
+                p = t.column("price")
+                k = t.column("o_orderkey")
+                after = pc.or_(
+                    pc.less(p, _c[0]),
+                    pc.and_(pc.equal(p, _c[0]), pc.greater(k, _c[1])),
+                )
+                t = t.filter(after)
+            return t
+
+        page = (
+            ds.map_batches(prep, batch_format="pyarrow")
+            .sort(["price", "o_orderkey"], descending=[True, False])
+            .limit(50)
+            .to_pandas()
+        )
+        page.insert(0, "page", page_no)
+        pages.append(page)
+        cursor = (float(page["price"].iloc[-1]), int(page["o_orderkey"].iloc[-1]))
+    out = pd.concat(pages, ignore_index=True)
+    return pa.table(
+        {
+            "page": pa.array(out["page"].to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(), pa.int64()),
+            "price": pa.array(out["price"].to_numpy(), pa.float64()),
+        }
+    )

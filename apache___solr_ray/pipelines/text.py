@@ -48,18 +48,39 @@ def q(name: str, sql: str | None = None):
 
 def _term_tuples(t: pa.Table) -> pa.Table:
     """Explode (doc_id, term, tf) with the simple tokenizer — the
-    CartesianProductStream-style unnest feeding term aggregates."""
-    doc_ids, terms, tfs = [], [], []
-    for d, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-        for term, tf in Counter(simple_tokenize(text or "")).items():
-            doc_ids.append(d)
-            terms.append(term)
-            tfs.append(tf)
+    CartesianProductStream-style unnest feeding term aggregates. Same
+    dictionary-encode + combined-key unique aggregation as the production
+    analyzer batch path (analyze.Analyzer.term_freqs): per-doc C-regex
+    findall, then no Python loops over tokens."""
+    from apache___solr_ray.analyze import SIMPLE_TOKEN_RE
+
+    ids = t.column("doc_id").to_numpy()
+    flat: list[str] = []
+    counts = np.empty(t.num_rows, dtype=np.int64)
+    findall = SIMPLE_TOKEN_RE.findall
+    for i, text in enumerate(t.column("text").to_pylist()):
+        toks = findall((text or "").lower())
+        counts[i] = len(toks)
+        flat += toks
+    if not flat:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    denc = pc.dictionary_encode(pa.array(flat, pa.string()))
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nvocab = len(denc.dictionary)
+    doc_of_token = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    key = doc_of_token * nvocab + codes
+    uniq, tf = np.unique(key, return_counts=True)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
+            "doc_id": pa.array(ids[uniq // nvocab], pa.int64()),
+            "term": pc.take(denc.dictionary, pa.array(uniq % nvocab)),
+            "tf": pa.array(tf.astype(np.int64)),
         }
     )
 

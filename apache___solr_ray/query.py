@@ -650,6 +650,39 @@ class IndexReader:
             alive_fn=self._alive if len(self.tombstones) else None,
         )
 
+    def cursor_page(
+        self,
+        query: str,
+        k: int,
+        cursor: tuple[float, int] | None = None,
+        field: str | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, tuple[float, int] | None]:
+        """CursorMark deep paging (reference CursorMark.java /
+        Lucene searchAfter): return the next ``k`` results strictly AFTER
+        the cursor position in (score desc, doc asc) total order, plus the
+        next cursor. Stateless — the cursor is the last row's (float32
+        score, doc id), so any shard/replica can resume the walk; pages
+        never skip or repeat rows even when scores tie across pages."""
+        scorers = self._scorers(query, field=field)
+        if not scorers:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32), None
+        docs_list, score_list = [], []
+        for tp, sc in scorers:
+            d, t, m = tp.decode_all()
+            alive = self._alive(d)
+            if alive is not None:
+                d, t, m = d[alive], t[alive], m[alive]
+            docs_list.append(d)
+            score_list.append(sc.score(t, m))
+        d_all, s_all = _topk_from_candidates(docs_list, score_list, 1 << 62)
+        if cursor is not None:
+            c_s = np.float32(cursor[0])
+            after = (s_all < c_s) | ((s_all == c_s) & (d_all > cursor[1]))
+            d_all, s_all = d_all[after], s_all[after]
+        d_out, s_out = d_all[:k], s_all[:k]
+        nxt = (float(s_out[-1]), int(d_out[-1])) if len(d_out) == k else None
+        return d_out, s_out, nxt
+
     def topk_dismax(
         self,
         query: str,

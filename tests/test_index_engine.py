@@ -427,3 +427,22 @@ def test_fetch_fields_and_boosted_topk(built):
     order = np.lexsort((d_all, -want.astype(np.float64)))[:10]
     assert db.tolist() == d_all[order].tolist()
     assert sb.tolist() == want[order].tolist()
+
+
+def test_cursor_pages_equal_topk_prefix(built):
+    """CursorMark pages concatenate to exactly the topk prefix — no skips,
+    no repeats, ties broken identically (CursorMarkTest semantics)."""
+    idx, _cfg, _man = built
+    r = IndexReader(idx)
+    for query in ["the fast data", "state of the art pipeline merge"]:
+        want_d, want_s = r.topk_exhaustive(query, 21)
+        got_d, got_s = [], []
+        cursor = None
+        for _ in range(3):
+            d, s, cursor = r.cursor_page(query, 7, cursor)
+            got_d.extend(d.tolist())
+            got_s.extend(s.tolist())
+            if cursor is None:
+                break
+        assert got_d == want_d[: len(got_d)].tolist()
+        assert got_s == want_s[: len(got_s)].tolist()
