@@ -542,7 +542,7 @@ def mlt_similar_docs(sf_dir: str):
 _BIG = (1 << 62)
 
 
-def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int = 8, max_rounds: int = 64):
+def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int | None = None, max_rounds: int = 64):
     """Distributed min-label propagation over an edge Dataset — every round
     is Ray Data shuffles (edge⋈label join + groupby-min); the driver holds
     only the changed-label count. Labels are materialized per round
@@ -557,6 +557,11 @@ def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int = 8, max_rou
     groupby as the min (own messages carry the old label; a row changed
     iff new < old), so a round is exactly one join + one groupby."""
     from ray.data.aggregate import Count, Min
+
+    from apache___solr_ray.stages.dedup import _default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()

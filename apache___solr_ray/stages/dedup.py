@@ -248,6 +248,21 @@ def minhash_lsh_candidates(
     return pairs.groupby(["a", "b"]).map_groups(dedup, batch_format="pandas")
 
 
+def _default_join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: each partition is
+    one aggregator actor, and a pool much wider than the CPU count can
+    deadlock a small local cluster (two 8-way joins = 16 actors on 4
+    CPUs). ~CPUs/4, floor 2 — at real cluster sizes this grows with the
+    machine."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 4)
+
+
 def token_hash_ds(ds, col: str, id_col: str):
     """Per-doc distinct-token hash set as a bytes payload (uint64 LE) —
     stays a Dataset (never materialized driver-side), joinable by id.
@@ -279,7 +294,7 @@ def lsh_verified_pairs(
     bands: int = 16,
     shingle: int = 1,
     max_bucket: int = 1024,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Scale path for exact-threshold near-dup pairs: MinHash/LSH candidate
     generation (band groupby), then EXACT token-set Jaccard verification of
@@ -292,6 +307,8 @@ def lsh_verified_pairs(
     cand = minhash_lsh_candidates(
         ds, col, id_col, num_hashes, bands, shingle, max_bucket
     )
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
 
     def _rename_th(suffix):
         def run(t: pa.Table) -> pa.Table:
