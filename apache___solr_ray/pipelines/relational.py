@@ -1307,3 +1307,219 @@ def cursor_orders_pages(sf_dir: str):
             "price": pa.array(out["price"].to_numpy(), pa.float64()),
         }
     )
+
+
+@q(
+    "relatedness_event_types",
+    """
+    WITH agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
+             CAST(count(*) AS BIGINT) AS bg_count
+      FROM events GROUP BY event_type
+    ),
+    size AS (
+      SELECT CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS fg_size,
+             CAST(count(*) AS BIGINT) AS bg_size
+      FROM events
+    ),
+    z AS (
+      SELECT event_type, fg_count, bg_count,
+             (fg_count - fg_size * (bg_count * 1.0 / bg_size))
+             / (CASE WHEN sqrt(fg_size * (bg_count * 1.0 / bg_size) * (1 - bg_count * 1.0 / bg_size)) = 0
+                     THEN 1e-10
+                     ELSE sqrt(fg_size * (bg_count * 1.0 / bg_size) * (1 - bg_count * 1.0 / bg_size)) END) AS zv
+      FROM agg, size
+    )
+    SELECT event_type, fg_count, bg_count,
+           floor((0.2 * ((zv + -80) / (50 + abs(zv + -80)))
+                + 0.2 * ((zv + -30) / (30 + abs(zv + -30)))
+                + 0.2 * ((zv + 0) / (30 + abs(zv + 0)))
+                + 0.2 * ((zv + 30) / (30 + abs(zv + 30)))
+                + 0.2 * ((zv + 80) / (50 + abs(zv + 80)))) * 1e5 + 0.5) / 1e5 AS relatedness
+    FROM z
+    """,
+)
+def relatedness_event_types(sf_dir: str):
+    """Semantic-knn `relatedness` aggregate (reference RelatednessAgg.java:
+    computeRelatedness z-score + 5-sigmoid squash, roundTo5Digits) —
+    foreground = events with value > 100, background = all events, buckets
+    = event_type. Counts come from one partial+final Sum groupby; the
+    scalar formula is applied bucket-wise afterward with the exact IEEE
+    operation order of the reference (mirrored by the oracle)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "in_fg": pc.cast(pc.greater(t.column("value"), 100.0), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("in_fg", alias_name="fg_count"), Count(alias_name="bg_count"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    fg_size = float(agg["fg_count"].sum())
+    bg_size = float(agg["bg_count"].sum())
+    fg = agg["fg_count"].to_numpy().astype(np.float64)
+    bg = agg["bg_count"].to_numpy().astype(np.float64)
+    bg_prob = bg / bg_size
+    num = fg - fg_size * bg_prob
+    denom = np.sqrt(fg_size * bg_prob * (1 - bg_prob))
+    denom = np.where(denom == 0, 1e-10, denom)
+    z = num / denom
+
+    def sig(x, off, scale):
+        return (x + off) / (scale + np.abs(x + off))
+
+    rel = (
+        0.2 * sig(z, -80.0, 50.0)
+        + 0.2 * sig(z, -30.0, 30.0)
+        + 0.2 * sig(z, 0.0, 30.0)
+        + 0.2 * sig(z, 30.0, 30.0)
+        + 0.2 * sig(z, 80.0, 50.0)
+    )
+    rel = np.floor(rel * 1e5 + 0.5) / 1e5  # Math.round semantics
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+            "fg_count": pa.array(agg["fg_count"].to_numpy(), pa.int64()),
+            "bg_count": pa.array(agg["bg_count"].to_numpy(), pa.int64()),
+            "relatedness": pa.array(rel, pa.float64()),
+        }
+    )
+
+
+@q(
+    "weighted_sum_per_type",
+    """
+    SELECT event_type,
+           round(sum(value * CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS wsum,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS wtotal
+    FROM events GROUP BY event_type
+    """,
+)
+def weighted_sum_per_type(sf_dir: str):
+    """WeightedSumMetric analog (reference solrj-streaming
+    WeightedSumMetric.java: sum of value×weight per bucket): the weight is
+    parsed from the JSON props column vectorized, the product is computed
+    per batch, and the groupby is one partial+final Sum."""
+    import json as _json
+
+    from ray.data.aggregate import Sum
+
+    ds = load(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ks = np.array(
+            [_json.loads(p)["k"] for p in t.column("props").to_pylist()], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "wv": pc.multiply(pc.cast(t.column("value"), pa.float64()), pa.array(ks.astype(np.float64))),
+                "k": pa.array(ks),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("wv", alias_name="wsum"), Sum("k", alias_name="wtotal"))
+    )
+    return round_cols(out, {"wsum": 2})
+
+
+# -- spatial (bbox / geofilt / geodist) --------------------------------------
+# Coordinates are synthesized deterministically from the key with exact
+# integer arithmetic (identical on both sides), standing in for a stored
+# lat/lon point field (reference LatLonPointSpatialField).
+
+_LAT_SQL = "((c_custkey * 7919) % 17000) / 100.0 - 85.0"
+_LON_SQL = "((c_custkey * 104729) % 36000) / 100.0 - 180.0"
+
+
+def _latlon(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = ((keys * 7919) % 17000) / 100.0 - 85.0
+    lon = ((keys * 104729) % 36000) / 100.0 - 180.0
+    return lat, lon
+
+
+@q(
+    "geo_bbox_filter",
+    f"""
+    SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+    FROM customer
+    WHERE {_LAT_SQL} BETWEEN 10.0 AND 45.0 AND {_LON_SQL} BETWEEN -30.0 AND 60.0
+    """,
+)
+def geo_bbox_filter(sf_dir: str):
+    """bbox filter (reference `{{!bbox}}` / SpatialFilterQParser: rectangle
+    containment over a point field) — a pure vectorized per-batch
+    comparison, no shuffle."""
+    ds = load(sf_dir, "customer", columns=["c_custkey"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy()
+        lat, lon = _latlon(k)
+        keep = (lat >= 10.0) & (lat <= 45.0) & (lon >= -30.0) & (lon <= 60.0)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k[keep], pa.int64()),
+                "lat": pa.array(lat[keep], pa.float64()),
+                "lon": pa.array(lon[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+@q(
+    "geo_dist_top20",
+    f"""
+    WITH pts AS (SELECT c_custkey, radians({_LAT_SQL}) AS la, radians({_LON_SQL}) AS lo
+                 FROM customer),
+    d AS (
+      SELECT c_custkey,
+             round(2 * 6371.0087714 * asin(sqrt(
+               sin((la - radians(48.8566)) / 2) * sin((la - radians(48.8566)) / 2)
+               + cos(radians(48.8566)) * cos(la)
+                 * sin((lo - radians(2.3522)) / 2) * sin((lo - radians(2.3522)) / 2)
+             )), 4) AS dist_km
+      FROM pts
+    )
+    SELECT c_custkey, dist_km FROM d
+    ORDER BY dist_km ASC, c_custkey ASC LIMIT 20
+    """,
+)
+def geo_dist_top20(sf_dir: str):
+    """geodist sort / geofilt (reference GeoDistValueSource semantics:
+    haversine great-circle km, GEO earth radius 6371.0087714): nearest 20
+    customers to Paris, distance computed vectorized per batch with the
+    oracle's exact operation order, global top-k via sort+limit."""
+    ds = load(sf_dir, "customer", columns=["c_custkey"])
+    qlat, qlon = np.radians(48.8566), np.radians(2.3522)
+
+    def dist(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy()
+        lat, lon = _latlon(k)
+        la, lo = np.radians(lat), np.radians(lon)
+        h = (
+            np.sin((la - qlat) / 2) * np.sin((la - qlat) / 2)
+            + np.cos(qlat) * np.cos(la) * np.sin((lo - qlon) / 2) * np.sin((lo - qlon) / 2)
+        )
+        d = np.round(2 * 6371.0087714 * np.arcsin(np.sqrt(h)), 4)
+        return pa.table(
+            {"c_custkey": pa.array(k, pa.int64()), "dist_km": pa.array(d, pa.float64())}
+        )
+
+    return ds.map_batches(dist, batch_format="pyarrow").sort(
+        ["dist_km", "c_custkey"]
+    ).limit(20)
