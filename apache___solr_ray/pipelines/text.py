@@ -644,12 +644,19 @@ def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int | None = Non
 @q(
     "near_dup_components",
     f"""
-    WITH RECURSIVE t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t),
     edges AS (
       SELECT a.doc_id AS a, b.doc_id AS b
-      FROM t a JOIN t b ON a.doc_id < b.doc_id
-      WHERE 10 * len(list_intersect(a.toks, b.toks))
-            >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE 10 * len(list_intersect(a.grams, b.grams))
+            >= 9 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
     ),
     sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
     reach(node, reach) AS (
@@ -663,20 +670,25 @@ def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int | None = Non
 )
 def near_dup_components(sf_dir: str):
     """Near-duplicate clustering at the 100-TB shape: MinHash/LSH candidate
-    pairs (band groupby) -> exact token-set Jaccard verification of the
-    candidates only (hash joins ship token sets; stages/dedup.py
+    pairs (band groupby) -> exact 3-gram-shingle Jaccard verification of
+    the candidates only (hash joins ship shingle sets; stages/dedup.py
     ``lsh_verified_pairs``) -> distributed min-label propagation
     (``connected_components_ds``). No stage materializes the corpus or the
-    edge set driver-side. The brute-force O(n²) pair stage remains as the
-    pytest cross-check (tests/test_similarity.py); the DuckDB recursive-CTE
-    oracle checks this LSH path directly (recall at J≥0.9 is 1-4e-8 per
-    pair with 16×4 banding — exact at any testable scale)."""
+    edge set driver-side. Similarity is word-SHINGLE Jaccard (n=3) — the
+    metric MinHash dedup actually targets; unigram token-set Jaccard (kept
+    as ``jaccard_near_dup_pairs``) degenerates on boilerplate corpora where
+    every long page shares the whole vocabulary. The brute-force O(n²)
+    stage remains as the pytest cross-check (tests/test_dedup_scale.py);
+    the DuckDB recursive-CTE oracle checks this LSH path directly (recall
+    at J≥0.9 is 1-4e-8 per pair with 16×4 banding)."""
     from apache___solr_ray.stages.dedup import lsh_verified_pairs, token_hash_ds
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    toks = token_hash_ds(load(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id")
+    toks = token_hash_ds(
+        load(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id", shingle=3
+    )
     pairs = lsh_verified_pairs(
-        ds, toks, "text", "doc_id", threshold_num=9, threshold_den=10
+        ds, toks, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
     )
     nodes = load(sf_dir, "documents", columns=["doc_id"])
     labels = connected_components_ds(pairs, nodes).to_pandas().sort_values("node")

@@ -242,10 +242,16 @@ def minhash_lsh_candidates(
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # vectorized pair dedup across bands: keyed groupby with a C-level
+    # Count aggregate — never a per-group Python call (a boilerplate-heavy
+    # corpus can emit millions of duplicate candidate pairs)
+    from ray.data.aggregate import Count
 
-    return pairs.groupby(["a", "b"]).map_groups(dedup, batch_format="pandas")
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .select_columns(["a", "b"])
+    )
 
 
 def _default_join_partitions() -> int:
@@ -263,21 +269,34 @@ def _default_join_partitions() -> int:
     return max(2, cpus // 4)
 
 
-def token_hash_ds(ds, col: str, id_col: str):
-    """Per-doc distinct-token hash set as a bytes payload (uint64 LE) —
+def shingle_hash_set(text: str, shingle: int = 1) -> np.ndarray:
+    """Distinct shingle hashes of a doc (sorted uint64). ``shingle=1`` =
+    the distinct-token set (empty text -> empty set); ``shingle>1`` uses
+    exactly MinHasher.shingles' gram construction (a doc shorter than n
+    tokens contributes its single joined gram), so MinHash estimates the
+    same Jaccard this function computes exactly."""
+    toks = simple_tokenize(text or "")
+    if shingle <= 1:
+        if not toks:
+            return np.zeros(0, np.uint64)
+        grams = toks
+    elif len(toks) < shingle:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+    return np.unique(_hash_strings(np.asarray(grams, dtype=object)))
+
+
+def token_hash_ds(ds, col: str, id_col: str, shingle: int = 1):
+    """Per-doc distinct shingle-hash set as a bytes payload (uint64 LE) —
     stays a Dataset (never materialized driver-side), joinable by id.
     Bytes because Acero's hash join can't carry list columns."""
 
     def stage(t: pa.Table) -> pa.Table:
-        out = []
-        for x in t.column(col).to_pylist():
-            s = sorted(set(simple_tokenize(x or "")))
-            h = (
-                np.unique(_hash_strings(np.asarray(s, dtype=object)))
-                if s
-                else np.zeros(0, np.uint64)
-            )
-            out.append(h.tobytes())
+        out = [
+            shingle_hash_set(x, shingle).tobytes()
+            for x in t.column(col).to_pylist()
+        ]
         return pa.table({id_col: t.column(id_col), "th": pa.array(out, pa.binary())})
 
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -300,10 +319,12 @@ def lsh_verified_pairs(
     generation (band groupby), then EXACT token-set Jaccard verification of
     candidates only — two hash joins ship each candidate its two token
     sets, the check is integer-exact (``den*|A∩B| >= num*|A∪B|``), and no
-    stage materializes the corpus driver-side. ``shingle=1`` makes MinHash
-    estimate token-set Jaccard, matching the brute-force oracle
-    (``jaccard_pairs_exact``); recall at J≥0.9 with 16×4 banding is
-    1 - (1-J^4)^16 ≈ 1 - 4e-8."""
+    stage materializes the corpus driver-side. ``shingle`` controls the
+    similarity definition for BOTH the MinHash estimate and the exact
+    verify (pass a ``tok_ds`` built with the same shingle) — n=1 =
+    distinct-token sets, n≥2 = word shingles, matching
+    ``jaccard_pairs_exact(shingle=n)``; recall at J≥0.9 with 16×4 banding
+    is 1 - (1-J^4)^16 ≈ 1 - 4e-8."""
     cand = minhash_lsh_candidates(
         ds, col, id_col, num_hashes, bands, shingle, max_bucket
     )
@@ -394,22 +415,29 @@ def token_set_table(ds, col: str, id_col: str) -> pa.Table:
     return pa2.concat_tables([ray.get(r) for r in tables])
 
 
-def jaccard_pairs_exact(ds, col: str, id_col: str, threshold_num: int = 4, threshold_den: int = 5):
-    """All pairs with token-set Jaccard >= num/den, compared in integers
+def jaccard_pairs_exact(
+    ds,
+    col: str,
+    id_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle: int = 1,
+):
+    """All pairs with shingle-set Jaccard >= num/den, compared in integers
     (``den * |A∩B| >= num * |A∪B|``) so the oracle SQL matches bit-exactly.
+    ``shingle=1`` = distinct-token sets; larger n = word shingles (the
+    metric MinHash dedup actually uses).
 
-    Brute-force O(n^2) over a broadcast token-set table — the oracle-checked
-    small-scale variant; at corpus scale use minhash_lsh_candidates to
-    prefilter and verify only candidates.
+    Brute-force O(n^2) over a broadcast shingle-set table — the
+    oracle-checked small-scale variant; at corpus scale
+    ``lsh_verified_pairs`` prefilters and verifies candidates only.
     """
     import ray
 
-    tbl = token_set_table(ds, col, id_col)
-    order = pc.sort_indices(tbl, sort_keys=[(id_col, "ascending")])
-    tbl = tbl.take(order)
-    ids = tbl.column(id_col).to_pylist()
-    sets = [np.asarray(v, dtype=object) for v in tbl.column("tokens").to_pylist()]
-    hashed = [np.unique(_hash_strings(s)) if len(s) else np.zeros(0, np.uint64) for s in sets]
+    rows = ds.select_columns([id_col, col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    ids = [r[id_col] for r in rows]
+    hashed = [shingle_hash_set(r[col], shingle) for r in rows]
     ref = ray.put((ids, hashed))
 
     import ray.data as rd

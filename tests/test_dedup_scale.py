@@ -1,6 +1,7 @@
 """Scale-path dedup parity: the LSH candidate->verify->propagate pipeline
 must produce exactly the brute-force results at test scale (the brute pair
-stage is the oracle; the LSH path is what runs at 100 TB)."""
+stage is the oracle; the LSH path is what runs at 100 TB). Similarity is
+3-gram-shingle Jaccard on both sides (the near_dup_components metric)."""
 
 import numpy as np
 import pytest
@@ -21,7 +22,7 @@ def brute_pairs(ray_session):
     import pyarrow as pa
     import ray
 
-    refs = jaccard_pairs_exact(ds, "text", "doc_id", 9, 10).to_arrow_refs()
+    refs = jaccard_pairs_exact(ds, "text", "doc_id", 9, 10, shingle=3).to_arrow_refs()
     return pa.concat_tables([ray.get(r) for r in refs])
 
 
@@ -31,11 +32,11 @@ def lsh_pairs(ray_session):
     from apache___solr_ray.stages.dedup import lsh_verified_pairs, token_hash_ds
 
     ds = load(SF, "documents", columns=["doc_id", "text"])
-    toks = token_hash_ds(load(SF, "documents", columns=["doc_id", "text"]), "text", "doc_id")
+    toks = token_hash_ds(load(SF, "documents", columns=["doc_id", "text"]), "text", "doc_id", shingle=3)
     import pyarrow as pa
     import ray
 
-    refs = lsh_verified_pairs(ds, toks, "text", "doc_id", 9, 10).to_arrow_refs()
+    refs = lsh_verified_pairs(ds, toks, "text", "doc_id", 9, 10, shingle=3).to_arrow_refs()
     return pa.concat_tables([ray.get(r) for r in refs])
 
 
