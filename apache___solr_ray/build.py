@@ -603,7 +603,14 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int, store_positions: 
             else:
                 pieces = []
                 for p, rg in zip(row["paths"], row["rgs"]):
-                    t = pq.ParquetFile(p).read_row_groups([rg], columns=read_cols)
+                    # read_dictionary keeps terms dictionary-encoded end to
+                    # end (segment encode sorts the dictionary, not the
+                    # postings strings): materializing dense strings here
+                    # measured 2.3× slower at 32-way — phase B is memory-
+                    # bandwidth-bound, so decompressed width is wall time
+                    t = pq.ParquetFile(p, read_dictionary=["term"]).read_row_groups(
+                        [rg], columns=read_cols
+                    )
                     part_id = int(os.path.basename(p)[len("part-") : -len(".parquet")])
                     doc = (part_id << 32) + t.column("row").combine_chunks().to_numpy().astype(
                         np.int64

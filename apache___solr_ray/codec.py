@@ -64,23 +64,43 @@ _PRELUDE = 2 + 4 + 4 + 4  # u16 n_blocks, u32 d_len, u32 t_len, u32 p_len
 
 
 def _varint_lengths(v: np.ndarray) -> np.ndarray:
-    nbytes = np.ones(len(v), dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    """ceil(bit_length/7) per value, min 1 — in ONE pass via the float64
+    exponent (frexp is exact for integers < 2^53; phase B's encode is
+    memory-bandwidth-bound on this box, and the old 9-compare loop made 9
+    full passes over the array). Values ≥ 2^49 take a rare exact fixup."""
+    f = v.astype(np.float64)
+    bl = np.frexp(f)[1]  # == bit_length for exact conversions; 0 for v == 0
+    nbytes = np.maximum(np.int64(1), (bl + 6) // 7).astype(np.int64)
+    big = v >= np.uint64(1) << np.uint64(49)
+    if big.any():
+        vb = v[big]
+        nb = np.ones(len(vb), dtype=np.int64)
+        for k in range(1, 10):
+            nb += (vb >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+        nbytes[big] = nb
     return nbytes
 
 
 def _varint_fill(v: np.ndarray, nbytes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    """Write each value's LEB128 bytes at offsets[i]..offsets[i]+nbytes[i].
+
+    Contiguous formulation: build an (n, max_bytes) matrix with plain
+    full-array shifts (no masked scatters — those gather/scatter passes
+    were the phase-B hotspot and collapse under memory-bus contention),
+    clear the continuation bit on each value's terminal byte, then one
+    row-major boolean select emits the stream in order."""
+    n = len(v)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    B = int(nbytes.max())
+    mat = np.empty((B, n), dtype=np.uint8)  # level-major: each fill is contiguous
     cur = v.copy()
-    for b in range(int(nbytes.max()) if len(v) else 0):
-        active = nbytes > b
-        idx = offsets[:-1][active] + b
-        byte = (cur[active] & np.uint64(0x7F)).astype(np.uint8)
-        more = (nbytes[active] > b + 1).astype(np.uint8) << 7
-        out[idx] = byte | more
-        cur[active] >>= np.uint64(7)
-    return out
+    for b in range(B):
+        mat[b] = (cur.astype(np.uint8) & 0x7F) | 0x80
+        cur >>= np.uint64(7)
+    mat[nbytes - 1, np.arange(n)] &= 0x7F
+    valid = np.arange(B, dtype=np.int64)[:, None] < nbytes[None, :]
+    return mat.T[valid.T]
 
 
 def varint_encode(vals: np.ndarray) -> np.ndarray:
