@@ -872,3 +872,59 @@ def index_cursor_pages(sf_dir: str):
             "score": pa.array([x[3] for x in rows], pa.float64()),
         }
     )
+
+
+# -- span-near (surround / SpanNearQuery) ------------------------------------
+
+SPAN_SET = [(["fast", "merge"], 2), (["value", "table", "part"], 1), (["hash", "join"], 0)]
+
+
+def _span_oracle_sql(spans) -> str:
+    parts = []
+    for terms, slop in spans:
+        label = f"{' '.join(terms)}~{slop}"
+        joins = "".join(
+            f" JOIN toks t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos > t{i-1}.pos AND t{i}.pos <= t{i-1}.pos + {slop + 1}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+        parts.append(
+            f"SELECT '{label}' AS span, t0.doc_id\n"
+            f"    FROM toks t0{joins} WHERE {conds} GROUP BY t0.doc_id"
+        )
+    body = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents
+    )
+    {body}
+    """
+
+
+@q("index_span_near_docs", _span_oracle_sql(SPAN_SET))
+def index_span_near_docs(sf_dir: str):
+    """Ordered span-near (surround parser / SpanNearQuery(inOrder) analog):
+    (span, doc_id) for every doc where the terms occur in order with each
+    consecutive gap ≤ slop+1 — evaluated by vectorized reachability DP
+    over the codec-v2 position streams; DuckDB recomputes via chained
+    position self-joins."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    sp_out, id_out = [], []
+    for terms, slop in SPAN_SET:
+        label = f"{' '.join(terms)}~{slop}"
+        docs = r.span_near_docs(" ".join(terms), slop=slop)
+        sp_out.extend([label] * len(docs))
+        id_out.extend(idmap[int(d)] for d in docs)
+    return pa.table(
+        {
+            "span": pa.array(sp_out, pa.string()),
+            "doc_id": pa.array(id_out, pa.int64()),
+        }
+    )

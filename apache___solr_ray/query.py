@@ -425,6 +425,58 @@ class IndexReader:
         """DocSet of the exact phrase — the `\"...\"` clause analog."""
         return self.phrase_freqs(phrase)[0]
 
+    def span_near_docs(self, phrase: str, slop: int = 0) -> np.ndarray:
+        """Ordered span-near match (reference surround parser /
+        SpanNearQuery(inOrder=true) surface): docs where the analyzed
+        clause terms occur IN ORDER with every consecutive gap ≤ slop+1
+        positions (slop=0 == exact phrase adjacency).
+
+        Vectorized reachability DP over the position streams: clause 0's
+        positions seed the reachable set; clause i keeps positions with a
+        reachable clause-(i-1) position in the window [p-slop-1, p), via
+        two searchsorted calls on the sorted (doc_rank, pos) key space —
+        positions are decoded only for candidate-intersection blocks."""
+        toks = self.analyzer.analyze(phrase)
+        z = np.zeros(0, dtype=np.int64)
+        if not toks:
+            return z
+        tps = [self.term_postings(t) for t in toks]
+        if any(tp is None for tp in tps):
+            return z
+        if len(toks) == 1:
+            d = tps[0].decode_all()[0]
+            alive = self._alive(d)
+            return d if alive is None else d[alive]
+        order = np.argsort([tp.df for tp in tps], kind="stable")
+        cand = None
+        for i in order:
+            d = tps[i].decode_all()[0]
+            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return z
+        alive = self._alive(cand)
+        if alive is not None:
+            cand = cand[alive]
+        if len(cand) == 0:
+            return z
+        per_clause = [tp.positions_for_docs(cand) for tp in tps]
+        max_pos = max((int(p.max()) for _, p in per_clause if len(p)), default=0)
+        M = np.int64(max_pos + slop + 2)
+        reach = None
+        for i, (doc_rep, pos) in enumerate(per_clause):
+            rank = np.searchsorted(cand, doc_rep)
+            keys = rank.astype(np.int64) * M + pos.astype(np.int64)
+            keys.sort()
+            if i == 0:
+                reach = keys
+                continue
+            lo = np.searchsorted(reach, keys - np.int64(slop + 1))
+            hi = np.searchsorted(reach, keys)
+            reach = keys[lo < hi]
+            if len(reach) == 0:
+                return z
+        return cand[np.unique(reach // M)]
+
     def topk_phrase(self, phrase: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """BM25-scored phrase top-k: tf = phrase frequency, weight uses the
         SUM of the clause terms' idfs (BM25Similarity.idfExplain over

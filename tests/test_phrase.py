@@ -182,3 +182,34 @@ def test_no_positions_config(ray_session, tmp_path_factory):
     assert tp is not None and not tp.views[0].has_positions
     with pytest.raises(ValueError):
         tp.views[0].positions_raw()
+
+
+def test_span_near_slop0_equals_phrase(phrase_index):
+    """span_near_docs(slop=0) == exact-phrase doc set; growing slop only
+    adds docs (monotone); brute positions check against the raw texts."""
+    idx, texts = phrase_index
+    r = IndexReader(idx)
+    for q in ["the fast data", "state of the art"]:
+        phrase_docs = set(r.phrase_freqs(q)[0].tolist())
+        span0 = set(r.span_near_docs(q, slop=0).tolist())
+        assert span0 == phrase_docs
+        prev = span0
+        for slop in (1, 3, 8):
+            cur = set(r.span_near_docs(q, slop=slop).tolist())
+            assert prev <= cur
+            prev = cur
+
+    # brute-force oracle on the raw analyzed texts: 2-term span, slop=2
+    from apache___solr_ray.analyze import Analyzer
+
+    an = Analyzer()
+    want = set()
+    for i, txt in enumerate(texts):
+        toks = an.analyze(txt)
+        pos_a = [p for p, t in enumerate(toks) if t == "fast"]
+        pos_b = [p for p, t in enumerate(toks) if t == "data"]
+        if any(0 < b - a <= 3 for a in pos_a for b in pos_b):
+            part, row = divmod(i, 128)
+            want.add((part << 32) + row)
+    got = set(r.span_near_docs("fast data", slop=2).tolist())
+    assert got == want
