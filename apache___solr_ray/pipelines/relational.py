@@ -1523,3 +1523,72 @@ def geo_dist_top20(sf_dir: str):
     return ds.map_batches(dist, batch_format="pyarrow").sort(
         ["dist_km", "c_custkey"]
     ).limit(20)
+
+
+@q(
+    "facet_heatmap_grid",
+    f"""
+    SELECT CAST(floor(({_LAT_SQL}) / 15.0) AS BIGINT) AS cell_lat,
+           CAST(floor(({_LON_SQL}) / 30.0) AS BIGINT) AS cell_lon,
+           count(*) AS n
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def facet_heatmap_grid(sf_dir: str):
+    """Spatial heatmap facet (reference FacetHeatmap.java: grid-cell counts
+    over a point field): cell assignment is a vectorized floor-divide per
+    batch, then one partial+final Count groupby — the facet's
+    2D-bucket shape with none of the all-to-all a naive pair count needs."""
+    from ray.data.aggregate import Count
+
+    ds = load(sf_dir, "customer", columns=["c_custkey"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy()
+        lat, lon = _latlon(k)
+        return pa.table(
+            {
+                "cell_lat": pa.array(np.floor(lat / 15.0).astype(np.int64), pa.int64()),
+                "cell_lon": pa.array(np.floor(lon / 30.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cell_lat", "cell_lon"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+@q(
+    "random_sort_orders",
+    """
+    SELECT o_orderkey
+    FROM orders
+    ORDER BY (o_orderkey * 2654435761 + 42) % 1000000007, o_orderkey
+    LIMIT 50
+    """,
+)
+def random_sort_orders(sf_dir: str):
+    """RandomSortField analog (reference RandomSortField.java: a stable
+    seeded pseudo-random sort key): deterministic multiplicative hash of
+    the key as the sort value — reproducible across engines, shardable
+    (each partition computes its own keys, one global sort+limit)."""
+    ds = load(sf_dir, "orders", columns=["o_orderkey"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "rnd": pa.array((k * 2654435761 + 42) % 1000000007, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .sort(["rnd", "o_orderkey"])
+        .limit(50)
+    )
+    return out.select_columns(["o_orderkey"])

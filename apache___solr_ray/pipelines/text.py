@@ -962,3 +962,50 @@ def synonym_normalized_counts(sf_dir: str):
     return out.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n"), 20)), batch_format="pyarrow"
     )
+
+
+@q(
+    "url_classify_docs",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://site' || CAST((doc_id * 7919) % 997 AS VARCHAR)
+             || '.example/p/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS url_domain,
+           CAST(length(url) AS BIGINT) AS url_length,
+           CAST(length(regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1))
+                - length(replace(regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1), '/', ''))
+                - CASE WHEN regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) LIKE '%/' THEN 1 ELSE 0 END
+                AS BIGINT) AS url_levels,
+           CAST(CASE WHEN regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) IN ('', '/')
+                     OR regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) LIKE '/index.%'
+                THEN 1 ELSE 0 END AS BIGINT) AS url_landingpage
+    FROM u
+    """,
+)
+def url_classify_docs(sf_dir: str):
+    """URLClassifyProcessor URP (reference URLClassifyProcessor.java:
+    url_domain / url_length / url_levels / url_landingpage) over a
+    deterministic synthesized url per doc (the corpus url pattern);
+    all derivations are vectorized Arrow string/regex kernels."""
+    from apache___solr_ray.stages.urp import url_classify
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = [
+            f"https://site{(i * 7919) % 997}.example/p/{i}" + ("/" if i % 5 == 0 else "")
+            for i in ids
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "url": pa.array(urls, pa.string())})
+
+    out = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        url_classify("url"), batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["doc_id", "url_domain", "url_length", "url_levels", "url_landingpage"]
+    )

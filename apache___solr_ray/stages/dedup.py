@@ -474,42 +474,85 @@ def jaccard_pairs_exact(
 
 
 def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0.4):
-    """Pairs (a < b) with cosine >= threshold. The embedding matrix is
-    broadcast once (``ray.put``) and each batch compares its rows against
-    the full matrix — no shuffle. Scale path: LSH/IVF bucket first."""
+    """Pairs (a < b) with cosine >= threshold — distributed block-pair
+    all-pairs: the normalized embedding blocks are materialized into the
+    OBJECT STORE (spillable, never the driver heap), and one task per
+    ordered block pair (i <= j) fetches exactly its two blocks and emits
+    its threshold-crossing pairs vectorized (one matmul per task). Exact
+    by construction; compute is inherently O(n^2) — the sub-quadratic
+    alternative is the LSH/IVF bucketing in pipelines/similarity.py."""
     import ray
-
-    rows = ds.select_columns([id_col, emb_col]).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    E = np.array([r[emb_col] for r in rows], dtype=np.float64)
-    En = E / np.maximum(1e-12, np.linalg.norm(E, axis=1, keepdims=True))
-    ref = ray.put((ids, En))
-
     import ray.data as rd
 
-    blocks = rd.from_items([{"lo": i, "hi": min(i + 256, len(ids))} for i in range(0, len(ids), 256)])
-
-    def stage(t: pa.Table) -> pa.Table:
-        ids_, En_ = ray.get(ref)
-        a_out, b_out, sims = [], [], []
-        for bi in range(t.num_rows):
-            lo, hi = t.column("lo")[bi].as_py(), t.column("hi")[bi].as_py()
-            S = En_[lo:hi] @ En_.T
-            for r in range(hi - lo):
-                gi = lo + r
-                cols = np.flatnonzero(S[r] >= threshold)
-                cols = cols[cols > gi]
-                for c in cols:
-                    a_out.append(ids_[gi])
-                    b_out.append(ids_[c])
-                    sims.append(S[r, c])
+    def normalize(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        E = np.array(t.column(emb_col).to_pylist(), dtype=np.float64)
+        if len(E):
+            E = E / np.maximum(1e-12, np.linalg.norm(E, axis=1, keepdims=True))
         return pa.table(
             {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "cosine": pa.array(np.round(np.array(sims, dtype=np.float64), 6)),
+                id_col: pa.array(ids),
+                "_e": pa.array(list(E), pa.list_(pa.float64())),
             }
         )
 
-    return blocks.map_batches(stage, batch_format="pyarrow", batch_size=4)
+    blocks = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(normalize, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    n_blocks = len(blocks)
+    refs_ref = ray.put(blocks)
+
+    pair_tasks = rd.from_items(
+        [{"i": i, "j": j} for i in range(n_blocks) for j in range(i, n_blocks)]
+    )
+
+    def compare(t: pa.Table, _refs=refs_ref, _id=id_col, _th=threshold) -> pa.Table:
+        refs = ray.get(_refs)
+        a_out, b_out, sims = [], [], []
+        for bi in range(t.num_rows):
+            i = int(t.column("i")[bi].as_py())
+            j = int(t.column("j")[bi].as_py())
+            ti, tj = ray.get(refs[i]), ray.get(refs[j])
+            ids_i = ti.column(_id).to_numpy()
+            ids_j = tj.column(_id).to_numpy()
+            Ei = np.array(ti.column("_e").to_pylist(), dtype=np.float64)
+            Ej = np.array(tj.column("_e").to_pylist(), dtype=np.float64)
+            if len(Ei) == 0 or len(Ej) == 0:
+                continue
+            S = Ei @ Ej.T
+            r_idx, c_idx = np.nonzero(S >= _th)
+            ia, ib = ids_i[r_idx], ids_j[c_idx]
+            vals = S[r_idx, c_idx]
+            keep = ia < ib  # canonical a<b; also drops self-pairs
+            a_out.append(ia[keep])
+            b_out.append(ib[keep])
+            sims.append(vals[keep])
+            if i != j:
+                # ids are not globally sorted across blocks: pairs whose
+                # larger id sits in block i surface here too
+                keep2 = ib < ia
+                a_out.append(ib[keep2])
+                b_out.append(ia[keep2])
+                sims.append(vals[keep2])
+        if not a_out:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_out), pa.int64()),
+                "b": pa.array(np.concatenate(b_out), pa.int64()),
+                "cosine": pa.array(
+                    np.round(np.concatenate(sims).astype(np.float64), 6)
+                ),
+            }
+        )
+
+    return pair_tasks.map_batches(compare, batch_format="pyarrow", batch_size=4)

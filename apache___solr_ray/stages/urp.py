@@ -212,3 +212,37 @@ def html_strip(name: str, out: str | None = None) -> Stage:
         return t.append_column(out, arr)
 
     return run
+
+
+def url_classify(name: str) -> Stage:
+    """URLClassifyProcessor analog (reference
+    solr/core/src/java/org/apache/solr/update/processor/
+    URLClassifyProcessor.java: derive url_domain / url_length /
+    url_levels / url_landingpage from a url field). Vectorized Arrow
+    string kernels; levels counts path segments after the authority,
+    landing page = empty path, '/', or /index.<ext>."""
+    import pyarrow.compute as pc
+
+    def run(t: pa.Table) -> pa.Table:
+        u = t.column(name)
+        domain = pc.extract_regex(u, r"^[a-z][a-z0-9+.-]*://(?P<d>[^/?#]+)")
+        domain = pc.struct_field(domain, "d")
+        # path: everything after the authority, before ? or #
+        path = pc.extract_regex(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+(?P<p>/[^?#]*)?")
+        path = pc.fill_null(pc.struct_field(path, "p"), "")
+        # levels = path segments (count '/' not followed by end)
+        seg = pc.count_substring(path, "/")
+        trailing = pc.ends_with(path, "/")
+        levels = pc.subtract(seg, pc.cast(trailing, pa.int64()))
+        landing = pc.or_(
+            pc.is_in(path, value_set=pa.array(["", "/"])),
+            pc.match_like(path, "/index.%"),
+        )
+        return (
+            t.append_column("url_domain", domain)
+            .append_column("url_length", pc.utf8_length(u))
+            .append_column("url_levels", pc.cast(levels, pa.int64()))
+            .append_column("url_landingpage", pc.cast(landing, pa.int64()))
+        )
+
+    return run
