@@ -59,3 +59,35 @@ def is_valid(manifest_path: str, fingerprint: str) -> dict[str, Any] | None:
     if m is not None and m.get("input_fingerprint") == fingerprint:
         return m
     return None
+
+
+def index_fingerprint(index_dir: str) -> str:
+    """Deterministic fingerprint of a committed index's logical content —
+    the PeerSync / IndexFingerprint analog (reference
+    solr/core/src/java/org/apache/solr/update/IndexFingerprint.java:
+    replicas compare a cheap digest before deciding to sync). Computed
+    from committed METADATA only (segment identities + posting counts +
+    lineage/checksums + live tombstones), never by re-reading postings —
+    O(#segments) at any corpus size. Two indexes built from the same
+    inputs with the same config fingerprint identically; any append,
+    delete, purge or config change diverges."""
+    import hashlib
+    import os
+
+    man = read_json(os.path.join(index_dir, "index_manifest.json"))
+    if man is None:
+        raise FileNotFoundError(f"no committed index at {index_dir}")
+    h = hashlib.sha1()
+    h.update(str(man.get("config", "")).encode())
+    for s in sorted(man.get("segments", []), key=lambda x: x.get("skey", 0)):
+        h.update(
+            f"{s.get('name')}:{s.get('n_terms')}:{s.get('n_postings')}:"
+            f"{s.get('bytes')}:{s.get('lineage', s.get('checksum', ''))};".encode()
+        )
+    stats = man.get("stats", {})
+    h.update(f"{stats.get('doc_count')}:{stats.get('sum_total_tf')};".encode())
+    from apache___solr_ray.deletes import load_tombstones
+
+    tombs = load_tombstones(index_dir)
+    h.update(",".join(str(int(t)) for t in sorted(tombs)).encode())
+    return h.hexdigest()

@@ -1009,3 +1009,54 @@ def url_classify_docs(sf_dir: str):
     return out.select_columns(
         ["doc_id", "url_domain", "url_length", "url_levels", "url_landingpage"]
     )
+
+
+@q(
+    "multimodal_audio_features",
+    f"""
+    SELECT doc_id,
+           CAST(1 + {_HEXB.format(i=5)} % 600 AS BIGINT) AS duration_ds,
+           {_HEXB.format(i=1)} / 255.0 AS f0,
+           {_HEXB.format(i=3)} / 255.0 AS f1,
+           {_HEXB.format(i=5)} / 255.0 AS f2,
+           {_HEXB.format(i=7)} / 255.0 AS f3
+    FROM documents
+    """,
+)
+def multimodal_audio_features(sf_dir: str):
+    """Audio featurize plumbing (task brief: audio decode/feature-extract
+    as actor-pool map_batches): binary payloads through the
+    FakeAudioFeaturizer actor pool — schema, batching and actor shape are
+    real; the featurizer is the documented deterministic stub (no audio
+    libs in this container). Duration is emitted in integer deciseconds so
+    the oracle comparison is exact."""
+    from apache___solr_ray.stages.multimodal import FakeAudioFeaturizer
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payload = pa.array([x.encode() for x in t.column("text").to_pylist()], pa.binary())
+        return pa.table({"doc_id": t.column("doc_id"), "payload": payload})
+
+    out = ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        FakeAudioFeaturizer, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        frames = t.column("frames").combine_chunks()
+        F = np.array(frames.to_pylist(), dtype=np.float64)
+        dur = np.round(
+            t.column("duration_sec").to_numpy(zero_copy_only=False) * 10.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "duration_ds": pa.array(dur),
+                "f0": pa.array(F[:, 0]),
+                "f1": pa.array(F[:, 1]),
+                "f2": pa.array(F[:, 2]),
+                "f3": pa.array(F[:, 3]),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")

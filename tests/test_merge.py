@@ -282,3 +282,29 @@ def test_atomic_updates_set_inc_add_remove(ray_session, tmp_path_factory):
 
     with _pytest.raises(KeyError):
         atomic_update(d, idx, [{"url": "u://nope", "views": {"inc": 1}}], cfg)
+
+
+def test_index_fingerprint_peersync(ray_session, tmp_path_factory):
+    """IndexFingerprint semantics (reference IndexFingerprint.java /
+    PeerSync): same inputs+config fingerprint identically across separate
+    builds; deletes and appends diverge it."""
+    from apache___solr_ray.deletes import delete_by_url
+    from apache___solr_ray.manifest import index_fingerprint
+
+    d = str(tmp_path_factory.mktemp("pages_fp"))
+    write_pages(d, 256, seed=42, rows_per_file=128)
+    cfg = IndexConfig(term_partitions=2, target_docs_per_part=128, text_from_html=False)
+    idx_a = str(tmp_path_factory.mktemp("index_fp_a"))
+    idx_b = str(tmp_path_factory.mktemp("index_fp_b"))
+    build_index(d, idx_a, cfg)
+    build_index(d, idx_b, cfg)
+    fp_a, fp_b = index_fingerprint(idx_a), index_fingerprint(idx_b)
+    assert fp_a == fp_b  # replicas in sync
+
+    r = IndexReader(idx_a)
+    delete_by_url(idx_a, [r.urls_for(np.array([3], dtype=np.int64))[0]])
+    assert index_fingerprint(idx_a) != fp_b  # delete diverges
+
+    write_pages(d, 384, seed=42, rows_per_file=128)  # append a partition
+    build_index(d, idx_b, cfg)
+    assert index_fingerprint(idx_b) != fp_b  # append diverges
