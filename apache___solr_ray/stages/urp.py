@@ -246,3 +246,69 @@ def url_classify(name: str) -> Stage:
         )
 
     return run
+
+
+def tolerant(stage: Stage, error_col: str = "_error") -> Stage:
+    """TolerantUpdateProcessor analog (reference
+    solr/core/src/java/org/apache/solr/update/processor/
+    TolerantUpdateProcessor.java: collect per-document failures instead of
+    failing the whole batch). The wrapped stage runs on the batch; if it
+    raises, each row is retried alone — failing rows pass through
+    UNCHANGED with the error message in ``error_col``, good rows get the
+    stage's output. The batch path stays vectorized; the per-row fallback
+    only runs for batches that actually contain a poison row."""
+
+    def run(t: pa.Table) -> pa.Table:
+        try:
+            out = stage(t)
+            return out.append_column(
+                error_col, pa.array([None] * out.num_rows, pa.string())
+            )
+        except Exception:
+            pass
+        rows, errs = [], []
+        out_schema = None
+        for i in range(t.num_rows):
+            one = t.slice(i, 1)
+            try:
+                good = stage(one)
+                out_schema = good.schema
+                rows.append(good)
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — the channel IS the point
+                rows.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        if out_schema is None:
+            # every row failed: passthrough with errors
+            return t.append_column(error_col, pa.array(errs, pa.string()))
+        fixed = []
+        for i, r in enumerate(rows):
+            if r is not None:
+                fixed.append(r)
+            else:
+                # passthrough row padded with nulls for stage-added columns
+                one = t.slice(i, 1)
+                cols = {}
+                for f in out_schema:
+                    if f.name in one.column_names:
+                        cols[f.name] = one.column(f.name).cast(f.type)
+                    else:
+                        cols[f.name] = pa.array([None], f.type)
+                fixed.append(pa.table(cols, schema=out_schema))
+        out = pa.concat_tables(fixed)
+        return out.append_column(error_col, pa.array(errs, pa.string()))
+
+    return run
+
+
+def ignore_large_documents(col: str, max_bytes: int) -> Stage:
+    """IgnoreLargeDocumentProcessor analog (reference
+    IgnoreLargeDocumentProcessorFactory.java: drop documents over a size
+    limit instead of indexing them) — a vectorized byte-length filter."""
+
+    def run(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.less_equal(pc.binary_length(pc.cast(t.column(col), pa.binary())), max_bytes)
+        )
+
+    return run
