@@ -542,7 +542,13 @@ def mlt_similar_docs(sf_dir: str):
 _BIG = (1 << 62)
 
 
-def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int | None = None, max_rounds: int = 64):
+def connected_components_ds(
+    pairs_ds,
+    nodes_ds,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+    small_edges: int = 2_000_000,
+):
     """Distributed min-label propagation over an edge Dataset — every round
     is Ray Data shuffles (edge⋈label join + groupby-min); the driver holds
     only the changed-label count. Labels are materialized per round
@@ -550,18 +556,64 @@ def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int | None = Non
     re-run all prior rounds each iteration). Converges in O(diameter)
     rounds; labels only decrease, fixpoint = zero changes.
 
-    Cost controls for 10^12 nodes: propagation runs only over
-    edge-INCIDENT nodes (isolated nodes trivially label themselves and are
-    joined back at the end — with a ~2% duplicate rate that is a 25×
-    smaller per-round working set), and the changed-count rides the same
-    groupby as the min (own messages carry the old label; a row changed
-    iff new < old), so a round is exactly one join + one groupby."""
+    Adaptive small-edge path: the verified near-dup edge set is usually
+    tiny relative to the corpus (that is the point of dedup), and each
+    propagation round costs a full join+groupby round-trip. When the edge
+    count is <= ``small_edges`` (default 2M ≈ 32 MB — edges only, NEVER
+    the corpus), union-find runs driver-side and the label map is
+    broadcast (``ray.put`` once) into a single ``map_batches`` over the
+    node ids. Above the threshold the distributed rounds run unchanged.
+
+    Cost controls for 10^12 nodes (distributed path): propagation runs
+    only over edge-INCIDENT nodes (isolated nodes trivially label
+    themselves and are joined back at the end — with a ~2% duplicate rate
+    that is a 25× smaller per-round working set), and the changed-count
+    rides the same groupby as the min (own messages carry the old label; a
+    row changed iff new < old), so a round is exactly one join + one
+    groupby."""
     from ray.data.aggregate import Count, Min
 
     from apache___solr_ray.stages.dedup import _default_join_partitions
 
     if num_partitions is None:
         num_partitions = _default_join_partitions()
+
+    pairs_ds = pairs_ds.materialize()
+    n_edges = pairs_ds.count()
+    if n_edges <= small_edges:
+        import ray
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for blk in pairs_ds.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            for a, b in zip(blk.column("a").to_pylist(), blk.column("b").to_pylist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        labels_map = {x: find(x) for x in list(parent)}
+        map_ref = ray.put(labels_map)
+
+        def apply_labels(t: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            ids = t.column(t.column_names[0]).to_numpy()
+            lab = np.fromiter((m.get(int(i), int(i)) for i in ids), np.int64, len(ids))
+            return pa.table(
+                {"node": pa.array(ids, pa.int64()), "label": pa.array(lab)}
+            )
+
+        return nodes_ds.map_batches(apply_labels, batch_format="pyarrow")
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
@@ -669,26 +721,26 @@ def connected_components_ds(pairs_ds, nodes_ds, num_partitions: int | None = Non
     """,
 )
 def near_dup_components(sf_dir: str):
-    """Near-duplicate clustering at the 100-TB shape: MinHash/LSH candidate
-    pairs (band groupby) -> exact 3-gram-shingle Jaccard verification of
-    the candidates only (hash joins ship shingle sets; stages/dedup.py
-    ``lsh_verified_pairs``) -> distributed min-label propagation
-    (``connected_components_ds``). No stage materializes the corpus or the
-    edge set driver-side. Similarity is word-SHINGLE Jaccard (n=3) — the
-    metric MinHash dedup actually targets; unigram token-set Jaccard (kept
-    as ``jaccard_near_dup_pairs``) degenerates on boilerplate corpora where
-    every long page shares the whole vocabulary. The brute-force O(n²)
-    stage remains as the pytest cross-check (tests/test_dedup_scale.py);
-    the DuckDB recursive-CTE oracle checks this LSH path directly (recall
-    at J≥0.9 is 1-4e-8 per pair with 16×4 banding)."""
-    from apache___solr_ray.stages.dedup import lsh_verified_pairs, token_hash_ds
+    """Near-duplicate clustering at the 100-TB shape: ONE tokenization pass
+    (``minhash_token_bands_ds`` — a materialized (id, token-hash payload,
+    band keys) checkpoint) feeds MinHash/LSH candidate generation (band
+    groupby) AND exact 3-gram-shingle Jaccard verification of the
+    candidates only (hash joins ship the precomputed shingle sets;
+    stages/dedup.py ``lsh_verified_pairs``) -> distributed min-label
+    propagation (``connected_components_ds``). No stage materializes the
+    corpus or the edge set driver-side. Similarity is word-SHINGLE Jaccard
+    (n=3) — the metric MinHash dedup actually targets; unigram token-set
+    Jaccard (kept as ``jaccard_near_dup_pairs``) degenerates on boilerplate
+    corpora where every long page shares the whole vocabulary. The
+    brute-force O(n²) stage remains as the pytest cross-check
+    (tests/test_dedup_scale.py); the DuckDB recursive-CTE oracle checks
+    this LSH path directly (recall at J≥0.9 is 1-4e-8 per pair with 16×4
+    banding)."""
+    from apache___solr_ray.stages.dedup import lsh_verified_pairs
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    toks = token_hash_ds(
-        load(sf_dir, "documents", columns=["doc_id", "text"]), "text", "doc_id", shingle=3
-    )
     pairs = lsh_verified_pairs(
-        ds, toks, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
+        ds, None, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
     )
     nodes = load(sf_dir, "documents", columns=["doc_id"])
     labels = connected_components_ds(pairs, nodes).to_pandas().sort_values("node")

@@ -158,10 +158,14 @@ class MinHasher:
 
     def signatures_batch(self, texts: list[str]) -> np.ndarray:
         """-> (n_docs, k) uint64 signature matrix, one reduceat pass."""
-        shingle_sets = [self.shingles(t) for t in texts]
+        return self.signatures_from_sets([self.shingles(t) for t in texts])
+
+    def signatures_from_sets(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """Signatures from precomputed shingle-hash sets (the single-pass
+        fused path: tokenize once, reuse the sets for exact verify)."""
         counts = np.fromiter((len(s) for s in shingle_sets), np.int64, len(shingle_sets))
         if counts.sum() == 0:
-            return np.zeros((len(texts), self.k), dtype=np.uint64)
+            return np.zeros((len(shingle_sets), self.k), dtype=np.uint64)
         flat = np.concatenate(shingle_sets) % np.uint64(MERSENNE61)
         # (n_shingles, k): a*x + b mod p
         hx = _mulmod61(self.a[None, :], flat[:, None]) + self.b[None, :]
@@ -176,10 +180,21 @@ class MinHasher:
         return self.signatures_batch([text])[0]
 
 
+def _fold_bands(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, k) signature matrix -> (n, bands) bucket keys: fold each band's
+    rows with a multiplicative hash (vectorized; the key only needs to be a
+    deterministic bucket id, not cryptographic)."""
+    n, k = sigs.shape
+    rows_per_band = k // bands
+    folded = np.full((n, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for r in range(rows_per_band):
+        folded = (folded * np.uint64(0x100000001B3)) ^ sigs[:, r::rows_per_band][:, :bands]
+    return folded
+
+
 def add_minhash_bands(col: str, id_col: str, num_hashes: int = 64, bands: int = 16, shingle: int = 3, seed: int = 1234567):
     """map_batches stage: one output row per (doc, band):
     (id, band, band_hash). Downstream: groupby(["band","band_hash"])."""
-    rows_per_band = num_hashes // bands
 
     class Stage:
         def __init__(self):
@@ -189,14 +204,7 @@ def add_minhash_bands(col: str, id_col: str, num_hashes: int = 64, bands: int = 
             ids = t.column(id_col).combine_chunks()
             sigs = self.mh.signatures_batch(t.column(col).to_pylist())  # (n, k)
             n = len(ids)
-            # bucket key per (doc, band): fold the band's rows with a
-            # multiplicative hash (vectorized; the key only needs to be a
-            # deterministic bucket id, not cryptographic)
-            folded = np.full((n, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
-            for r in range(rows_per_band):
-                folded = (folded * np.uint64(0x100000001B3)) ^ sigs[:, r::rows_per_band][
-                    :, :bands
-                ]
+            folded = _fold_bands(sigs, bands)
             band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
             doc_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
             return pa.table(
@@ -210,6 +218,149 @@ def add_minhash_bands(col: str, id_col: str, num_hashes: int = 64, bands: int = 
     return Stage
 
 
+def minhash_token_bands_ds(
+    ds,
+    col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 1234567,
+):
+    """SINGLE tokenization pass for the whole near-dup pipeline: one row per
+    doc with BOTH the exact-verify payload and the LSH keys —
+    ``(id, th: binary, bands: fixed_size_list<uint64>[bands])`` where ``th``
+    is the sorted distinct shingle-hash set (uint64 LE bytes) and ``bands``
+    the per-band bucket hashes folded from the MinHash signature of the SAME
+    set. Materialized as an object-store checkpoint (spillable, never
+    driver-side; ~8 B per distinct shingle + 8*bands B per doc — smaller
+    than the raw text) so candidate generation and both verify joins read it
+    zero-copy instead of re-tokenizing the corpus (this was 3 tokenize
+    passes before).
+
+    Similarity definition matches ``MinHasher.shingles``: a doc shorter than
+    ``shingle`` tokens contributes its single joined gram (empty text ->
+    the hash of ""), identical to ``shingle_hash_set`` for shingle>=2."""
+
+    class Stage:
+        def __init__(self):
+            self.mh = MinHasher(num_hashes, shingle, seed)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sets = [self.mh.shingles(x) for x in t.column(col).to_pylist()]
+            th = pa.array([s.tobytes() for s in sets], pa.binary())
+            folded = _fold_bands(self.mh.signatures_from_sets(sets), bands)
+            bl = pa.FixedSizeListArray.from_arrays(
+                pa.array(folded.reshape(-1)), bands
+            )
+            return pa.table({id_col: t.column(id_col), "th": th, "bands": bl})
+
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8)).materialize()
+
+
+def explode_bands(combined_ds, id_col: str, bands: int):
+    """(id, bands) -> one row per (doc, band): (id, band, band_hash) —
+    zero-copy reshape of the fixed-size-list column, no re-tokenize."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).combine_chunks()
+        bl = t.column("bands").combine_chunks()
+        flat = bl.flatten()
+        n = len(ids)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_idx)),
+                "band": pa.array(band_ids),
+                "band_hash": flat,
+            }
+        )
+
+    return combined_ds.select_columns([id_col, "bands"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
+def banded_pairs_raw(banded, id_col: str, max_bucket: int = 1024):
+    """Candidate pairs (a < b, MAY repeat across bands) from a
+    (id, band, band_hash) dataset — one shuffle. The bucket walk is
+    PARTITION-vectorized: rows hash-partition by ``band_hash % P``
+    (band_hash is already a uniform hash), each partition is scanned once
+    with numpy boundary detection, and only buckets with >=2 members — a
+    tiny fraction at web scale — reach Python; singleton buckets (the
+    overwhelming majority) never trigger a per-group call. A pathological
+    hot bucket (boilerplate pages) above ``max_bucket`` members emits a
+    star to its min id (O(k) edges instead of O(k^2)); members of a hot
+    bucket collide on a full band, so for dedup/connected-components the
+    star preserves the cluster w.h.p."""
+    import pandas as pd  # noqa: F811
+
+    n_parts = _default_join_partitions() * 4
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t.column("band_hash").to_numpy() % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("_part", pa.array(part))
+
+    def emit_part(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.drop_duplicates(["band", "band_hash", id_col]).sort_values(
+            ["band", "band_hash", id_col], kind="mergesort"
+        )
+        empty = pd.DataFrame(
+            {"a": np.array([], np.int64), "b": np.array([], np.int64)}
+        )
+        if len(sub) < 2:
+            return empty
+        bh = sub["band_hash"].to_numpy()
+        bd = sub["band"].to_numpy()
+        ids = sub[id_col].to_numpy()
+        new = np.empty(len(sub), bool)
+        new[0] = True
+        new[1:] = (bh[1:] != bh[:-1]) | (bd[1:] != bd[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(sub))
+        sizes = ends - starts
+        big = sizes >= 2
+        out_a, out_b = [], []
+        for s, e in zip(starts[big], ends[big]):
+            grp = ids[s:e]
+            if len(grp) > max_bucket:
+                out_a.append(np.full(len(grp) - 1, grp[0]))
+                out_b.append(grp[1:])
+            else:
+                iu, ju = np.triu_indices(len(grp), k=1)
+                out_a.append(grp[iu])
+                out_b.append(grp[ju])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+            }
+        )
+
+    return (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(emit_part, batch_format="pandas")
+    )
+
+
+def banded_candidate_pairs(banded, id_col: str, max_bucket: int = 1024):
+    """``banded_pairs_raw`` + distinct: keyed groupby with a C-level Count
+    aggregate dedups pairs that collide in several bands — a
+    boilerplate-heavy corpus can emit millions of duplicate candidates."""
+    from ray.data.aggregate import Count
+
+    return (
+        banded_pairs_raw(banded, id_col, max_bucket)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nbands"))
+        .select_columns(["a", "b"])
+    )
+
+
 def minhash_lsh_candidates(
     ds,
     col: str,
@@ -220,38 +371,12 @@ def minhash_lsh_candidates(
     max_bucket: int = 1024,
 ):
     """Full LSH pipeline: signatures -> band buckets -> candidate pairs
-    (a < b), deduplicated. The groupby on (band, band_hash) is the only
-    shuffle. A pathological hot bucket (boilerplate pages) is capped:
-    above ``max_bucket`` members the bucket emits a star to its min id
-    (O(k) edges instead of O(k²)) — members of a hot bucket collide on a
-    full band, so for dedup/connected-components the star preserves the
-    cluster w.h.p.; the cap is logged in the row count, not silent."""
-    import pandas as pd  # noqa: F811
-
+    (a < b), deduplicated. The groupby partitioned on band_hash is the only
+    shuffle; see ``banded_candidate_pairs`` for the hot-bucket star cap and
+    the partition-vectorized bucket walk."""
     Stage = add_minhash_bands(col, id_col, num_hashes, bands, shingle)
     banded = ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8))
-
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) > max_bucket:
-            a, b = np.full(len(ids) - 1, ids[0]), ids[1:]
-        else:
-            iu, ju = np.triu_indices(len(ids), k=1)
-            a, b = ids[iu], ids[ju]
-        return pd.DataFrame({"a": a, "b": b})
-
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(emit_pairs, batch_format="pandas")
-
-    # vectorized pair dedup across bands: keyed groupby with a C-level
-    # Count aggregate — never a per-group Python call (a boilerplate-heavy
-    # corpus can emit millions of duplicate candidate pairs)
-    from ray.data.aggregate import Count
-
-    return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_nbands"))
-        .select_columns(["a", "b"])
-    )
+    return banded_candidate_pairs(banded, id_col, max_bucket)
 
 
 def _default_join_partitions() -> int:
@@ -304,9 +429,9 @@ def token_hash_ds(ds, col: str, id_col: str, shingle: int = 1):
 
 def lsh_verified_pairs(
     ds,
-    tok_ds,
-    col: str,
-    id_col: str,
+    tok_ds=None,
+    col: str = "text",
+    id_col: str = "doc_id",
     threshold_num: int = 9,
     threshold_den: int = 10,
     num_hashes: int = 64,
@@ -321,13 +446,108 @@ def lsh_verified_pairs(
     sets, the check is integer-exact (``den*|A∩B| >= num*|A∪B|``), and no
     stage materializes the corpus driver-side. ``shingle`` controls the
     similarity definition for BOTH the MinHash estimate and the exact
-    verify (pass a ``tok_ds`` built with the same shingle) — n=1 =
-    distinct-token sets, n≥2 = word shingles, matching
+    verify — n=1 = distinct-token sets, n≥2 = word shingles, matching
     ``jaccard_pairs_exact(shingle=n)``; recall at J≥0.9 with 16×4 banding
-    is 1 - (1-J^4)^16 ≈ 1 - 4e-8."""
-    cand = minhash_lsh_candidates(
-        ds, col, id_col, num_hashes, bands, shingle, max_bucket
-    )
+    is 1 - (1-J^4)^16 ≈ 1 - 4e-8.
+
+    With ``tok_ds=None`` (the default, preferred path) the corpus is
+    tokenized ONCE: ``minhash_token_bands_ds`` emits both the band keys and
+    the token-hash payload from a single pass, and candidate generation +
+    verification read that materialized checkpoint. When the raw candidate
+    set is small (<= ``2M`` pairs AND the gathered payloads <= ~2 GB — the
+    usual case: candidates are a sliver of the corpus), verification skips
+    the two hash joins entirely: pairs dedup driver-side (bounded bytes,
+    pairs only, never the corpus), the candidate ids' token payloads gather
+    into ONE broadcast object (``ray.put`` once), and a single
+    ``map_batches`` verifies — the small-side-broadcast pattern instead of
+    an all-to-all exchange. Bigger candidate sets take the join path
+    unchanged. Passing an explicit ``tok_ds`` (built with the same
+    ``shingle``) keeps the legacy two-pass shape; note at shingle=1 the
+    fused path hashes empty text to the {""} singleton (MinHash semantics)
+    while ``token_hash_ds(shingle=1)`` yields the empty set."""
+    import ray
+
+    if tok_ds is None:
+        combined = minhash_token_bands_ds(
+            ds, col, id_col, num_hashes, bands, shingle
+        )
+        tok_ds = combined.select_columns([id_col, "th"])
+        raw = banded_pairs_raw(
+            explode_bands(combined, id_col, bands), id_col, max_bucket
+        ).materialize()
+        if raw.count() <= 2_000_000:
+            blocks = [
+                t
+                for t in (ray.get(r) for r in raw.to_arrow_refs())
+                if t.num_rows  # empty shuffle partitions carry no schema
+            ]
+            tbl = (
+                pa.concat_tables(blocks).combine_chunks()
+                if blocks
+                else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+            )
+            if tbl.num_rows:
+                ab = np.unique(
+                    np.stack(
+                        [tbl.column("a").to_numpy(), tbl.column("b").to_numpy()], 1
+                    ),
+                    axis=0,
+                )
+            else:
+                ab = np.zeros((0, 2), np.int64)
+            need = np.unique(ab)
+            need_ref = ray.put(need)
+
+            def gather(t: pa.Table) -> pa.Table:
+                mask = np.isin(t.column(id_col).to_numpy(), ray.get(need_ref))
+                return t.filter(pa.array(mask))
+
+            small = tok_ds.map_batches(gather, batch_format="pyarrow").materialize()
+            if small.size_bytes() <= 2_000_000_000:
+                th_map: dict[int, bytes] = {}
+                for b in small.iter_batches(batch_format="pyarrow"):
+                    for i, v in zip(
+                        b.column(id_col).to_pylist(), b.column("th").to_pylist()
+                    ):
+                        th_map[int(i)] = v
+                th_ref = ray.put(th_map)
+                import ray.data as rd
+
+                pairs_ds = rd.from_arrow(
+                    pa.table(
+                        {
+                            "a": pa.array(ab[:, 0], pa.int64()),
+                            "b": pa.array(ab[:, 1], pa.int64()),
+                        }
+                    )
+                )
+
+                def verify_bcast(t: pa.Table) -> pa.Table:
+                    m = ray.get(th_ref)
+                    av = t.column("a").to_pylist()
+                    bv = t.column("b").to_pylist()
+                    return _verify_table(
+                        av,
+                        bv,
+                        [m[int(x)] for x in av],
+                        [m[int(x)] for x in bv],
+                        threshold_num,
+                        threshold_den,
+                    )
+
+                return pairs_ds.map_batches(verify_bcast, batch_format="pyarrow")
+        # big candidate set: distinct via groupby, then the join path
+        from ray.data.aggregate import Count
+
+        cand = (
+            raw.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_nbands"))
+            .select_columns(["a", "b"])
+        )
+    else:
+        cand = minhash_lsh_candidates(
+            ds, col, id_col, num_hashes, bands, shingle, max_bucket
+        )
     if num_partitions is None:
         num_partitions = _default_join_partitions()
 
@@ -344,29 +564,41 @@ def lsh_verified_pairs(
     j = j.join(tok_ds, "inner", num_partitions, on=("b",), right_on=(id_col,))
 
     def verify(t: pa.Table) -> pa.Table:
-        a_out, b_out, inter_out, union_out = [], [], [], []
-        av = t.column("a").to_pylist()
-        bv = t.column("b").to_pylist()
-        for ai, bi, ra, rb in zip(av, bv, t.column("th_a").to_pylist(), t.column("th").to_pylist()):
-            ha = np.frombuffer(ra, dtype=np.uint64)
-            hb = np.frombuffer(rb, dtype=np.uint64)
-            inter = len(np.intersect1d(ha, hb, assume_unique=True))
-            union = len(ha) + len(hb) - inter
-            if union > 0 and threshold_den * inter >= threshold_num * union:
-                a_out.append(ai)
-                b_out.append(bi)
-                inter_out.append(inter)
-                union_out.append(union)
-        return pa.table(
-            {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "n_inter": pa.array(inter_out, pa.int64()),
-                "n_union": pa.array(union_out, pa.int64()),
-            }
+        return _verify_table(
+            t.column("a").to_pylist(),
+            t.column("b").to_pylist(),
+            t.column("th_a").to_pylist(),
+            t.column("th").to_pylist(),
+            threshold_num,
+            threshold_den,
         )
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_table(av, bv, th_a, th_b, threshold_num: int, threshold_den: int) -> pa.Table:
+    """Integer-exact Jaccard check of candidate pairs given their
+    shingle-hash payloads (uint64 LE bytes): keep where
+    ``den*|A∩B| >= num*|A∪B|``."""
+    a_out, b_out, inter_out, union_out = [], [], [], []
+    for ai, bi, ra, rb in zip(av, bv, th_a, th_b):
+        ha = np.frombuffer(ra, dtype=np.uint64)
+        hb = np.frombuffer(rb, dtype=np.uint64)
+        inter = len(np.intersect1d(ha, hb, assume_unique=True))
+        union = len(ha) + len(hb) - inter
+        if union > 0 and threshold_den * inter >= threshold_num * union:
+            a_out.append(ai)
+            b_out.append(bi)
+            inter_out.append(inter)
+            union_out.append(union)
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "n_inter": pa.array(inter_out, pa.int64()),
+            "n_union": pa.array(union_out, pa.int64()),
+        }
+    )
 
 
 # -- SimHash -----------------------------------------------------------------

@@ -40,6 +40,28 @@ def lsh_pairs(ray_session):
     return pa.concat_tables([ray.get(r) for r in refs])
 
 
+@pytest.fixture(scope="module")
+def fused_pairs(ray_session):
+    """The default single-pass path (tok_ds=None): one tokenization feeds
+    band keys + verify payload via the materialized checkpoint."""
+    from apache___solr_ray.sources import load
+    from apache___solr_ray.stages.dedup import lsh_verified_pairs
+
+    ds = load(SF, "documents", columns=["doc_id", "text"])
+    import pyarrow as pa
+    import ray
+
+    refs = lsh_verified_pairs(ds, None, "text", "doc_id", 9, 10, shingle=3).to_arrow_refs()
+    return pa.concat_tables([ray.get(r) for r in refs])
+
+
+def test_fused_pairs_equal_brute(brute_pairs, fused_pairs):
+    assert _pairs_set(fused_pairs) == _pairs_set(brute_pairs)
+    b = {(r["a"], r["b"]): (r["n_inter"], r["n_union"]) for r in brute_pairs.to_pylist()}
+    for r in fused_pairs.to_pylist():
+        assert b[(r["a"], r["b"])] == (r["n_inter"], r["n_union"])
+
+
 def test_lsh_pairs_equal_brute(brute_pairs, lsh_pairs):
     assert _pairs_set(lsh_pairs) == _pairs_set(brute_pairs)
     # and the exact intersection/union counts agree pairwise
