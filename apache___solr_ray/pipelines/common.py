@@ -53,6 +53,55 @@ def semi_join_filter(ds, key_col: str, keys, keep: bool = True):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+_GM_HASH_KEY = "0123456789abcdef"
+
+
+def grouped_map(ds, keys: list[str] | str, fn, num_parts: int | None = None):
+    """Hash-partition by key, then ONE vectorized pandas call per partition.
+
+    Replacement for ``groupby(key).map_groups(per_group_fn)``: Ray Data
+    dispatches the map_groups Python fn once PER GROUP, so 10^8 distinct
+    keys cost 10^8 interpreter round-trips. Here the shuffle key is
+    ``hash(key) % P`` — the Python boundary is crossed P times total and
+    ``fn`` receives a frame holding thousands of WHOLE groups, doing its
+    per-group work with pandas' C groupby kernels (head/rank/cumcount/
+    quantile). Every row of a key lands in exactly one partition (the
+    partition id is a pure function of the key columns), so per-group
+    results are identical to the per-group-dispatch form.
+
+    ``fn``: pandas DataFrame (many whole groups) -> DataFrame.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if num_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # one partition per core keeps every worker busy; at cluster scale
+        # callers should pass data_bytes / ~256MB instead
+        num_parts = max(4, cpus)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in keys:
+            col = t.column(k).to_numpy(zero_copy_only=False)
+            if col.dtype == object or col.dtype.kind in "US":
+                col = np.asarray(col, dtype=object)
+            hk = pd.util.hash_array(col, hash_key=_GM_HASH_KEY, categorize=False)
+            h = h * np.uint64(1000003) + hk
+        part = (h % np.uint64(num_parts)).astype(np.int64)
+        return t.append_column("__gpart", pa.array(part))
+
+    def run_part(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__gpart"))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__gpart")
+        .map_groups(run_part, batch_format="pandas")
+    )
+
+
 def round_cols(ds, spec: dict[str, int]):
     """Round float columns (both the Ray side and the oracle SQL round, so
     value hashes agree despite summation-order ulp drift)."""

@@ -446,14 +446,18 @@ def having_active_users(sf_dir: str):
 )
 def collapse_latest_event(sf_dir: str):
     """CollapsingQParserPlugin analog: group-collapse keeping the head by
-    sort (here: latest ts, max event_id tie-break)."""
+    sort (here: latest ts, max event_id tie-break). Hash-partitioned by
+    user_id; each partition collapses ALL its groups with one vectorized
+    sort + groupby.head(1) (no per-group Python dispatch)."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
     ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
-        return g[["user_id", "event_id"]]
+    def heads(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False])
+        return g.groupby("user_id", sort=False).head(1)[["user_id", "event_id"]]
 
-    return ds.groupby("user_id").map_groups(head, batch_format="pandas")
+    return grouped_map(ds, "user_id", heads)
 
 
 @q(
@@ -470,20 +474,27 @@ def collapse_latest_event(sf_dir: str):
     """,
 )
 def sessionize_events(sf_dir: str):
-    """Session windowing (streaming-shaped workload): per-key ordered
-    map_groups with a 30-minute inactivity gap. Ordering assumption: events
-    sorted by (ts, event_id) within each user partition."""
+    """Session windowing (streaming-shaped workload): hash-partition by
+    user, then one vectorized pass per partition — sort by (user, ts),
+    per-user lag via groupby().shift(), 30-minute-gap session starts
+    counted with a groupby sum. No per-group Python dispatch."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
     ds = load(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps.isna() | (gaps > 1800)).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["ts"].shift()
+        start = prev.isna() | ((g["ts"] - prev).dt.total_seconds() > 1800)
+        agg = (
+            g.assign(_start=start.astype(np.int64))
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("_start", "sum"), n_events=("_start", "size"))
+            .reset_index()
         )
+        return agg
 
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    out = grouped_map(ds, "user_id", sess)
     from apache___solr_ray.pipelines.common import as_int64
 
     return as_int64(out, "n_sessions", "n_events")
@@ -705,27 +716,35 @@ def sample_events_mod(sf_dir: str):
 def expand_top_event(sf_dir: str):
     """Collapse + Expand analog (reference CollapsingQParserPlugin.java /
     ExpandComponent.java): keep the best row per group AND report how many
-    rows were collapsed — one groupby, per-group work vectorized."""
+    rows were collapsed — hash-partitioned, all groups in a partition
+    collapsed by one vectorized sort + groupby.head(1)/size (no per-group
+    Python dispatch)."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
     ds = load(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
-    def top(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+    def tops(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("user_id", sort=False).size()
+        best = (
+            g.sort_values(["value", "event_id"], ascending=[False, True])
+            .groupby("user_id", sort=False)
+            .head(1)
+        )
+        top_value = pc.round(
+            pa.array(best["value"].to_numpy(), pa.float64()),
+            ndigits=4,
+            round_mode="half_towards_infinity",
+        ).to_numpy(zero_copy_only=False)
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "top_event_id": [int(g["event_id"].iloc[0])],
-                "top_value": [
-                    float(
-                        pc.round(
-                            pa.scalar(float(g["value"].iloc[0])), ndigits=4, round_mode="half_towards_infinity"
-                        ).as_py()
-                    )
-                ],
-                "n_collapsed": [len(g) - 1],
+                "user_id": best["user_id"].to_numpy(),
+                "top_event_id": best["event_id"].to_numpy(),
+                "top_value": top_value,
+                "n_collapsed": (sizes.loc[best["user_id"]] - 1).to_numpy(),
             }
         )
 
-    return ds.groupby("user_id").map_groups(top, batch_format="pandas")
+    return grouped_map(ds, "user_id", tops)
 
 
 @q(
@@ -742,22 +761,28 @@ def expand_top_event(sf_dir: str):
 )
 def window_rank_orders(sf_dir: str):
     """Windowed top-N per key — the TopFieldCollector / CursorMark per-shard
-    sorted-page analog (reference SolrIndexSearcher.java:1905-1913) as a
-    groupby + per-group vectorized rank."""
+    sorted-page analog (reference SolrIndexSearcher.java:1905-1913):
+    hash-partition by key, then one vectorized sort + groupby.cumcount per
+    partition (no per-group Python dispatch)."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
     ds = load(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def rank2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(2)
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        rn = g.groupby("o_custkey", sort=False).cumcount() + 1
+        g = g.assign(rn=rn.astype(np.int64))
+        g = g[g["rn"] <= 2]
         return pd.DataFrame(
             {
                 "o_custkey": g["o_custkey"].to_numpy(),
                 "o_orderkey": g["o_orderkey"].to_numpy(),
                 "price": np.round(g["o_totalprice"].to_numpy(), 2),
-                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+                "rn": g["rn"].to_numpy(),
             }
         )
 
-    return ds.groupby("o_custkey").map_groups(rank2, batch_format="pandas")
+    return grouped_map(ds, "o_custkey", rank2)
 
 
 @q(
@@ -772,20 +797,27 @@ def window_rank_orders(sf_dir: str):
 def percentile_per_type(sf_dir: str):
     """PercentileAgg / PercentileMetric analog (reference PercentileAgg.java)
     computed exactly per group (linear-interpolation quantile, matching
-    DuckDB quantile_cont = numpy 'linear')."""
+    DuckDB quantile_cont = pandas/numpy 'linear'); hash-partitioned by
+    type, all groups in a partition quantiled by one C groupby kernel."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
     ds = load(sf_dir, "events", columns=["event_type", "value"])
 
     def pct(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
+        qq = (
+            g.groupby("event_type", sort=False)["value"]
+            .quantile([0.5, 0.95], interpolation="linear")
+            .unstack()
+        )
         return pd.DataFrame(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50": [round(float(np.quantile(v, 0.5)), 4)],
-                "p95": [round(float(np.quantile(v, 0.95)), 4)],
+                "event_type": qq.index.to_numpy(),
+                "p50": np.round(qq[0.5].to_numpy(), 4),
+                "p95": np.round(qq[0.95].to_numpy(), 4),
             }
         )
 
-    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+    return grouped_map(ds, "event_type", pct)
 
 
 @q("hll_unique_users")  # approx sketch: rows-only driver check; bound asserted in pytest

@@ -96,8 +96,9 @@ def ann_cosine_top20(sf_dir: str):
     """,
 )
 def ann_per_label_top3(sf_dir: str):
-    """Grouped top-k (per-label nearest) — groupby().map_groups over the
-    scored stream; the expand/grouping component analog."""
+    """Grouped top-k (per-label nearest) — hash-partition by label, one
+    vectorized sort + cumcount per partition; the expand/grouping
+    component analog."""
     import ray
 
     qv = _query_vec(sf_dir)
@@ -115,13 +116,14 @@ def ann_per_label_top3(sf_dir: str):
 
     scored = ds.map_batches(score, batch_format="pyarrow")
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["label", "vec_id", "rk"]]
+    from apache___solr_ray.pipelines.common import grouped_map
 
-    return scored.groupby("label").map_groups(top3, batch_format="pandas")
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True])
+        g = g.assign(rk=(g.groupby("label", sort=False).cumcount() + 1).astype(np.int64))
+        return g[g["rk"] <= 3][["label", "vec_id", "rk"]]
+
+    return grouped_map(scored, "label", top3)
 
 
 @q(

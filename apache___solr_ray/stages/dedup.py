@@ -63,12 +63,15 @@ def exact_dedup(ds, col: str, key_col: str):
     instead of last-write-wins, which has no meaning for immutable files)."""
     import pandas as pd  # noqa: F811
 
+    from apache___solr_ray.pipelines.common import grouped_map
+
     ds = ds.map_batches(add_signature(col), batch_format="pyarrow")
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key_col).head(1)
+        # all groups of this hash partition in one vectorized pass
+        return g.sort_values(key_col).groupby("signature", sort=False).head(1)
 
-    return ds.groupby("signature").map_groups(keep_first, batch_format="pandas")
+    return grouped_map(ds, "signature", keep_first)
 
 
 # -- TextProfileSignature (fuzzy) -------------------------------------------
