@@ -644,17 +644,20 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int, store_positions: 
                     # readers open only overlapping segments
                     "part_lo": min(pids),
                     "part_hi": max(pids) + 1,
+                    # content lineage, propagated into index_manifest so
+                    # index_fingerprint digests content identity, not just
+                    # per-segment counts
+                    "lineage": str(row["lineage"]),
                 }
             )
+        int_cols = (
+            "skey", "tkey", "salt", "n_terms", "n_postings", "bytes",
+            "part_lo", "part_hi",
+        )
         return pa.table(
-            {k: pa.array([o[k] for o in out], pa.int64()) for k in out[0]}
-            if out
-            else {
-                k: pa.array([], pa.int64())
-                for k in (
-                    "skey", "tkey", "salt", "n_terms", "n_postings", "bytes",
-                    "part_lo", "part_hi",
-                )
+            {
+                **{k: pa.array([o[k] for o in out], pa.int64()) for k in int_cols},
+                "lineage": pa.array([o["lineage"] for o in out], pa.string()),
             }
         )
 
@@ -699,6 +702,8 @@ def _make_segment_writer(index_dir: str, n_doc_parts: int, cfg_fp: str = ""):
                 "n_terms": pa.array([meta["n_terms"]], pa.int64()),
                 "n_postings": pa.array([meta["n_postings"]], pa.int64()),
                 "bytes": pa.array([meta["bytes"]], pa.int64()),
+                # content checksum propagated into the manifest (fingerprint)
+                "lineage": pa.array([str(meta.get("checksum", chk))], pa.string()),
             }
         )
 
@@ -890,6 +895,7 @@ def build_index(
                     name=f"seg-{int(s['tkey']):05d}-{int(s['salt']):05d}",
                     part_lo=int(s.get("part_lo", 0)),
                     part_hi=int(s.get("part_hi", n_doc_parts)),
+                    lineage=str(s.get("lineage", "")),
                 )
                 for s in seg_summaries
             ],

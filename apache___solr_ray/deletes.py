@@ -58,45 +58,82 @@ def clear_tombstones(index_dir: str) -> None:
     write_json_atomic(os.path.join(index_dir, TOMBSTONE_FILE), {"doc_ids": []})
 
 
+_UNKNOWN_FP = "__unknown_partition__"
+
+
 def record_purged(index_dir: str, doc_ids, input_fingerprints: list[str]) -> None:
-    """Durable purge ledger: remember which doc ids a purge-merge physically
-    reclaimed, tagged with the *input fingerprint* of the doc partition each
-    id belongs to. A later ``build_index`` (append / upsert) rebuilds
-    segments from ``postings_raw`` — which still contains the purged docs —
-    so the ledger lets it re-apply the deletes as tombstones instead of
-    silently resurrecting them. An entry whose partition fingerprint no
-    longer matches refers to rebuilt (different) content and is dropped."""
-    existing = read_json(os.path.join(index_dir, PURGED_FILE)) or {"entries": {}}
-    entries: dict[str, str] = dict(existing.get("entries", {}))
+    """Durable purge ledger: remember which docs a purge-merge physically
+    reclaimed, keyed by the *input fingerprint* of the doc partition each
+    id belongs to plus the row WITHIN that partition (never the positional
+    part id — a later corpus file that sorts before existing ones shifts
+    part ids, but (fingerprint, row) still names the same source row). A
+    later ``build_index`` (append / upsert) rebuilds segments from
+    ``postings_raw`` — which still contains the purged docs — so the
+    ledger lets it re-apply the deletes as tombstones instead of silently
+    resurrecting them. Ids whose partition cannot be fingerprinted are
+    kept under a sentinel key and surfaced with a warning rather than
+    silently dropped."""
+    import warnings
+
+    ledger = read_json(os.path.join(index_dir, PURGED_FILE)) or {}
+    by_fp: dict[str, list[int]] = {k: list(v) for k, v in ledger.get("by_fp", {}).items()}
     for d in doc_ids:
-        part = int(d) >> 32
-        fp = input_fingerprints[part] if part < len(input_fingerprints) else ""
-        entries[str(int(d))] = fp
-    write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"entries": entries})
+        part, row = int(d) >> 32, int(d) & 0xFFFFFFFF
+        if part < len(input_fingerprints):
+            by_fp.setdefault(input_fingerprints[part], []).append(row)
+        else:
+            warnings.warn(
+                f"record_purged: doc {int(d)} falls outside the {len(input_fingerprints)}"
+                " known input partitions; kept under the unknown-partition sentinel"
+            )
+            by_fp.setdefault(_UNKNOWN_FP, []).append(int(d))
+    by_fp = {k: sorted(set(v)) for k, v in by_fp.items()}
+    write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"by_fp": by_fp})
 
 
 def reapply_purged(index_dir: str, current_fingerprints: list[str]) -> int:
-    """Re-assert purged deletes after a rebuild: every ledger entry whose
-    partition input-fingerprint still matches the current build is merged
-    back into ``tombstones.json`` (the doc exists again in the rebuilt
-    segments and must stay dead). Stale entries (partition content changed,
-    so the purged doc no longer exists) are pruned. Returns the number of
-    re-applied tombstones."""
+    """Re-assert purged deletes after a rebuild: every ledger partition
+    whose input-fingerprint appears in the current build has its rows
+    mapped to that partition's CURRENT positional id and merged back into
+    ``tombstones.json`` (the docs exist again in the rebuilt segments and
+    must stay dead). Entries whose fingerprint is absent from the current
+    build are KEPT in the ledger (the partition may reappear in a later
+    layout) and reported with a warning — never silently pruned. Returns
+    the number of re-applied tombstones."""
+    import warnings
+
     ledger = read_json(os.path.join(index_dir, PURGED_FILE))
-    if not ledger or not ledger.get("entries"):
+    if not ledger:
         return 0
-    keep: dict[str, str] = {}
+    by_fp = ledger.get("by_fp")
+    if by_fp is None and ledger.get("entries"):
+        # migrate a pre-v3 positional ledger: its doc ids were only valid
+        # for the layout it was written under; treat as unknown-partition
+        by_fp = {_UNKNOWN_FP: sorted(int(k) for k in ledger["entries"])}
+    if not by_fp:
+        return 0
+    pos_of = {fp: i for i, fp in enumerate(current_fingerprints)}
     reapply: list[int] = []
-    for doc_s, fp in ledger["entries"].items():
-        part = int(doc_s) >> 32
-        if part < len(current_fingerprints) and current_fingerprints[part] == fp:
-            keep[doc_s] = fp
-            reapply.append(int(doc_s))
+    stale: list[str] = []
+    for fp, rows in by_fp.items():
+        if fp == _UNKNOWN_FP:
+            stale.append(fp)
+            continue
+        pos = pos_of.get(fp)
+        if pos is None:
+            stale.append(fp)
+            continue
+        reapply.extend((pos << 32) + int(r) for r in rows)
+    if stale:
+        warnings.warn(
+            "reapply_purged: purge-ledger partitions not in the current build "
+            f"(kept, not re-applied): {stale[:4]}{'...' if len(stale) > 4 else ''}"
+        )
     if reapply:
         existing = load_tombstones(index_dir)
         merged = sorted(set(existing.tolist()) | set(reapply))
         write_json_atomic(os.path.join(index_dir, TOMBSTONE_FILE), {"doc_ids": merged})
-    write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"entries": keep})
+    write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"by_fp": by_fp})
     return len(reapply)
 
 

@@ -245,6 +245,17 @@ def merge_segments(
 
     consumed = {s["name"] for st in steps for s in st[1]}
     survivors = [s for s in segments if s["name"] not in consumed]
+    # merged lineage = digest of the source lineages (chains fold in step
+    # order), so index_fingerprint keeps digesting content identity across
+    # merges rather than falling back to counts-only
+    import hashlib as _hashlib
+
+    lineage_by_name = {s["name"]: str(s.get("lineage", "")) for s in segments}
+    for _, sources, out_name, _ in steps:
+        combined = "+".join(
+            lineage_by_name.get(s["name"], str(s.get("name", ""))) for s in sources
+        )
+        lineage_by_name[out_name] = "m:" + _hashlib.sha1(combined.encode()).hexdigest()
     new_entries = [
         {
             "skey": -1,
@@ -254,6 +265,7 @@ def merge_segments(
             "n_terms": int(m["n_terms"]),
             "n_postings": int(m["n_postings"]),
             "bytes": int(m["bytes"]),
+            "lineage": lineage_by_name.get(n, ""),
         }
         for n, m in merged_by_name.items()
         if n not in consumed  # intermediate merge outputs may themselves be consumed

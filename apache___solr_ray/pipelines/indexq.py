@@ -883,12 +883,14 @@ def _span_oracle_sql(spans) -> str:
     parts = []
     for terms, slop in spans:
         label = f"{' '.join(terms)}~{slop}"
+        n = len(terms)
         joins = "".join(
-            f" JOIN toks t{i} ON t{i}.doc_id = t0.doc_id"
-            f" AND t{i}.pos > t{i-1}.pos AND t{i}.pos <= t{i-1}.pos + {slop + 1}"
-            for i in range(1, len(terms))
+            f" JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos > t{i-1}.pos"
+            for i in range(1, n)
         )
+        # whole-span budget (NearSpansOrdered): total gap = last - first - (n-1)
         conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+        conds += f" AND t{n-1}.pos - t0.pos <= {slop + n - 1}"
         parts.append(
             f"SELECT '{label}' AS span, t0.doc_id\n"
             f"    FROM toks t0{joins} WHERE {conds} GROUP BY t0.doc_id"
@@ -907,10 +909,11 @@ def _span_oracle_sql(spans) -> str:
 @q("index_span_near_docs", _span_oracle_sql(SPAN_SET))
 def index_span_near_docs(sf_dir: str):
     """Ordered span-near (surround parser / SpanNearQuery(inOrder) analog):
-    (span, doc_id) for every doc where the terms occur in order with each
-    consecutive gap ≤ slop+1 — evaluated by vectorized reachability DP
-    over the codec-v2 position streams; DuckDB recomputes via chained
-    position self-joins."""
+    (span, doc_id) for every doc where the terms occur in order within a
+    TOTAL gap budget of ``slop`` across the whole span (NearSpansOrdered
+    semantics) — evaluated by a vectorized greedy chain over the codec-v2
+    position streams; DuckDB recomputes via chained position self-joins
+    with the whole-span width bound."""
     from apache___solr_ray.query import IndexReader
 
     index_dir = ensure_doc_index(sf_dir)

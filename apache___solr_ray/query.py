@@ -427,15 +427,20 @@ class IndexReader:
 
     def span_near_docs(self, phrase: str, slop: int = 0) -> np.ndarray:
         """Ordered span-near match (reference surround parser /
-        SpanNearQuery(inOrder=true) surface): docs where the analyzed
-        clause terms occur IN ORDER with every consecutive gap ≤ slop+1
-        positions (slop=0 == exact phrase adjacency).
+        SpanNearQuery(inOrder=true), NearSpansOrdered semantics): docs with
+        positions p_0 < p_1 < ... < p_{n-1} for the analyzed clause terms
+        IN ORDER whose TOTAL gap budget sum(p_i - p_{i-1} - 1) =
+        p_{n-1} - p_0 - (n-1) is ≤ slop (slop=0 == exact phrase
+        adjacency). The slop is a whole-span budget, not per-gap —
+        matching Lucene's SloppyMath accumulation for ordered spans.
 
-        Vectorized reachability DP over the position streams: clause 0's
-        positions seed the reachable set; clause i keeps positions with a
-        reachable clause-(i-1) position in the window [p-slop-1, p), via
-        two searchsorted calls on the sorted (doc_rank, pos) key space —
-        positions are decoded only for candidate-intersection blocks."""
+        Vectorized greedy chain over the position streams: for every
+        clause-0 start position, repeatedly take the SMALLEST same-doc
+        next-clause position strictly greater (one searchsorted per
+        clause on the sorted (doc_rank, pos) key space) — greedy-smallest
+        minimizes the final span end, so the budget check on the chain's
+        end is exact. Positions are decoded only for candidate-
+        intersection blocks."""
         toks = self.analyzer.analyze(phrase)
         z = np.zeros(0, dtype=np.int64)
         if not toks:
@@ -461,21 +466,31 @@ class IndexReader:
             return z
         per_clause = [tp.positions_for_docs(cand) for tp in tps]
         max_pos = max((int(p.max()) for _, p in per_clause if len(p)), default=0)
-        M = np.int64(max_pos + slop + 2)
-        reach = None
-        for i, (doc_rep, pos) in enumerate(per_clause):
+        M = np.int64(max_pos + 2)
+        keyspaces = []
+        for doc_rep, pos in per_clause:
             rank = np.searchsorted(cand, doc_rep)
             keys = rank.astype(np.int64) * M + pos.astype(np.int64)
             keys.sort()
-            if i == 0:
-                reach = keys
-                continue
-            lo = np.searchsorted(reach, keys - np.int64(slop + 1))
-            hi = np.searchsorted(reach, keys)
-            reach = keys[lo < hi]
-            if len(reach) == 0:
+            keyspaces.append(keys)
+        # greedy chain: start = clause-0 keys; each step jumps to the
+        # smallest strictly-greater same-doc key of the next clause
+        start = keyspaces[0]
+        cur = start
+        for keys in keyspaces[1:]:
+            idx = np.searchsorted(keys, cur, side="right")
+            ok = idx < len(keys)
+            nxt = keys[np.minimum(idx, len(keys) - 1)]
+            # must stay within the same doc (same rank block)
+            ok &= (nxt // M) == (cur // M)
+            start, cur = start[ok], nxt[ok]
+            if len(cur) == 0:
                 return z
-        return cand[np.unique(reach // M)]
+        # total budget: span width minus (n-1) interior steps ≤ slop
+        ok = (cur - start) <= np.int64(slop + len(tps) - 1)
+        if not ok.any():
+            return z
+        return cand[np.unique(start[ok] // M)]
 
     def topk_phrase(self, phrase: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """BM25-scored phrase top-k: tf = phrase frequency, weight uses the
@@ -503,14 +518,30 @@ class IndexReader:
 
     def expand_wildcard(self, pattern: str) -> list[str]:
         """WildcardQuery expansion: ``*``/``?`` translated to SQL-LIKE and
-        matched by the vectorized C kernel per segment dict."""
-        like = (
-            pattern.replace("\\", "\\\\")
-            .replace("%", "\\%")
-            .replace("_", "\\_")
-            .replace("*", "%")
-            .replace("?", "_")
-        )
+        matched by the vectorized C kernel per segment dict. Lucene-style
+        backslash escapes are honored: ``\\*`` / ``\\?`` match the literal
+        character (WildcardQuery.toAutomaton's escape handling), so the
+        pattern is parsed char-by-char before mapping to LIKE."""
+        out_chars: list[str] = []
+        i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\" and i + 1 < len(pattern):
+                nxt = pattern[i + 1]
+                # escaped char is literal: protect LIKE metachars
+                out_chars.append("\\" + nxt if nxt in "%_\\" else nxt)
+                i += 2
+                continue
+            if c == "*":
+                out_chars.append("%")
+            elif c == "?":
+                out_chars.append("_")
+            elif c in "%_\\":
+                out_chars.append("\\" + c)
+            else:
+                out_chars.append(c)
+            i += 1
+        like = "".join(out_chars)
         out: set[str] = set()
         for segs in self._segments_by_tkey.values():
             for seg in segs:

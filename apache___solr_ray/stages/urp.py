@@ -281,10 +281,15 @@ def tolerant(stage: Stage, error_col: str = "_error") -> Stage:
         if out_schema is None:
             # every row failed: passthrough with errors
             return t.append_column(error_col, pa.array(errs, pa.string()))
-        fixed = []
+        # error column aligned with ACTUAL output rows: a wrapped stage may
+        # filter (0 rows out) or expand (>1 rows out) an input row — repeat
+        # the per-input error value once per emitted row (failed rows always
+        # pass through as exactly one row)
+        fixed, err_out = [], []
         for i, r in enumerate(rows):
             if r is not None:
                 fixed.append(r)
+                err_out.extend([None] * r.num_rows)
             else:
                 # passthrough row padded with nulls for stage-added columns
                 one = t.slice(i, 1)
@@ -295,8 +300,9 @@ def tolerant(stage: Stage, error_col: str = "_error") -> Stage:
                     else:
                         cols[f.name] = pa.array([None], f.type)
                 fixed.append(pa.table(cols, schema=out_schema))
+                err_out.append(errs[i])
         out = pa.concat_tables(fixed)
-        return out.append_column(error_col, pa.array(errs, pa.string()))
+        return out.append_column(error_col, pa.array(err_out, pa.string()))
 
     return run
 
