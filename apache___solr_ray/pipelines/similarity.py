@@ -11,6 +11,8 @@ DuckDB's ``list_cosine_similarity`` (embeddings cast to DOUBLE[] in SQL).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -231,82 +233,43 @@ def ann_lsh_bucketed_top20(sf_dir: str):
     return round_cols(top, {"sim": 5})
 
 
-# -- IVF (inverted-file) ANN: the k-means coarse-quantizer scale path --------
+# -- IVF (inverted-file) ANN: the persisted-index scale path -----------------
+
+_IVF_CACHE: dict[str, str] = {}
 
 
-def _ivf_centroids(
-    sf_dir: str, n_lists: int = 8, iters: int = 5, max_train: int = 65_536
-) -> np.ndarray:
-    """Deterministic k-means coarse quantizer (Lloyd, fixed seed/iters) —
-    trained driver-side on a BOUNDED sample: a deterministic
-    every-k-th-row thinning streamed through ``iter_batches``, never the
-    full table (k-means needs only O(n_lists) × oversampling rows; at
-    100 TB the stream stops after ``max_train`` rows). The centroid matrix
-    is tiny and broadcast to every assignment task."""
-    n_total = load(sf_dir, "embeddings", columns=["vec_id"]).count()
-    step = max(1, n_total // max_train)
-    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    rows: list[np.ndarray] = []
-    taken = 0
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        ids = b.column("vec_id").to_numpy()
-        keep = (ids % step) == 0
-        if keep.any():
-            rows.append(np.array(b.column("embedding").take(pa.array(np.flatnonzero(keep))).to_pylist(), dtype=np.float64))
-            taken += int(keep.sum())
-        if taken >= max_train:
-            break
-    X = np.concatenate(rows) if rows else np.zeros((0, 0))
-    rng = np.random.Generator(np.random.PCG64(11))
-    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
-    for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(len(C)):
-            m = assign == j
-            if m.any():
-                C[j] = X[m].mean(axis=0)
-    return C
+def ensure_ivf_index(sf_dir: str) -> str:
+    """Build (once per corpus, resumable) the persisted IVF index over the
+    ``embeddings`` table — centroids + list-partitioned vectors as index
+    ARTIFACTS with their own manifest (the DenseVectorField per-segment
+    graph analog): the quantizer is trained at BUILD time and absent from
+    query time."""
+    import hashlib
+
+    from apache___solr_ray.ann import build_ivf_index
+
+    hit = _IVF_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getsize(src)}:ivf1".encode()).hexdigest()[:16]
+    index_dir = f"/tmp/apache___solr_ray_cache/{key}/ivf"
+    build_ivf_index(src, index_dir, vec_col="embedding", id_col="vec_id", n_lists=8)
+    _IVF_CACHE[sf_dir] = index_dir
+    return index_dir
 
 
 @q("ann_ivf_top20")  # rows-only for the driver; recall pytest-asserted
 def ann_ivf_top20(sf_dir: str):
-    """IVF ANN (the scale path named in the task brief): k-means coarse
-    quantizer -> assign every vector to its nearest centroid inside
-    map_batches (centroids broadcast via ray.put) -> probe only the
-    nprobe=4 closest lists for the query -> exact cosine re-rank of the
-    candidates. At 10^12 scale the assignment is a build-time pipeline
-    writing list-partitioned Parquet; probing reads only the probed lists'
-    files (same storage-pruning idea as the index's term buckets)."""
-    import ray
+    """IVF ANN over the PERSISTED index (ann.py): probe the nprobe=4
+    closest lists, read only those lists' Parquet files (storage pruning),
+    per-block exact-cosine top-k inside map_batches, tiny k-way merge of
+    the n_blocks × k winners. Centroid training happens once at build
+    time, never per query."""
+    from apache___solr_ray.ann import ivf_topk
 
     qv = _query_vec(sf_dir)
-    C = _ivf_centroids(sf_dir)
-    cref = ray.put(C)
-
-    # nprobe closest lists to the query
-    qd = ((C - qv[None, :]) ** 2).sum(axis=1)
-    probe = set(np.argsort(qd)[:4].tolist())
-
-    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def assign_and_filter(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        cen = _ray.get(cref)
-        X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        if len(X) == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
-        d = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-        lists = d.argmin(axis=1)
-        keep = np.isin(lists, list(probe))
-        Xk = X[keep]
-        ids = t.column("vec_id").to_numpy()[keep]
-        cos = (Xk @ qv) / (np.linalg.norm(Xk, axis=1) * np.linalg.norm(qv) + 1e-300)
-        return pa.table({"vec_id": pa.array(ids, pa.int64()), "cos": pa.array(cos)})
-
-    cands = ds.map_batches(assign_and_filter, batch_format="pyarrow").to_pandas()
-    cands = cands[cands["vec_id"] != 0]
-    cands = cands.sort_values(["cos", "vec_id"], ascending=[False, True]).head(20)
-    cands["cos"] = np.round(cands["cos"], 6)
-    return pa.Table.from_pandas(cands.reset_index(drop=True), preserve_index=False)
+    index_dir = ensure_ivf_index(sf_dir)
+    top = ivf_topk(index_dir, qv, k=20, nprobe=4, exclude_id=0)
+    cos = pc.round(top.column("cos"), ndigits=6)
+    return pa.table({"vec_id": top.column("vec_id"), "cos": cos})

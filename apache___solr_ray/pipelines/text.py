@@ -808,9 +808,13 @@ def _levenshtein1(a: str, b: str) -> bool:
 def spell_suggest(sf_dir: str):
     """Spellcheck/suggest analog (reference SpellCheckComponent.java /
     SuggestComponent.java): candidate terms within edit distance 1 of the
-    misspelling, ranked by collection frequency. The distinct-term
-    dictionary is tiny relative to postings (per-tkey term dicts at scale),
-    so the edit-distance scan runs on the aggregated vocabulary."""
+    misspelling, ranked by collection frequency. The vocabulary STAYS a
+    Dataset (a web-scale vocab is 10^8 terms — never collected to the
+    driver): each batch applies vectorized prefilters (|len(t)-len(q)| ≤ 1
+    and first-or-last-char agreement — a single edit can disturb at most
+    one end of the string), then the exact edit-distance check runs only
+    on the tiny per-batch survivor set; a distributed sort+limit merges
+    the final five."""
     from ray.data.aggregate import Count
 
     ds = load(sf_dir, "documents", columns=["text"])
@@ -824,10 +828,18 @@ def spell_suggest(sf_dir: str):
     agg = ds.map_batches(toks, batch_format="pyarrow").groupby("term").aggregate(
         Count(alias_name="ttf")
     )
-    df = agg.to_pandas()
-    df = df[[_levenshtein1(t, "mergr") for t in df["term"]]]
-    df = df.sort_values(["ttf", "term"], ascending=[False, True]).head(5)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    query = "mergr"
+
+    def cand_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["term"].str.len() - len(query)).abs() <= 1
+        m &= (df["term"].str[0] == query[0]) | (df["term"].str[-1] == query[-1])
+        sub = df[m]
+        if len(sub) == 0:
+            return sub
+        return sub[[_levenshtein1(t, query) for t in sub["term"]]]
+
+    cands = agg.map_batches(cand_filter, batch_format="pandas")
+    return cands.sort(["ttf", "term"], descending=[True, False]).limit(5)
 
 
 @q("csv_loader_roundtrip")  # rows-only: loader surface demo; equality pytest-asserted

@@ -46,6 +46,42 @@ def test_ivf_recall_and_exact_rerank(ray_session):
         assert abs(c - round(lut[vid], 6)) < 1e-9, vid
 
 
+def test_ivf_persisted_index_nprobe_sweep(ray_session):
+    """The IVF index is a PERSISTED artifact: a second build over the same
+    input is a committed-manifest no-op, the query path never retrains,
+    and probing all lists reproduces brute force exactly; recall grows
+    monotonically nprobe 1 -> 4 -> 8 (full)."""
+    import time
+
+    from apache___solr_ray.ann import build_ivf_index, ivf_topk
+    from apache___solr_ray.pipelines.similarity import ensure_ivf_index
+
+    sf = "/root/testdata/sf0.01"
+    index_dir = ensure_ivf_index(sf)
+    t0 = time.time()
+    man = build_ivf_index(f"{sf}/embeddings.parquet", index_dir)
+    assert time.time() - t0 < 1.0, "re-build of committed IVF index should be a no-op"
+    assert sum(int(v) for v in man["list_counts"].values()) == len(_brute(sf)[0])
+
+    ids, cos = _brute(sf)
+    want = set(_top20(ids, cos))
+    qv = np.array([v for i, v in zip(ids, _brute_vecs(sf)) if i == 0][0], dtype=np.float64)
+    recalls = {}
+    for nprobe in (1, 4, 8):
+        got = ivf_topk(index_dir, qv, k=20, nprobe=nprobe, exclude_id=0)
+        recalls[nprobe] = len(set(got.column("vec_id").to_pylist()) & want) / len(want)
+    assert recalls[1] <= recalls[4] <= recalls[8]
+    assert recalls[8] == 1.0, "nprobe == n_lists must equal brute force"
+    assert recalls[4] >= 0.6 and recalls[1] > 0.0, recalls
+
+
+def _brute_vecs(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return t.column("embedding").to_pylist()
+
+
 def test_lsh_recall_and_exact_rerank(ray_session):
     from apache___solr_ray.pipelines.similarity import QUERIES
 
