@@ -82,8 +82,33 @@ def col_expr(batch: pa.Table, expr):
     if head == "concat":
         return pc.binary_join_element_wise(*[col_expr(batch, a) for a in args], "")
     if head == "ms":
+        # 1-arg: epoch millis of a timestamp; 2-arg: ms(a) - ms(b)
+        # (ValueSourceParser "ms" registration: date math difference)
+        def _ms(a):
+            v = col_expr(batch, a)
+            t = v.type
+            if pa.types.is_timestamp(t):
+                iv = pc.cast(v, pa.int64())
+                if t.unit == "s":
+                    return pc.multiply(iv, 1000)
+                if t.unit == "ms":
+                    return iv
+                if t.unit == "us":
+                    return pc.divide(iv, 1000)
+                return pc.divide(iv, 1_000_000)
+            return pc.cast(v, pa.int64())
+
+        if len(args) == 1:
+            return _ms(args[0])
+        return pc.subtract(_ms(args[0]), _ms(args[1]))
+    if head == "strdist":
+        # Lucene LevenshteinDistance.getDistance: 1 - lev(a,b)/max(len) —
+        # vectorized DP against a constant query string (no per-row Python)
         x = col_expr(batch, args[0])
-        return pc.divide(pc.cast(x, pa.int64()), 1000)
+        q = args[1]
+        if not isinstance(q, str) or q in batch.column_names:
+            raise ValueError("strdist requires a literal second argument")
+        return _strdist_const(x, q)
     if head in _BINARY:
         vals = [col_expr(batch, a) for a in args]
         out = vals[0]
@@ -93,6 +118,50 @@ def col_expr(batch: pa.Table, expr):
     if head in _UNARY:
         return _UNARY[head](col_expr(batch, args[0]))
     raise KeyError(f"unknown function {head!r}")
+
+
+def _strdist_const(arr, q: str):
+    """1 - levenshtein(s, q)/max(len(s), len(q)) for every string in
+    ``arr`` vs the constant ``q`` — the whole batch advances through one
+    shared DP whose row axis is vectorized in numpy (no per-row Python
+    loop): O(len(q) × max_len) numpy ops per batch, each O(n_rows)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.float64())
+    lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    max_len = int(lens.max())
+    # padded code-point matrix straight from the Arrow buffers (ASCII-safe;
+    # non-ASCII falls back to per-row ord once, still bounded by the batch)
+    a = pc.cast(arr, pa.string())
+    buf = np.frombuffer(a.buffers()[2], dtype=np.uint8) if a.buffers()[2] else np.zeros(0, np.uint8)
+    off = np.frombuffer(a.buffers()[1], dtype=np.int32)[a.offset : a.offset + n + 1]
+    byte_lens = (off[1:] - off[:-1]).astype(np.int64)
+    if np.array_equal(byte_lens, lens):  # pure ASCII: bytes == code points
+        idx = off[:-1, None].astype(np.int64) + np.arange(max_len)[None, :]
+        valid = np.arange(max_len)[None, :] < lens[:, None]
+        M = np.where(valid, buf[np.clip(idx, 0, max(len(buf) - 1, 0))], 0)
+    else:
+        M = np.zeros((n, max_len), dtype=np.int64)
+        for i, s_ in enumerate(arr.to_pylist()):
+            for j, ch in enumerate(s_ or ""):
+                M[i, j] = ord(ch)
+    qcodes = np.array([ord(c) for c in q], dtype=np.int64)
+    # DP over (i: q chars) x (j: candidate positions); rows vectorized
+    prev = np.broadcast_to(np.arange(max_len + 1, dtype=np.int64), (n, max_len + 1)).copy()
+    for i in range(1, len(qcodes) + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, max_len + 1):
+            sub = prev[:, j - 1] + (M[:, j - 1] != qcodes[i - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+        prev = cur
+    dist = prev[np.arange(n), lens]
+    denom = np.maximum(lens, len(q)).astype(np.float64)
+    return pa.array(1.0 - dist.astype(np.float64) / denom, pa.float64())
 
 
 def add_computed(out_name: str, expr):
@@ -110,5 +179,5 @@ def add_computed(out_name: str, expr):
 
 
 REGISTERED = sorted(set(_BINARY) | set(_UNARY) | set(_CONST) | {
-    "if", "def", "linear", "recip", "scale", "map", "concat", "ms",
+    "if", "def", "linear", "recip", "scale", "map", "concat", "ms", "strdist",
 })

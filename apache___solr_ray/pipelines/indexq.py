@@ -258,6 +258,124 @@ def index_scatter_gather_topk(sf_dir: str):
     )
 
 
+# -- ReRank (two-stage ranking) ----------------------------------------------
+
+_RERANK_MAIN = ["fast", "merge", "join"]
+_RERANK_SECOND = ["hash", "join"]
+_RERANK_DOCS, _RERANK_WEIGHT = 50, 2.0
+
+
+def _f64_term_score_cols(r, idmap, terms):
+    """Per-term float64 BM25 over the index — quantized doc lengths
+    (SmallFloat norm bytes) but DOUBLE arithmetic, so DuckDB can mirror
+    the computation IEEE-op-for-op (the float32 Lucene path stays in
+    ``topk``; this is the oracle-mirrorable rescoring variant).
+
+    Returns (sorted documents.doc_id array, {term: aligned score col})."""
+    import math
+
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    avgdl = r.sum_total_tf / r.doc_count
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in dict.fromkeys(terms):
+        tp = r.term_postings(t)
+        if tp is None:
+            per_term[t] = (np.zeros(0, np.int64), np.zeros(0, np.float64))
+            continue
+        docs, tfs, norms = tp.decode_all()
+        qdl = LENGTH_TABLE[norms.astype(np.uint8)].astype(np.float64)
+        idf = math.log(1 + (r.doc_count - tp.df + 0.5) / (tp.df + 0.5))
+        tff = tfs.astype(np.float64)
+        s = idf * tff / (tff + 1.2 * (0.25 + 0.75 * qdl / avgdl))
+        mapped = np.array([idmap[int(d)] for d in docs], dtype=np.int64)
+        order = np.argsort(mapped, kind="stable")
+        per_term[t] = (mapped[order], s[order])
+    all_ids = np.unique(np.concatenate([m for m, _ in per_term.values()]))
+    cols = {}
+    for t, (m, s) in per_term.items():
+        col = np.zeros(len(all_ids), dtype=np.float64)
+        col[np.searchsorted(all_ids, m)] = s
+        cols[t] = col
+    return all_ids, cols
+
+
+def _rerank_oracle_sql() -> str:
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    terms = sorted(set(_RERANK_MAIN) | set(_RERANK_SECOND))
+    in_list = ", ".join(repr(t) for t in terms)
+    case_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN s END), 0) AS s_{t}" for t in terms
+    )
+    s1 = " + ".join(f"s_{t}" for t in _RERANK_MAIN)
+    s2 = " + ".join(f"s_{t}" for t in _RERANK_SECOND)
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({in_list}) GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id),
+    fp AS (SELECT doc_id, {s1} AS s1, {s2} AS s2 FROM pd WHERE {s1} > 0),
+    top AS (SELECT doc_id, s1, s2 FROM fp ORDER BY s1 DESC, doc_id LIMIT {_RERANK_DOCS}),
+    rr AS (SELECT doc_id, s1 + {_RERANK_WEIGHT}*s2 AS b FROM top)
+    SELECT CAST(row_number() OVER (ORDER BY b DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(b*10000 + 0.5)/10000.0 AS score
+    FROM rr ORDER BY b DESC, doc_id LIMIT 10
+    """
+
+
+@q("index_rerank_topk", _rerank_oracle_sql())
+def index_rerank_topk(sf_dir: str):
+    """ReRankQParser analog (reference
+    solr/core/src/java/org/apache/solr/search/ReRankQParserPlugin.java:
+    first-pass query retrieves the top reRankDocs, the second query
+    re-scores them and blends ``first + reRankWeight * second``; docs not
+    matching the rerank query keep their first-pass score). First pass:
+    BM25 over 'fast merge join', reRankDocs=50; rerank query 'hash join',
+    reRankWeight=2.0; top-10 of the blended ranking. Scores computed in
+    the f64 rescoring path so the DuckDB oracle mirrors the blended score
+    bit-for-bit; the float32 WAND path is asserted equal-ranked in
+    pytest."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, _RERANK_MAIN + _RERANK_SECOND)
+    s1 = cols[_RERANK_MAIN[0]].copy()
+    for t in _RERANK_MAIN[1:]:
+        s1 = s1 + cols[t]
+    s2 = cols[_RERANK_SECOND[0]].copy()
+    for t in _RERANK_SECOND[1:]:
+        s2 = s2 + cols[t]
+    cand = s1 > 0
+    ids_c, s1_c, s2_c = ids[cand], s1[cand], s2[cand]
+    top = np.lexsort((ids_c, -s1_c))[:_RERANK_DOCS]
+    blended = s1_c[top] + _RERANK_WEIGHT * s2_c[top]
+    final = np.lexsort((ids_c[top], -blended))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids_c[top][final], pa.int64()),
+            "score": pa.array(
+                np.floor(blended[final] * 10000 + 0.5) / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
 @q(
     "terms_prefix_enum",
     f"""

@@ -1624,3 +1624,67 @@ def random_sort_orders(sf_dir: str):
         .limit(50)
     )
     return out.select_columns(["o_orderkey"])
+
+
+# -- function queries (ValueSourceParser pack) -------------------------------
+
+_NOW_MS = 1706745600000  # TIMESTAMP '2024-02-01 00:00:00' UTC, fixed "NOW"
+_RECIP_M = 1.0 / 86400000.0  # 1/day in ms — recip decays per elapsed day
+
+
+@q(
+    "func_recency_boost",
+    f"""
+    SELECT event_id,
+           floor(value * (1.0/(({_RECIP_M!r})*({_NOW_MS} - epoch_ms(ts)) + 1.0))
+                 * 1000000 + 0.5)/1000000.0 AS boosted
+    FROM events
+    """,
+)
+def func_recency_boost(sf_dir: str):
+    """Function-query chain (ValueSourceParser.java registrations: mul /
+    recip / sub / ms) — the classic recency boost
+    ``mul(value, recip(ms(NOW,ts),1/DAY_MS,1,1))`` as composable
+    pyarrow.compute closures inside one map_batches; the DuckDB mirror
+    computes the identical IEEE op sequence."""
+    from apache___solr_ray.functions import add_computed
+    from apache___solr_ray.pipelines.common import floor_round
+
+    ds = load(sf_dir, "events", columns=["event_id", "ts", "value"])
+    expr = ("mul", "value", ("recip", ("sub", _NOW_MS, ("ms", "ts")), _RECIP_M, 1.0, 1.0))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t.column("event_id"), "boosted": floor_round(t.column("boosted"), 6)}
+        )
+
+    return ds.map_batches(add_computed("boosted", expr), batch_format="pyarrow").map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+@q(
+    "func_strdist_customers",
+    """
+    SELECT c_custkey,
+           1 - CAST(levenshtein(c_name, 'Customer#000000100') AS DOUBLE)
+               / greatest(length(c_name), 18) AS sim
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def func_strdist_customers(sf_dir: str):
+    """strdist() function query (ValueSourceParser 'strdist' / Lucene
+    LevenshteinDistance.getDistance = 1 - lev/max_len) — batch-vectorized
+    DP against the constant (row axis in numpy; no per-row Python)."""
+    from apache___solr_ray.functions import add_computed
+
+    ds = load(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("c_custkey"), 500))
+
+    out = ds.map_batches(flt, batch_format="pyarrow").map_batches(
+        add_computed("sim", ("strdist", "c_name", "Customer#000000100")),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["c_custkey", "sim"])

@@ -446,3 +446,53 @@ def test_cursor_pages_equal_topk_prefix(built):
                 break
         assert got_d == want_d[: len(got_d)].tolist()
         assert got_s == want_s[: len(got_s)].tolist()
+
+
+def test_rerank_parity_vs_brute(ray_session):
+    """index_rerank_topk (two-stage f64 rescore over the index) must equal
+    a from-scratch brute re-rank computed directly on the raw tokenized
+    corpus — an implementation-independent mirror of ReRank semantics."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.lucene import LENGTH_TABLE
+    from apache___solr_ray.pipelines.indexq import (
+        _RERANK_DOCS,
+        _RERANK_MAIN,
+        _RERANK_SECOND,
+        _RERANK_WEIGHT,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["index_rerank_topk"](sf).to_pandas()
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): re.findall(r"[a-z0-9]+", (x or "").lower())
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    lut = sorted({int(x) for x in LENGTH_TABLE})
+
+    def qdl(dl):
+        return max(v for v in lut if v <= dl)
+
+    def score(term, doc):
+        tf = toks[doc].count(term)
+        if tf == 0:
+            return 0.0
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf / (tf + 1.2 * (0.25 + 0.75 * qdl(len(toks[doc])) / avgdl))
+
+    s1 = {d: sum(score(t_, d) for t_ in _RERANK_MAIN) for d in toks}
+    cands = sorted((d for d in toks if s1[d] > 0), key=lambda d: (-s1[d], d))[:_RERANK_DOCS]
+    blended = {d: s1[d] + _RERANK_WEIGHT * sum(score(t_, d) for t_ in _RERANK_SECOND) for d in cands}
+    want = sorted(cands, key=lambda d: (-blended[d], d))[:10]
+    assert got["doc_id"].tolist() == want
+    for d, s in zip(got["doc_id"], got["score"]):
+        assert abs(s - blended[int(d)]) < 1e-4 + 1e-9
