@@ -1049,3 +1049,167 @@ def index_span_near_docs(sf_dir: str):
             "doc_id": pa.array(id_out, pa.int64()),
         }
     )
+
+
+# -- complex phrase (wildcards inside phrases) + payload score ---------------
+
+COMPLEX_PHRASES = [("fast mer*", 0), ("the qu?ry", 1), ("dat* str*", 0)]
+PAYLOAD_TERMS = ["merge", "data", "join"]
+
+
+def _complex_phrase_oracle_sql() -> str:
+    parts = []
+    for phrase, slop in COMPLEX_PHRASES:
+        clauses = phrase.split()
+        n = len(clauses)
+        joins = "".join(
+            f" JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos > t{i-1}.pos"
+            for i in range(1, n)
+        )
+        conds = []
+        for i, c in enumerate(clauses):
+            if "*" in c or "?" in c:
+                like = c.replace("*", "%").replace("?", "_")
+                conds.append(f"t{i}.term LIKE '{like}'")
+            else:
+                conds.append(f"t{i}.term = '{c}'")
+        conds.append(f"t{n-1}.pos - t0.pos <= {slop + n - 1}")
+        parts.append(
+            f"SELECT '{phrase}~{slop}' AS cphrase, t0.doc_id\n"
+            f"    FROM toks t0{joins} WHERE {' AND '.join(conds)} GROUP BY t0.doc_id"
+        )
+    body = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents
+    )
+    {body}
+    """
+
+
+@q("index_complex_phrase_docs", _complex_phrase_oracle_sql())
+def index_complex_phrase_docs(sf_dir: str):
+    """ComplexPhraseQParser analog (reference
+    ComplexPhraseQParserPlugin.java): wildcard clauses expand through the
+    term dictionaries, clause position streams union, and the phrase
+    evaluates as an ordered span with a whole-span slop budget; DuckDB
+    mirrors via LIKE-matched chained position self-joins."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ph_out, id_out = [], []
+    for phrase, slop in COMPLEX_PHRASES:
+        docs = r.complex_phrase_docs(phrase, slop=slop)
+        ph_out.extend([f"{phrase}~{slop}"] * len(docs))
+        id_out.extend(idmap[int(d)] for d in docs)
+    return pa.table(
+        {
+            "cphrase": pa.array(ph_out, pa.string()),
+            "doc_id": pa.array(id_out, pa.int64()),
+        }
+    )
+
+
+@q(
+    "index_payload_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(0, len({_TOKS}))) AS pos
+      FROM documents
+    )
+    SELECT term, doc_id, CAST(sum(pos) AS BIGINT) AS payload_sum,
+           CAST(min(pos) AS BIGINT) AS payload_min
+    FROM toks WHERE term IN ({", ".join(repr(t) for t in PAYLOAD_TERMS)})
+    GROUP BY term, doc_id
+    """,
+)
+def index_payload_scores(sf_dir: str):
+    """PayloadScoreQParser analog (reference
+    PayloadScoreQParserPlugin.java, func=sum/min over per-position
+    payloads): the payload channel is the codec-v2 position stream itself
+    (the corpus ships no delimited payloads), aggregated per (term, doc)
+    with integer exactness so DuckDB mirrors it bit-for-bit."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    t_out, id_out, s_out, m_out = [], [], [], []
+    for term in PAYLOAD_TERMS:
+        docs, sums, mins = r.payload_scores(term)
+        t_out.extend([term] * len(docs))
+        id_out.extend(idmap[int(d)] for d in docs)
+        s_out.extend(int(x) for x in sums)
+        m_out.extend(int(x) for x in mins)
+    return pa.table(
+        {
+            "term": pa.array(t_out, pa.string()),
+            "doc_id": pa.array(id_out, pa.int64()),
+            "payload_sum": pa.array(s_out, pa.int64()),
+            "payload_min": pa.array(m_out, pa.int64()),
+        }
+    )
+
+
+# -- suggester (prefix + infix autosuggest over the term dict) ---------------
+
+
+def _suggest_like(sf_dir: str, like: str) -> pa.Table:
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    agg: dict[str, int] = defaultdict(int)
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            ts, _dfs, ttfs = sr.terms_matching_like_stats(like)
+            for term, ttf in zip(ts, ttfs):
+                agg[term] += int(ttf)
+            sr.close()
+    top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in top], pa.string()),
+            "weight": pa.array([w for _, w in top], pa.int64()),
+        }
+    )
+
+
+@q(
+    "suggest_prefix",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    agg AS (SELECT term, count(*) AS weight FROM toks GROUP BY term)
+    SELECT term, weight FROM agg WHERE term LIKE 'st%'
+    ORDER BY weight DESC, term LIMIT 10
+    """,
+)
+def suggest_prefix(sf_dir: str):
+    """Suggester, prefix mode (reference SuggestComponent.java /
+    AnalyzingSuggester: complete a typed prefix, weight = collection
+    frequency): sorted-term-dict range scan per segment (binary search,
+    no postings decoded), ttf-weighted top-10."""
+    return _suggest_like(sf_dir, "st%")
+
+
+@q(
+    "suggest_infix",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    agg AS (SELECT term, count(*) AS weight FROM toks GROUP BY term)
+    SELECT term, weight FROM agg WHERE term LIKE '%erg%'
+    ORDER BY weight DESC, term LIMIT 10
+    """,
+)
+def suggest_infix(sf_dir: str):
+    """Suggester, infix mode (reference AnalyzingInfixSuggester via
+    SuggestComponent: match INSIDE the term): vectorized LIKE scan over
+    each segment's term dictionary with stats, ttf-weighted top-10."""
+    return _suggest_like(sf_dir, "%erg%")

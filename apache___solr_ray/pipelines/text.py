@@ -1124,3 +1124,43 @@ def multimodal_audio_features(sf_dir: str):
         )
 
     return out.map_batches(proj, batch_format="pyarrow")
+
+
+@q(
+    "xml_loader_roundtrip",
+    "SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user FROM events GROUP BY event_type",
+)
+def xml_loader_roundtrip(sf_dir: str):
+    """XMLLoader analog (reference XMLLoader.java <add><doc> payloads):
+    export events to Solr add-XML shards, re-read with read_xml_adds
+    (parallel per-file parse, all-string fields), type-cast with the urp
+    Parse* stages, aggregate — oracle-checked against the parquet
+    source."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from apache___solr_ray.sources import load_arrow, read_xml_adds, write_xml_add
+
+    base = f"/tmp/apache___solr_ray_cache/events_xml_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not os.path.exists(os.path.join(base, "shard-1.xml")):
+        os.makedirs(base, exist_ok=True)
+        t = load_arrow(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+        half = t.num_rows // 2
+        write_xml_add(t.slice(0, half), os.path.join(base, "shard-0.xml"))
+        write_xml_add(t.slice(half), os.path.join(base, "shard-1.xml"))
+    ds = read_xml_adds([os.path.join(base, "shard-0.xml"), os.path.join(base, "shard-1.xml")])
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(typed, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("user_id", alias_name="sum_user"))
+    )

@@ -473,11 +473,23 @@ class IndexReader:
             keys = rank.astype(np.int64) * M + pos.astype(np.int64)
             keys.sort()
             keyspaces.append(keys)
-        # greedy chain: start = clause-0 keys; each step jumps to the
-        # smallest strictly-greater same-doc key of the next clause
+        return self._ordered_chain_docs(cand, keyspaces, M, slop)
+
+    @staticmethod
+    def _ordered_chain_docs(
+        cand: np.ndarray, keyspaces: list[np.ndarray], M: np.int64, slop: int
+    ) -> np.ndarray:
+        """Docs with an in-order chain through the clause keyspaces whose
+        whole-span gap budget is ≤ slop. Greedy chain: start = clause-0
+        keys; each step jumps to the smallest strictly-greater same-doc key
+        of the next clause (greedy-smallest minimizes the final span end,
+        so the budget check on the chain's end is exact)."""
+        z = np.zeros(0, dtype=np.int64)
         start = keyspaces[0]
         cur = start
         for keys in keyspaces[1:]:
+            if len(keys) == 0:
+                return z
             idx = np.searchsorted(keys, cur, side="right")
             ok = idx < len(keys)
             nxt = keys[np.minimum(idx, len(keys) - 1)]
@@ -487,10 +499,96 @@ class IndexReader:
             if len(cur) == 0:
                 return z
         # total budget: span width minus (n-1) interior steps ≤ slop
-        ok = (cur - start) <= np.int64(slop + len(tps) - 1)
+        ok = (cur - start) <= np.int64(slop + len(keyspaces) - 1)
         if not ok.any():
             return z
         return cand[np.unique(start[ok] // M)]
+
+    def complex_phrase_docs(self, phrase: str, slop: int = 0) -> np.ndarray:
+        """ComplexPhraseQParser analog (reference
+        solr/core/src/java/org/apache/solr/search/ComplexPhraseQParserPlugin.java:
+        wildcards INSIDE a phrase — each clause rewrites to the terms it
+        matches, then the whole phrase evaluates as an ordered span).
+        A clause containing ``*``/``?`` expands through the sorted term
+        dictionaries; its position stream is the UNION of the matched
+        terms' positions. Ordered with a whole-span slop budget, matching
+        span_near_docs."""
+        z = np.zeros(0, dtype=np.int64)
+        clause_tps: list[list] = []
+        for raw in phrase.split():
+            if "*" in raw or "?" in raw:
+                terms = self.expand_wildcard(raw.lower())
+            else:
+                terms = self.analyzer.analyze(raw)
+            tps = [tp for t in terms if (tp := self.term_postings(t)) is not None]
+            if not tps:
+                return z
+            clause_tps.append(tps)
+        if not clause_tps:
+            return z
+        cand = None
+        for tps in clause_tps:
+            docs = np.unique(np.concatenate([tp.decode_all()[0] for tp in tps]))
+            cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+            if len(cand) == 0:
+                return z
+        alive = self._alive(cand)
+        if alive is not None:
+            cand = cand[alive]
+        if len(cand) == 0:
+            return z
+        per_clause = []
+        max_pos = 0
+        for tps in clause_tps:
+            reps, poss = [], []
+            for tp in tps:
+                doc_rep, pos = tp.positions_for_docs(cand)
+                reps.append(doc_rep)
+                poss.append(pos)
+            doc_rep = np.concatenate(reps)
+            pos = np.concatenate(poss)
+            if len(pos):
+                max_pos = max(max_pos, int(pos.max()))
+            per_clause.append((doc_rep, pos))
+        M = np.int64(max_pos + 2)
+        keyspaces = []
+        for doc_rep, pos in per_clause:
+            rank = np.searchsorted(cand, doc_rep)
+            keys = rank.astype(np.int64) * M + pos.astype(np.int64)
+            keys.sort()
+            keyspaces.append(keys)
+        return self._ordered_chain_docs(cand, keyspaces, M, slop)
+
+    def payload_scores(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """PayloadScoreQParser analog (reference
+        solr/core/src/java/org/apache/solr/search/PayloadScoreQParserPlugin.java:
+        score = func over the payloads at the term's matching positions,
+        func ∈ {min,max,sum,first}). The corpus carries no payload channel,
+        so the per-position payload IS the position (the codec-v2 stream a
+        DelimitedPayload filter would fill) — integer sums/mins, exactly
+        mirrorable in SQL. Returns (doc_ids, payload_sum, payload_min) for
+        live docs containing the term."""
+        z = np.zeros(0, dtype=np.int64)
+        tp = self.term_postings(term)
+        if tp is None:
+            return z, z.copy(), z.copy()
+        docs = tp.decode_all()[0]
+        alive = self._alive(docs)
+        if alive is not None:
+            docs = docs[alive]
+        if len(docs) == 0:
+            return z, z.copy(), z.copy()
+        doc_rep, pos = tp.positions_for_docs(docs)
+        rank = np.searchsorted(docs, doc_rep)
+        sums = np.bincount(rank, weights=pos.astype(np.float64), minlength=len(docs)).astype(
+            np.int64
+        )
+        order = np.lexsort((pos, rank))
+        r_sorted, p_sorted = rank[order], pos[order]
+        starts = np.flatnonzero(np.diff(r_sorted, prepend=-1))
+        mins = np.full(len(docs), -1, dtype=np.int64)
+        mins[r_sorted[starts]] = p_sorted[starts]
+        return docs, sums, mins
 
     def topk_phrase(self, phrase: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """BM25-scored phrase top-k: tf = phrase frequency, weight uses the

@@ -232,6 +232,15 @@ class SegmentReader:
         mask = pc.match_like(self._terms_arrow(), like).to_numpy(zero_copy_only=False)
         return self._terms[mask]
 
+    def terms_matching_like_stats(
+        self, like: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(terms, dfs, ttfs) matching a LIKE pattern — the infix-suggester
+        payload (AnalyzingInfixSuggester matches inside the term; weight
+        comes from the stored stats, no postings decoded)."""
+        mask = pc.match_like(self._terms_arrow(), like).to_numpy(zero_copy_only=False)
+        return self._terms[mask], self._df[mask], self._ttf[mask]
+
     def terms_within_edit1(self, target: str, dist_fn) -> np.ndarray:
         """Fuzzy expansion: vectorized length-window prefilter (edit distance
         ≥ |len difference|), then ``dist_fn`` only on survivors."""

@@ -60,3 +60,47 @@ def test_tolerant_urp_collects_row_errors():
     big = pa.table({"id": [1, 2], "text": ["ok", "x" * 100]})
     kept = ignore_large_documents("text", 10)(big)
     assert kept.column("id").to_pylist() == [1]
+
+
+def test_xml_loader_roundtrip_equality(ray_session, tmp_path):
+    """read_xml_adds(write_xml_add(T)) == T (strings), including
+    multivalued collection, XML escaping, and the filtering-stage
+    interaction with tolerant()."""
+    import pyarrow as pa
+
+    from apache___solr_ray.sources import read_xml_adds, write_xml_add
+
+    t = pa.table(
+        {
+            "id": ["1", "2", "3"],
+            "title": ["a < b & c", 'quo"te', "plain"],
+            "tags": [["x", "y"], [], ["z"]],
+        }
+    )
+    p = str(tmp_path / "add.xml")
+    write_xml_add(t, p)
+    back = read_xml_adds(p, multivalued={"tags"}).to_pandas().sort_values("id")
+    assert back["id"].tolist() == ["1", "2", "3"]
+    assert back["title"].tolist() == ["a < b & c", 'quo"te', "plain"]
+    assert [list(x) for x in back["tags"]] == [["x", "y"], [], ["z"]]
+
+
+def test_tolerant_wraps_filtering_stage():
+    """tolerant() around a stage that can DROP rows keeps the error column
+    aligned with the actual output rows (advisor finding)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from apache___solr_ray.stages.urp import tolerant
+
+    def drop_evens_parse(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("id"), 1), 1))
+        return t.append_column("n", pc.cast(t.column("raw"), pa.int64()))
+
+    # poison row forces the per-row fallback; row id=2 is filtered (0 rows)
+    t = pa.table({"id": [1, 2, 3], "raw": ["10", "20", "oops"]})
+    out = tolerant(drop_evens_parse)(t)
+    assert out.column("id").to_pylist() == [1, 3]
+    assert out.column("n").to_pylist() == [10, None]
+    errs = out.column("_error").to_pylist()
+    assert errs[0] is None and errs[1] and "ArrowInvalid" in errs[1]
