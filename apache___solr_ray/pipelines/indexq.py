@@ -1213,3 +1213,172 @@ def suggest_infix(sf_dir: str):
     SuggestComponent: match INSIDE the term): vectorized LIKE scan over
     each segment's term dictionary with stats, ttf-weighted top-10."""
     return _suggest_like(sf_dir, "%erg%")
+
+# -- term vectors (per-doc postings view) ------------------------------------
+
+_TV_DOCS = [3, 77, 154, 400, 499]
+
+
+@q(
+    "index_term_vectors",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(len({_TOKS}))) AS pos
+      FROM documents WHERE doc_id IN ({", ".join(map(str, _TV_DOCS))})
+    )
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+    FROM toks GROUP BY doc_id, term
+    """,
+)
+def index_term_vectors(sf_dir: str):
+    """TermVectorComponent analog (reference
+    solr/core/src/java/org/apache/solr/handler/component/TermVectorComponent.java:
+    per-document term vectors — tf + positions per term for requested
+    docs). The reference reads per-doc vectors stored at index time; this
+    engine derives them from the inverted postings: sweep the sorted term
+    dictionaries (header scan only) and decode, per term, ONLY the blocks
+    that can contain a requested doc (``positions_for_docs`` skip
+    behavior), so postings/position bytes touched stay proportional to the
+    requested docs, not the corpus. At web scale a stored per-doc vector
+    sidecar (like the docs sidecar) would replace the vocab sweep; the
+    decode path proves the codec's position streams doc-exactly."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    inv = {v: k for k, v in idmap.items()}
+    eng = np.array(sorted(inv[w] for w in _TV_DOCS), dtype=np.int64)
+
+    vocab: set[str] = set()
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = r._reader(seg["name"])
+            for term, _df, _ttf in sr.iter_terms():
+                vocab.add(term)
+
+    id_out: list[int] = []
+    t_out: list[str] = []
+    tf_out: list[int] = []
+    p_out: list[str] = []
+    for t in sorted(vocab):
+        tp = r.term_postings(t)
+        if tp is None:
+            continue
+        docs, pos = tp.positions_for_docs(eng)
+        if len(docs) == 0:
+            continue
+        # occurrences arrive grouped per doc, positions ascending per doc
+        uniq, starts = np.unique(docs, return_index=True)
+        order = np.argsort(starts)
+        uniq, starts = uniq[order], starts[order]
+        ends = np.concatenate([starts[1:], [len(docs)]])
+        for d, s, e in zip(uniq, starts, ends):
+            id_out.append(idmap[int(d)])
+            t_out.append(t)
+            tf_out.append(int(e - s))
+            p_out.append(",".join(str(int(p)) for p in pos[s:e]))
+    return pa.table(
+        {
+            "doc_id": pa.array(id_out, pa.int64()),
+            "term": pa.array(t_out, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+            "positions": pa.array(p_out, pa.string()),
+        }
+    )
+
+
+# -- query elevation (curated / pinned results) -------------------------------
+
+_ELEV_QUERY_TERMS = ["fast", "merge", "join"]
+_ELEV_IDS = [499, 3]  # pinned, in this order (elevate.xml doc order)
+_ELEV_EXCLUDE = [77]
+
+
+def _elevation_oracle_sql() -> str:
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    terms = sorted(set(_ELEV_QUERY_TERMS))
+    in_list = ", ".join(repr(t) for t in terms)
+    case_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN s END), 0) AS s_{t}" for t in terms
+    )
+    ssum = " + ".join(f"s_{t}" for t in _ELEV_QUERY_TERMS)
+    elev_vals = ", ".join(f"({d}, {i})" for i, d in enumerate(_ELEV_IDS))
+    excl = ", ".join(map(str, _ELEV_EXCLUDE))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({in_list}) GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id),
+    scores AS (SELECT doc_id, {ssum} AS s FROM pd),
+    elev(e_doc, pri) AS (VALUES {elev_vals}),
+    cand AS (
+      SELECT COALESCE(sc.doc_id, e.e_doc) AS doc_id,
+             COALESCE(sc.s, 0) AS s,
+             COALESCE(e.pri, 1000000) AS pri
+      FROM scores sc FULL OUTER JOIN elev e ON sc.doc_id = e.e_doc
+      WHERE (COALESCE(sc.s, 0) > 0 OR e.pri IS NOT NULL)
+        AND COALESCE(sc.doc_id, e.e_doc) NOT IN ({excl})
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pri, s DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, CAST(pri < 1000000 AS BOOLEAN) AS elevated,
+           floor(s*10000 + 0.5)/10000.0 AS score
+    FROM cand ORDER BY pri, s DESC, doc_id LIMIT 10
+    """
+
+
+@q("index_elevated_topk", _elevation_oracle_sql())
+def index_elevated_topk(sf_dir: str):
+    """QueryElevationComponent analog (reference
+    solr/core/src/java/org/apache/solr/handler/component/QueryElevationComponent.java:
+    an elevate.xml maps query text -> pinned doc ids, in order, plus
+    excluded ids; elevated docs sort above all organic hits even when they
+    don't match the query, excluded docs are removed, the rest keep their
+    relevance order). Query 'fast merge join' over the built index, f64
+    rescoring path so DuckDB mirrors the scores; the ``elevated`` marker
+    column mirrors the reference's [elevated] transformer."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, _ELEV_QUERY_TERMS)
+    s = cols[_ELEV_QUERY_TERMS[0]].copy()
+    for t in _ELEV_QUERY_TERMS[1:]:
+        s = s + cols[t]
+    score_of = dict(zip(ids.tolist(), s.tolist()))
+    pri_of = {d: i for i, d in enumerate(_ELEV_IDS)}
+    excl = set(_ELEV_EXCLUDE)
+    cand_ids = (set(ids[s > 0].tolist()) | set(_ELEV_IDS)) - excl
+    rows = sorted(
+        (
+            (pri_of.get(d, 1_000_000), -score_of.get(d, 0.0), d)
+            for d in cand_ids
+        )
+    )[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+            "doc_id": pa.array([d for _, _, d in rows], pa.int64()),
+            "elevated": pa.array([p < 1_000_000 for p, _, _ in rows], pa.bool_()),
+            "score": pa.array(
+                [np.floor(-ns * 10000 + 0.5) / 10000.0 for _, ns, _ in rows],
+                pa.float64(),
+            ),
+        }
+    )

@@ -496,3 +496,52 @@ def test_rerank_parity_vs_brute(ray_session):
     assert got["doc_id"].tolist() == want
     for d, s in zip(got["doc_id"], got["score"]):
         assert abs(s - blended[int(d)]) < 1e-4 + 1e-9
+
+
+def test_term_vectors_match_reanalysis(ray_session):
+    """index_term_vectors (term-dict sweep + block-skip position decode)
+    must equal re-analyzing the stored text of the requested docs with the
+    same chain — tf, position sets, and per-doc tf sum == doc_len."""
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.analyze import Analyzer
+    from apache___solr_ray.pipelines.indexq import _TV_DOCS
+    from apache___solr_ray.pipelines.indexq import QUERIES as IQ
+
+    sf = "/root/testdata/sf0.001"
+    got = IQ["index_term_vectors"](sf).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    txt = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    an = Analyzer()
+    for d in _TV_DOCS:
+        toks = an.analyze(txt[d])
+        want: dict[str, list[int]] = {}
+        for i, tok in enumerate(toks):
+            want.setdefault(tok, []).append(i)
+        sub = got[got.doc_id == d]
+        assert set(sub.term) == set(want)
+        for _, row in sub.iterrows():
+            assert row.tf == len(want[row.term])
+            assert row.positions == ",".join(map(str, want[row.term]))
+        assert sub.tf.sum() == len(toks)
+
+
+def test_elevation_pins_excludes_and_keeps_organic_order(ray_session):
+    """Elevated ids come first in elevate-file order (even a doc with no
+    query match), excluded ids never appear, and the organic tail is
+    sorted by score desc / doc_id asc (QueryElevationComponent semantics)."""
+    from apache___solr_ray.pipelines.indexq import (
+        _ELEV_EXCLUDE,
+        _ELEV_IDS,
+        QUERIES as IQ,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = IQ["index_elevated_topk"](sf).to_pandas()
+    assert list(got.doc_id[: len(_ELEV_IDS)]) == _ELEV_IDS
+    assert got.elevated[: len(_ELEV_IDS)].all()
+    assert not got.elevated[len(_ELEV_IDS):].any()
+    assert not set(_ELEV_EXCLUDE) & set(got.doc_id)
+    tail = got[len(_ELEV_IDS):]
+    pairs = list(zip((-tail.score).tolist(), tail.doc_id.tolist()))
+    assert pairs == sorted(pairs)
