@@ -1,0 +1,126 @@
+"""Learning-to-rank rescoring (reference: solr/modules/ltr).
+
+The reference's LTR module rescores the top-N docs of a first-pass query
+with a model over named features (LTRQParserPlugin + LTRScoringQuery):
+features are declared in a feature store (SolrFeature = the score of an
+arbitrary query, FieldValueFeature = a stored/docValues field,
+OriginalScoreFeature = the first-pass score) and the model combines the
+extracted vector (LinearModel: explicit weight per feature,
+org.apache.solr.ltr.model.LinearModel#score = dot(weights, features)).
+
+This engine mirrors that surface: feature extractors are vectorized
+closures over (IndexReader, candidate doc ids, first-pass scores) that
+return one float64 column each; extraction happens ONLY for the reranked
+window (reference semantics: LTRScoringQuery wraps the top reRankDocs),
+so model cost is O(N), never O(corpus). Scores use the f64 rescoring path
+(quantized norms, DOUBLE math) so a SQL oracle can mirror bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+class Feature:
+    """One named feature; extract() returns a float64 column aligned to
+    ``doc_ids`` (engine ids)."""
+
+    name: str
+
+    def extract(self, reader, doc_ids: np.ndarray, first_pass: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+@dataclass
+class OriginalScoreFeature(Feature):
+    """The first-pass relevance score (reference
+    org.apache.solr.ltr.feature.OriginalScoreFeature)."""
+
+    name: str = "originalScore"
+
+    def extract(self, reader, doc_ids, first_pass):
+        return first_pass.astype(np.float64)
+
+
+@dataclass
+class SolrFeature(Feature):
+    """Score of an arbitrary query over the candidates (reference
+    org.apache.solr.ltr.feature.SolrFeature with a `q` param) — here the
+    f64 BM25 sum over the query's analyzed terms, 0 for non-matching
+    candidates."""
+
+    query: str
+    name: str = "solrFeature"
+
+    def extract(self, reader, doc_ids, first_pass):
+        import math
+
+        from apache___solr_ray.lucene import LENGTH_TABLE
+
+        terms = reader.analyzer.analyze(self.query)
+        avgdl = reader.sum_total_tf / reader.doc_count
+        out = np.zeros(len(doc_ids), dtype=np.float64)
+        order = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[order]
+        for t in dict.fromkeys(terms):
+            tp = reader.term_postings(t)
+            if tp is None:
+                continue
+            docs, tfs, norms = tp.decode_all()
+            idf = math.log(1 + (reader.doc_count - tp.df + 0.5) / (tp.df + 0.5))
+            qdl = LENGTH_TABLE[norms.astype(np.uint8)].astype(np.float64)
+            tff = tfs.astype(np.float64)
+            s = idf * tff / (tff + 1.2 * (0.25 + 0.75 * qdl / avgdl))
+            # align postings (sorted by doc) to the candidate window
+            pos = np.searchsorted(sorted_ids, docs)
+            ok = (pos < len(sorted_ids)) & (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == docs)
+            np.add.at(out, order[pos[ok]], s[ok])
+        return out
+
+
+@dataclass
+class FieldValueFeature(Feature):
+    """A per-doc stored value (reference
+    org.apache.solr.ltr.feature.FieldValueFeature reading docValues) —
+    fetched from the docs sidecar for the candidate window only."""
+
+    column: str
+    name: str = "fieldValue"
+    default: float = 0.0
+
+    def extract(self, reader, doc_ids, first_pass):
+        t = reader.fetch_fields(doc_ids, [self.column])
+        col = t.column(self.column).to_numpy(zero_copy_only=False)
+        return np.nan_to_num(col.astype(np.float64), nan=self.default)
+
+
+@dataclass
+class LinearModel:
+    """Explicit-weight linear model (reference
+    org.apache.solr.ltr.model.LinearModel: score = Σ w_i · f_i)."""
+
+    features: list[Feature] = field(default_factory=list)
+    weights: list[float] = field(default_factory=list)
+
+    def rescore(self, reader, doc_ids: np.ndarray, first_pass: np.ndarray) -> np.ndarray:
+        assert len(self.features) == len(self.weights)
+        s = np.zeros(len(doc_ids), dtype=np.float64)
+        for f, w in zip(self.features, self.weights):
+            s += w * f.extract(reader, doc_ids, first_pass)
+        return s
+
+
+def ltr_rerank(
+    reader,
+    doc_ids: np.ndarray,
+    first_pass: np.ndarray,
+    model: LinearModel,
+    k: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Re-rank the first-pass window by the model score (desc, doc asc) —
+    the LTRQParserPlugin rescorer shape."""
+    s = model.rescore(reader, doc_ids, first_pass)
+    order = np.lexsort((doc_ids, -s))[:k]
+    return doc_ids[order], s[order]

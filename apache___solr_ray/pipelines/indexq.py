@@ -288,7 +288,10 @@ def _f64_term_score_cols(r, idmap, terms):
         idf = math.log(1 + (r.doc_count - tp.df + 0.5) / (tp.df + 0.5))
         tff = tfs.astype(np.float64)
         s = idf * tff / (tff + 1.2 * (0.25 + 0.75 * qdl / avgdl))
-        mapped = np.array([idmap[int(d)] for d in docs], dtype=np.int64)
+        if idmap is None:  # engine doc-id space (identity)
+            mapped = docs.astype(np.int64)
+        else:
+            mapped = np.array([idmap[int(d)] for d in docs], dtype=np.int64)
         order = np.argsort(mapped, kind="stable")
         per_term[t] = (mapped[order], s[order])
     all_ids = np.unique(np.concatenate([m for m, _ in per_term.values()]))
@@ -1379,6 +1382,108 @@ def index_elevated_topk(sf_dir: str):
             "score": pa.array(
                 [np.floor(-ns * 10000 + 0.5) / 10000.0 for _, ns, _ in rows],
                 pa.float64(),
+            ),
+        }
+    )
+
+
+# -- learning-to-rank (linear model rescoring) --------------------------------
+
+_LTR_FIRST = ["fast", "merge", "join"]
+_LTR_FEATURE_Q = ["hash", "join"]
+_LTR_WINDOW = 50
+_LTR_W = (0.6, 1.5, -0.01)  # originalScore, solrFeature('hash join'), doc_len
+
+
+def _ltr_oracle_sql() -> str:
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    terms = sorted(set(_LTR_FIRST) | set(_LTR_FEATURE_Q))
+    in_list = ", ".join(repr(t) for t in terms)
+    case_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN s END), 0) AS s_{t}" for t in terms
+    )
+    s1 = " + ".join(f"s_{t}" for t in _LTR_FIRST)
+    s2 = " + ".join(f"s_{t}" for t in _LTR_FEATURE_Q)
+    w0, w1, w2 = _LTR_W
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({in_list}) GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id),
+    fp AS (SELECT doc_id, {s1} AS s1, {s2} AS s2 FROM pd WHERE {s1} > 0),
+    top AS (SELECT doc_id, s1, s2 FROM fp ORDER BY s1 DESC, doc_id LIMIT {_LTR_WINDOW}),
+    feat AS (SELECT top.doc_id,
+                    {w0}*s1 + {w1}*s2 + {w2}*dl.dl AS m
+             FROM top JOIN dl ON dl.doc_id = top.doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY m DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(m*10000 + 0.5)/10000.0 AS score
+    FROM feat ORDER BY m DESC, doc_id LIMIT 10
+    """
+
+
+@q("ltr_linear_rerank_topk", _ltr_oracle_sql())
+def ltr_linear_rerank_topk(sf_dir: str):
+    """LTR analog (reference solr/modules/ltr: LTRQParserPlugin rescores
+    the first-pass top reRankDocs with a model over a declared feature
+    store; LinearModel.score = Σ w_i·f_i). First pass: f64 BM25 over
+    'fast merge join', window 50. Features: OriginalScoreFeature,
+    SolrFeature(q='hash join'), FieldValueFeature(doc_len). Weights
+    (0.6, 1.5, -0.01). Feature extraction touches only the 50-doc window
+    (LTRScoringQuery wraps the rerank window, never the corpus)."""
+    from apache___solr_ray.ltr import (
+        FieldValueFeature,
+        LinearModel,
+        OriginalScoreFeature,
+        SolrFeature,
+        ltr_rerank,
+    )
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    # first pass in ENGINE id space (so feature extractors can read the
+    # index / sidecar directly), mapped to documents.doc_id only at output
+    eng_ids, cols = _f64_term_score_cols(r, None, _LTR_FIRST)
+    s1 = cols[_LTR_FIRST[0]].copy()
+    for t in _LTR_FIRST[1:]:
+        s1 = s1 + cols[t]
+    cand = s1 > 0
+    ids_c, s1_c = eng_ids[cand], s1[cand]
+    # window by (score desc, EXTERNAL doc id asc) to mirror the oracle's
+    # deterministic tie-break in documents.doc_id space
+    ext_c = np.array([idmap[int(d)] for d in ids_c], dtype=np.int64)
+    top = np.lexsort((ext_c, -s1_c))[:_LTR_WINDOW]
+    model = LinearModel(
+        features=[
+            OriginalScoreFeature(),
+            SolrFeature(query=" ".join(_LTR_FEATURE_Q)),
+            FieldValueFeature(column="doc_len"),
+        ],
+        weights=list(_LTR_W),
+    )
+    m = model.rescore(r, ids_c[top], s1_c[top])
+    ext_top = ext_c[top]
+    final = np.lexsort((ext_top, -m))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ext_top[final], pa.int64()),
+            "score": pa.array(
+                np.floor(m[final] * 10000 + 0.5) / 10000.0, pa.float64()
             ),
         }
     )

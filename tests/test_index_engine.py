@@ -545,3 +545,57 @@ def test_elevation_pins_excludes_and_keeps_organic_order(ray_session):
     tail = got[len(_ELEV_IDS):]
     pairs = list(zip((-tail.score).tolist(), tail.doc_id.tolist()))
     assert pairs == sorted(pairs)
+
+
+def test_ltr_linear_rerank_parity_vs_brute(ray_session):
+    """ltr_linear_rerank_topk must equal a from-scratch brute computation
+    over the raw tokenized corpus: first-pass BM25 window, then
+    0.6*originalScore + 1.5*score('hash join') - 0.01*doc_len."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.lucene import LENGTH_TABLE
+    from apache___solr_ray.pipelines.indexq import (
+        _LTR_FEATURE_Q,
+        _LTR_FIRST,
+        _LTR_W,
+        _LTR_WINDOW,
+        QUERIES as IQ,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = IQ["ltr_linear_rerank_topk"](sf).to_pandas()
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        int(d): re.findall(r"[a-z0-9]+", (x or "").lower())
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    lut = sorted({int(x) for x in LENGTH_TABLE})
+
+    def qdl(dl):
+        return max(v for v in lut if v <= dl)
+
+    def score(term, doc):
+        tf = toks[doc].count(term)
+        if tf == 0:
+            return 0.0
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf / (tf + 1.2 * (0.25 + 0.75 * qdl(len(toks[doc])) / avgdl))
+
+    s1 = {d: sum(score(x, d) for x in _LTR_FIRST) for d in toks}
+    cands = sorted((d for d in toks if s1[d] > 0), key=lambda d: (-s1[d], d))[:_LTR_WINDOW]
+    w0, w1, w2 = _LTR_W
+    m = {
+        d: w0 * s1[d] + w1 * sum(score(x, d) for x in _LTR_FEATURE_Q) + w2 * len(toks[d])
+        for d in cands
+    }
+    want = sorted(cands, key=lambda d: (-m[d], d))[:10]
+    assert got["doc_id"].tolist() == want
+    for d, s in zip(got["doc_id"], got["score"]):
+        assert abs(s - m[int(d)]) < 1e-4 + 1e-9
