@@ -1164,3 +1164,58 @@ def xml_loader_roundtrip(sf_dir: str):
         .groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("user_id", alias_name="sum_user"))
     )
+
+
+# -- dictionary text tagger (SolrTextTagger module) ---------------------------
+
+
+def _tagger_oracle_sql() -> str:
+    from apache___solr_ray.stages.tagger import TAGGER_DICT
+
+    parts = []
+    for terms in TAGGER_DICT:
+        tag = " ".join(terms)
+        joins = "".join(
+            f" JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+        conds = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(terms))
+        parts.append(
+            f"SELECT '{tag}' AS tag, t0.doc_id, t0.pos AS start_pos,"
+            f" t0.pos + {len(terms)} AS end_pos FROM toks t0{joins} WHERE {conds}"
+        )
+    body = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(len({_TOKS}))) AS pos
+      FROM documents
+    )
+    {body}
+    """
+
+
+@q("tagger_dict_matches", _tagger_oracle_sql())
+def tagger_dict_matches(sf_dir: str):
+    """SolrTextTagger analog, overlaps=ALL (reference tagger module /
+    TaggerRequestHandler: stream text past a dictionary, emit every
+    dictionary-phrase occurrence with token offsets). Distributed as one
+    ``map_batches`` over ``documents`` with the dictionary compiled once
+    per actor (``DictionaryTagger.__init__``); matching is numpy windowed
+    equality over dictionary-encoded token codes — no Python token loop."""
+    from apache___solr_ray.stages.tagger import DictionaryTagger
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(DictionaryTagger, batch_format="pyarrow", concurrency=(1, 8))
+
+
+@q("tagger_ldr_matches")  # greedy overlap resolution isn't SQL-expressible
+def tagger_ldr_matches(sf_dir: str):
+    """Tagger with LONGEST_DOMINANT_RIGHT overlap resolution (the
+    reference's default mode) — ALL matches then per-doc suppression;
+    exact semantics pytest-asserted vs a brute reference
+    (tests/test_tagger.py)."""
+    from apache___solr_ray.stages.tagger import DictionaryTaggerLDR
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(DictionaryTaggerLDR, batch_format="pyarrow", concurrency=(1, 8))
