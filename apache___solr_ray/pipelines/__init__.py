@@ -16,18 +16,18 @@ that is the driver's correctness contract.
                     graph expressions, SURVEY §2.4)
 """
 
-from apache___solr_ray.pipelines import graph, indexq, relational, similarity, text  # noqa: F401
+from apache___solr_ray.pipelines import cluster, graph, indexq, relational, similarity, text  # noqa: F401
 
 
 def all_queries():
     out = {}
-    for m in (relational, text, similarity, indexq, graph):
+    for m in (relational, text, similarity, indexq, graph, cluster):
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (relational, text, similarity, indexq, graph):
+    for m in (relational, text, similarity, indexq, graph, cluster):
         out.update(m.ORACLE)
     return out

@@ -94,3 +94,41 @@ def test_lsh_recall_and_exact_rerank(ray_session):
     lut = {int(i): c for i, c in zip(ids, cos)}
     for vid, s in zip(res["vec_id"], res["sim"]):
         assert abs(s - round(lut[int(vid)], 5)) < 1e-9, vid
+
+
+def test_kmeans_matches_singleprocess_lloyd(ray_session):
+    """Distributed k-means (per-batch partials + driver reduce) must equal
+    a single-process numpy Lloyd with the same deterministic init — labels
+    and final counts, independent of block split."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.pipelines.cluster import (
+        K_CLUSTERS,
+        K_ITERS,
+        QUERIES as CQ,
+        _assign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+
+    C = E[: K_CLUSTERS].copy()
+    labels = ids[:K_CLUSTERS]
+    for _ in range(K_ITERS - 1):
+        a = _assign(E, C)
+        newC = np.full_like(C, np.inf)
+        for j in range(K_CLUSTERS):
+            m = a == j
+            if m.any():
+                newC[j] = E[m].sum(axis=0) / m.sum()
+        C = newC
+    a = _assign(E, C)
+    want = {int(labels[j]): int((a == j).sum()) for j in range(K_CLUSTERS) if (a == j).sum()}
+
+    got = CQ["kmeans_cluster_sizes"](sf).to_pandas()
+    assert dict(zip(got.cluster, got.n)) == want
