@@ -131,6 +131,15 @@ class IndexConfig:
     #: shared term space (the term dict sorts by (field, term), as Lucene's
     #: per-field terms do) with per-field collection stats for BM25.
     fields: tuple[FieldSpec, ...] = ()
+    #: index-time sort (Lucene IndexSorter / <indexSort> analog): rows of
+    #: each doc partition are sorted by this numeric corpus column before
+    #: doc-id assignment, per-part (min,max) ranges land in the manifest,
+    #: and sorted top-k queries early-terminate at part granularity
+    #: (IndexReader.sorted_topk). Requires materializing one partition per
+    #: task (the Lucene flush-time sort) — size target_docs_per_part to the
+    #: worker heap when rows are wide.
+    sort_field: str | None = None
+    sort_desc: bool = True
 
     def fingerprint(self) -> str:
         return (
@@ -138,6 +147,7 @@ class IndexConfig:
             f"part={self.target_docs_per_part};stop={sorted(self.stopwords)};"
             f"html={self.text_from_html};pos={int(self.store_positions)};"
             f"flds=[{';'.join(f.key() for f in self.fields)}];fmt=6"
+            + (f";sort={self.sort_field}:{int(self.sort_desc)}" if self.sort_field else "")
         )
 
     def fingerprint_full(self) -> str:
@@ -149,10 +159,13 @@ class IndexConfig:
 
 def _schema_columns(cfg: IndexConfig) -> list[str]:
     """Corpus columns phase A must read for the configured schema."""
+    extra = [cfg.sort_field] if cfg.sort_field else []
     if not cfg.fields:
-        return ["url", "lang", "html"] if cfg.text_from_html else ["url", "lang", "text"]
+        base = ["url", "lang", "html"] if cfg.text_from_html else ["url", "lang", "text"]
+        return base + extra
     cols = {"url", "lang"}
     cols.update(fs.source for fs in cfg.fields if fs.source)
+    cols.update(extra)
     return sorted(cols)
 
 
@@ -305,12 +318,34 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     f_doc_count: dict[str, int] = {fs.name: 0 for fs in cfg.fields}
     row_base = 0
     n_postings = 0
-    for batch in pf.iter_batches(
-        batch_size=cfg.read_batch_rows,
-        row_groups=range(desc["rg_start"], desc["rg_end"]),
-        columns=columns,
-    ):
-        tbl = pa.Table.from_batches([batch])
+    svals: list[np.ndarray] = []
+
+    def _batches():
+        it = pf.iter_batches(
+            batch_size=cfg.read_batch_rows,
+            row_groups=range(desc["rg_start"], desc["rg_end"]),
+            columns=columns,
+        )
+        if not cfg.sort_field:
+            for b in it:
+                yield pa.Table.from_batches([b])
+            return
+        # index-time sort (Lucene flush-time IndexSorter): materialize THIS
+        # partition, order rows by (sort_field, url) so doc ids ascend in
+        # sort order within the part; ties keep deterministic url order
+        whole = pa.Table.from_batches(list(it))
+        order = pc.sort_indices(
+            whole,
+            sort_keys=[
+                (cfg.sort_field, "descending" if cfg.sort_desc else "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        whole = whole.take(order)
+        for s in range(0, whole.num_rows, cfg.read_batch_rows):
+            yield whole.slice(s, cfg.read_batch_rows)
+
+    for tbl in _batches():
         total_len = np.zeros(tbl.num_rows, dtype=np.int64)
         for fname, ftext in _field_texts(tbl, cfg):
             if cfg.store_positions:
@@ -360,6 +395,13 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         urls.append(tbl.column("url").combine_chunks())
         langs.append(tbl.column("lang").combine_chunks())
         lens.append(total_len)
+        if cfg.sort_field:
+            svals.append(
+                tbl.column(cfg.sort_field)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
         row_base += tbl.num_rows
 
     # write the part's postings SORTED by tkey, one Parquet row group per
@@ -411,22 +453,25 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     docs_path = os.path.join(index_dir, "docs", f"part-{part_id:06d}.parquet")
     os.makedirs(os.path.dirname(docs_path), exist_ok=True)
     tmp = docs_path + ".tmp"
-    pq.write_table(
-        pa.table(
-            {
-                "url": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in urls])
-                if urls
-                else pa.array([], pa.string()),
-                "doc_id": pa.array((part_id << 32) + np.arange(row_base, dtype=np.int64)),
-                "doc_len": pa.array(doc_len_all, pa.int64()),
-                "norm": pa.array(int_to_byte4_array(doc_len_all)),
-                "lang": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in langs])
-                if langs
-                else pa.array([], pa.string()),
-            }
-        ),
-        tmp,
-    )
+    docs_cols = {
+        "url": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in urls])
+        if urls
+        else pa.array([], pa.string()),
+        "doc_id": pa.array((part_id << 32) + np.arange(row_base, dtype=np.int64)),
+        "doc_len": pa.array(doc_len_all, pa.int64()),
+        "norm": pa.array(int_to_byte4_array(doc_len_all)),
+        "lang": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in langs])
+        if langs
+        else pa.array([], pa.string()),
+    }
+    sort_all = np.concatenate(svals) if svals else None
+    if cfg.sort_field:
+        # the sort docvalue rides in the sidecar, in (sorted) row order —
+        # sorted top-k scans this column prefix-first
+        docs_cols["sortv"] = pa.array(
+            sort_all if sort_all is not None else np.zeros(0), pa.float64()
+        )
+    pq.write_table(pa.table(docs_cols), tmp)
     os.replace(tmp, docs_path)
 
     tdf_path = os.path.join(index_dir, "termdf", f"part-{part_id:06d}.parquet")
@@ -454,6 +499,8 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         "n_terms_partial": tdf.num_rows,
         "tkey_rgs": tkey_rgs,
         "postings_raw_bytes": os.path.getsize(post_path),
+        "sort_min": float(sort_all.min()) if sort_all is not None and len(sort_all) else None,
+        "sort_max": float(sort_all.max()) if sort_all is not None and len(sort_all) else None,
         "field_stats": {
             n: {"doc_count": f_doc_count[n], "sum_total_tf": f_sum_len[n]}
             for n in f_sum_len
@@ -767,6 +814,8 @@ def build_index(
                 "field_stats": pa.array(
                     [json.dumps(s.get("field_stats", {})) for s in out], pa.string()
                 ),
+                "sort_min": pa.array([s.get("sort_min") for s in out], pa.float64()),
+                "sort_max": pa.array([s.get("sort_max") for s in out], pa.float64()),
             }
         )
 
@@ -875,6 +924,23 @@ def build_index(
         "n_segments": len(seg_summaries),
         "head_terms": sorted(heads),
     }
+    if cfg.sort_field:
+        stats["sort_field"] = cfg.sort_field
+        stats["sort_desc"] = cfg.sort_desc
+        # per-part sort ranges: the early-termination skip table (the
+        # Lucene per-segment sort metadata analog)
+        stats["doc_parts"] = sorted(
+            (
+                {
+                    "part_id": int(s["part_id"]),
+                    "sort_min": s.get("sort_min"),
+                    "sort_max": s.get("sort_max"),
+                    "n_docs": int(s["n_docs"]),
+                }
+                for s in summaries
+            ),
+            key=lambda r: r["part_id"],
+        )
     if field_stats:
         stats["fields"] = {k: field_stats[k] for k in sorted(field_stats)}
     write_json_atomic(os.path.join(index_dir, "stats.json"), stats)

@@ -59,7 +59,7 @@ def ensure_doc_index(sf_dir: str) -> str:
     if hit is not None:
         return hit
     src = os.path.join(sf_dir, "documents.parquet")
-    fp = f"{src}:{os.path.getsize(src)}:{pq.ParquetFile(src).metadata.num_rows}:v2"
+    fp = f"{src}:{os.path.getsize(src)}:{pq.ParquetFile(src).metadata.num_rows}:v3"
     key = hashlib.md5(fp.encode()).hexdigest()[:16]
     base = f"/tmp/apache___solr_ray_cache/{key}"
     pages_dir = os.path.join(base, "pages")
@@ -67,7 +67,7 @@ def ensure_doc_index(sf_dir: str) -> str:
     os.makedirs(pages_dir, exist_ok=True)
     pages_path = os.path.join(pages_dir, "docs-000000.parquet")
     if not os.path.exists(pages_path):
-        t = pq.read_table(src, columns=["doc_id", "text", "lang", "source"])
+        t = pq.read_table(src, columns=["doc_id", "text", "lang", "source", "n_chars"])
         urls = pa.array([f"doc://{d:012d}" for d in t.column("doc_id").to_pylist()], pa.string())
         tmp = pages_path + ".tmp"
         pq.write_table(
@@ -77,9 +77,11 @@ def ensure_doc_index(sf_dir: str) -> str:
                     "text": t.column("text"),
                     "lang": t.column("lang"),
                     "source": t.column("source"),
+                    "n_chars": t.column("n_chars"),
                 }
             ),
             tmp,
+            row_group_size=64,  # partition planning is row-group granular
         )
         os.replace(tmp, pages_path)
     cfg = IndexConfig(
@@ -1485,5 +1487,69 @@ def ltr_linear_rerank_topk(sf_dir: str):
             "score": pa.array(
                 np.floor(m[final] * 10000 + 0.5) / 10000.0, pa.float64()
             ),
+        }
+    )
+
+
+# -- segment-sorted early termination (index-time sort) -----------------------
+
+_SORTED_INDEX_CACHE: dict[str, str] = {}
+
+
+def ensure_doc_index_sorted(sf_dir: str) -> str:
+    """Index-time-sorted build over ``documents`` (Lucene <indexSort> on
+    ``n_chars`` descending): rows of each doc partition are sorted before
+    doc-id assignment and per-part sort ranges land in the manifest, so
+    sorted top-k queries terminate early (SURVEY §2.6 last row)."""
+    from apache___solr_ray.build import IndexConfig, build_index
+
+    hit = _SORTED_INDEX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    base = os.path.dirname(os.path.normpath(ensure_doc_index(sf_dir)))  # writes pages/
+    pages_dir = os.path.join(base, "pages")
+    index_dir = os.path.join(base, "index_sorted")
+    n_rows = pq.ParquetFile(os.path.join(pages_dir, "docs-000000.parquet")).metadata.num_rows
+    cfg = IndexConfig(
+        term_partitions=8,
+        salt_threshold=10_000_000,
+        # ~16 parts at any sf: enough parts that early termination is
+        # observable, bounded task count
+        target_docs_per_part=max(64, n_rows // 16),
+        text_from_html=False,
+        store_positions=False,
+        sort_field="n_chars",
+        sort_desc=True,
+    )
+    build_index(pages_dir, index_dir, cfg)
+    _SORTED_INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+@q(
+    "sorted_topk_nchars",
+    """
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS sortv
+    FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+)
+def sorted_topk_nchars(sf_dir: str):
+    """Early-terminating sorted top-20 by the index sort field (reference:
+    Lucene index sorting + TopFieldCollector early termination — the
+    'segment-sorted early termination' layout optimization; Solr surface
+    ``<indexSort>`` in solrconfig + ``sort=n_chars desc``). Only the doc
+    parts whose (min,max) range can reach the current k-th best are
+    opened; pytest asserts parts_visited < parts_total and result parity
+    with the unsorted path."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index_sorted(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    d, v, _m = r.sorted_topk(20)
+    return pa.table(
+        {
+            "doc_id": pa.array([idmap[int(x)] for x in d], pa.int64()),
+            "sortv": pa.array(v, pa.float64()),
         }
     )

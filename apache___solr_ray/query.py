@@ -941,6 +941,63 @@ class IndexReader:
 
     # -- doc resolution -----------------------------------------------------
 
+    def sorted_topk(self, k: int = 10) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Segment-sorted early termination (Lucene <indexSort> +
+        TopFieldCollector: when the query sort matches the index-time sort,
+        collection stops once a segment/part can no longer contribute).
+        Requires a build with ``IndexConfig.sort_field``. Doc parts are
+        visited best-first by their manifest (sort_min, sort_max) range;
+        within a part rows are index-sorted, so only the first k alive rows
+        are candidates; parts whose bound cannot beat the current k-th best
+        are never opened. Returns (doc_ids, values, metrics) with
+        ``metrics['parts_visited'] <= parts_total`` — the early-termination
+        evidence. Tie-break: value, then doc_id ascending (stable across
+        any partitioning because doc ids ascend in row order per part)."""
+        sf = self.stats.get("sort_field")
+        if sf is None:
+            raise ValueError("index was not built with an index-time sort")
+        desc = bool(self.stats.get("sort_desc", True))
+        parts = [p for p in self.stats["doc_parts"] if p.get("sort_max") is not None]
+        parts = sorted(
+            parts,
+            key=(lambda p: -p["sort_max"]) if desc else (lambda p: p["sort_min"]),
+        )
+        metrics = {"parts_total": len(parts), "parts_visited": 0, "rows_scanned": 0}
+        cv: list[np.ndarray] = []
+        cd: list[np.ndarray] = []
+        n_cands = 0
+        kth: float | None = None
+        for p in parts:
+            bound = p["sort_max"] if desc else p["sort_min"]
+            if kth is not None and n_cands >= k and (bound < kth if desc else bound > kth):
+                break  # no remaining part can reach the top-k
+            t = pq.read_table(
+                os.path.join(self.dir, "docs", f"part-{int(p['part_id']):06d}.parquet"),
+                columns=["doc_id", "sortv"],
+            )
+            d = t.column("doc_id").to_numpy()
+            v = t.column("sortv").to_numpy()
+            alive = self._alive(d)
+            if alive is not None:
+                d, v = d[alive], v[alive]
+            take = min(k, len(d))
+            metrics["parts_visited"] += 1
+            metrics["rows_scanned"] += take
+            cd.append(d[:take])
+            cv.append(v[:take])
+            n_cands += take
+            if n_cands >= k:
+                allv = np.concatenate(cv)
+                kth = float(
+                    np.sort(allv)[::-1][k - 1] if desc else np.sort(allv)[k - 1]
+                )
+        if not cd:
+            z = np.zeros(0, np.int64)
+            return z, np.zeros(0, np.float64), metrics
+        d_all, v_all = np.concatenate(cd), np.concatenate(cv)
+        order = np.lexsort((d_all, -v_all if desc else v_all))[:k]
+        return d_all[order], v_all[order], metrics
+
     def _docs_part(self, part: int) -> pa.Table:
         t = self._docs_cache.get(part)
         if t is None:

@@ -149,6 +149,30 @@ def run_headline(sf_dir: str, num_cpus: int, n_pages: int | None = None) -> dict
     }
 
 
+def run_build_nopos(sf_dir: str, num_cpus: int) -> dict:
+    """Second headline build config: positions OFF (the round-1 codec
+    profile) — recorded alongside the positions-on default so the
+    build-throughput trend stays legible across rounds (codec v2 indexes
+    positions by default at ~2x per-doc work; see BASELINE.md)."""
+    from apache___solr_ray.build import IndexConfig, build_index
+
+    n_pages = _corpus_size(sf_dir)
+    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}"
+    index_dir = f"/tmp/graft_bench/index_nopos_{n_pages}_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    cfg = IndexConfig(term_partitions=64, target_docs_per_part=4096, store_positions=False)
+    t0 = time.time()
+    build_index(corpus_dir, index_dir, cfg)
+    sec = time.time() - t0
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return {
+        "n_pages": n_pages,
+        "build_sec": round(sec, 3),
+        "docs_per_sec": round(n_pages / sec, 1),
+        "store_positions": False,
+    }
+
+
 def run_catalog(sf_dir: str) -> dict[str, float]:
     """Time every queries() entry (the operator surface) at sf_dir."""
     import pandas as pd
@@ -323,6 +347,7 @@ def main() -> None:
         return
 
     h = run_headline(args.sf_dir, args.cpus)
+    nopos = run_build_nopos(args.sf_dir, args.cpus)
     timings = {} if args.no_catalog else run_catalog(args.sf_dir)
     ray.shutdown()
     out = {
@@ -333,6 +358,7 @@ def main() -> None:
         "sf": _sf_of(args.sf_dir),
         "num_cpus": h["num_cpus"],
         "build": {k: h[k] for k in ("n_pages", "build_sec", "docs_per_sec")},
+        "build_nopos": nopos,
         "query": {k: h[k] for k in ("n_queries", "query_sec", "qps")},
     }
     print(json.dumps(out))

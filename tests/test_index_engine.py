@@ -599,3 +599,31 @@ def test_ltr_linear_rerank_parity_vs_brute(ray_session):
     assert got["doc_id"].tolist() == want
     for d, s in zip(got["doc_id"], got["score"]):
         assert abs(s - m[int(d)]) < 1e-4 + 1e-9
+
+
+def test_sorted_index_early_termination(ray_session):
+    """Index-time sort: sorted_topk equals a full scan of the sort column,
+    and visits strictly fewer parts than the total (early termination)."""
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.pipelines.indexq import (
+        _doc_id_map,
+        ensure_doc_index_sorted,
+    )
+    from apache___solr_ray.query import IndexReader
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = ensure_doc_index_sorted(sf)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    d, v, m = r.sorted_topk(10)
+    assert m["parts_visited"] < m["parts_total"], m
+    assert m["rows_scanned"] <= m["parts_visited"] * 10
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    rows = sorted(
+        zip(t["n_chars"].to_pylist(), t["doc_id"].to_pylist()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    assert [idmap[int(x)] for x in d] == [doc for _, doc in rows]
+    assert v.tolist() == [float(nc) for nc, _ in rows]
