@@ -35,6 +35,69 @@ def q(name: str, sql: str | None = None):
     return deco
 
 
+#: frontier sizes up to this are collected + broadcast (ray.put is_in
+#: probe — Solr's own gatherNodes re-query shape); above it the hop stays
+#: fully distributed as a hash semi-join, so a high-fanout frontier (e.g.
+#: hop-2 over 10^12 edges reaching ~|parts| distinct keys) never lands on
+#: the driver
+FRONTIER_BROADCAST_MAX = 1_000_000
+
+
+def _hop(edge_ds, key_col: str, out_col: str, frontier_ds):
+    """One gatherNodes hop: frontier ⋈ edges -> distinct out keys, as a
+    Dataset named ``node``. Adaptive physical plan by frontier size."""
+    from apache___solr_ray.pipelines.common import semi_join_filter
+    from apache___solr_ray.stages.dedup import _default_join_partitions
+
+    # frontiers are tiny relative to the edge tables (the whole premise of
+    # gatherNodes); pin the blocks so count() + the probe don't re-run the
+    # producing pipeline
+    frontier_ds = frontier_ds.materialize()
+    n = frontier_ds.count()
+    if n <= FRONTIER_BROADCAST_MAX:
+        keys = [r["node"] for r in frontier_ds.take_all()]
+        reached = semi_join_filter(edge_ds, key_col, keys)
+    else:
+        reached = edge_ds.join(
+            frontier_ds,
+            join_type="inner",
+            num_partitions=_default_join_partitions(),
+            on=(key_col,),
+            right_on=("node",),
+        )
+    return (
+        reached.select_columns([out_col])
+        .groupby(out_col)
+        .count()
+        .map_batches(
+            lambda t, _c=out_col: pa.table(
+                {"node": t.column(_c).cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def gather_nodes_ds(sf_dir: str):
+    """The traversal itself, every level a Dataset (driver sees only what
+    it chooses to collect)."""
+    seeds = load(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("c_custkey")
+                .filter(pa.array(t.column("c_custkey").to_numpy() % 100 == 0))
+                .cast(pa.int64())
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = load(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    hop1 = _hop(orders, "o_custkey", "o_orderkey", seeds)
+    items = load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    hop2 = _hop(items, "l_orderkey", "l_partkey", hop1)
+    return seeds, hop1, hop2
+
+
 @q(
     "graph_gather_nodes",
     """
@@ -50,35 +113,16 @@ def q(name: str, sql: str | None = None):
 )
 def graph_gather_nodes(sf_dir: str):
     """GatherNodesStream (2 hops): seed customers -> their orders -> the
-    parts on those orders; each hop is a broadcast semi-join filter over
-    the streamed edge table, then a distinct-key collect (the frontier is
-    the only thing that ever reaches the driver — Solr's own gatherNodes
-    collects the frontier between re-queries the same way)."""
-    from apache___solr_ray.pipelines.common import semi_join_filter
-
-    seeds = sorted(
-        r["c_custkey"]
-        for r in load(sf_dir, "customer", columns=["c_custkey"])
-        .map_batches(
-            lambda t: t.filter(pa.array(t.column("c_custkey").to_numpy() % 100 == 0)),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
-    orders = load(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
-    hop1 = sorted(
-        {
-            r["o_orderkey"]
-            for r in semi_join_filter(orders, "o_custkey", seeds).take_all()
-        }
-    )
-    items = load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    hop2 = sorted(
-        {
-            r["l_partkey"]
-            for r in semi_join_filter(items, "l_orderkey", hop1).take_all()
-        }
-    )
+    parts on those orders. Each hop is frontier ⋈ edges -> distinct, with
+    an ADAPTIVE frontier plan: small frontiers broadcast (ray.put +
+    vectorized is_in — Solr's own gatherNodes re-query shape), large ones
+    stay distributed as a hash semi-join (FRONTIER_BROADCAST_MAX); both
+    plans are result-identical (tests/test_graph_plans.py forces the
+    distributed plan)."""
+    seeds_ds, hop1_ds, hop2_ds = gather_nodes_ds(sf_dir)
+    seeds = sorted(r["node"] for r in seeds_ds.take_all())
+    hop1 = sorted(r["node"] for r in hop1_ds.take_all())
+    hop2 = sorted(r["node"] for r in hop2_ds.take_all())
     levels = [0] * len(seeds) + [1] * len(hop1) + [2] * len(hop2)
     nodes = list(seeds) + list(hop1) + list(hop2)
     return pa.table(

@@ -94,7 +94,9 @@ def _warmup_workers(num_cpus: int) -> None:
     ray.available_resources()
 
 
-def run_headline(sf_dir: str, num_cpus: int, n_pages: int | None = None) -> dict:
+def run_headline(
+    sf_dir: str, num_cpus: int, n_pages: int | None = None, dual_build: bool = False
+) -> dict:
     """Generate (cached) corpus, build index from scratch, serve queries."""
     import ray
 
@@ -124,6 +126,27 @@ def run_headline(sf_dir: str, num_cpus: int, n_pages: int | None = None) -> dict
     man = build_index(corpus_dir, index_dir, cfg)
     build_sec = time.time() - t0
 
+    nopos: dict | None = None
+    if dual_build:
+        # positions-off config measured back-to-back with the default, same
+        # warm workers (running it after the QPS actor pool tears down
+        # measures actor-shutdown residue, not the build)
+        idx2 = f"/tmp/graft_bench/index_nopos_{n_pages}_{num_cpus}"
+        shutil.rmtree(idx2, ignore_errors=True)
+        cfg2 = IndexConfig(
+            term_partitions=64, target_docs_per_part=4096, store_positions=False
+        )
+        t0 = time.time()
+        build_index(corpus_dir, idx2, cfg2)
+        sec2 = time.time() - t0
+        shutil.rmtree(idx2, ignore_errors=True)
+        nopos = {
+            "n_pages": n_pages,
+            "build_sec": round(sec2, 3),
+            "docs_per_sec": round(n_pages / sec2, 1),
+            "store_positions": False,
+        }
+
     # steady-state QPS on a warm, long-lived query-actor pool (the reference
     # measures warm searchers too: solr/benchmark/.../search/SimpleSearch.java)
     queries = _bench_queries()
@@ -146,30 +169,7 @@ def run_headline(sf_dir: str, num_cpus: int, n_pages: int | None = None) -> dict
         "qps": round(len(queries) * QUERY_PASSES / query_sec, 1),
         "n_topk_rows": n_rows,
         "headline_sec": round(build_sec + query_sec, 3),
-    }
-
-
-def run_build_nopos(sf_dir: str, num_cpus: int) -> dict:
-    """Second headline build config: positions OFF (the round-1 codec
-    profile) — recorded alongside the positions-on default so the
-    build-throughput trend stays legible across rounds (codec v2 indexes
-    positions by default at ~2x per-doc work; see BASELINE.md)."""
-    from apache___solr_ray.build import IndexConfig, build_index
-
-    n_pages = _corpus_size(sf_dir)
-    corpus_dir = f"/tmp/graft_bench/pages_{n_pages}"
-    index_dir = f"/tmp/graft_bench/index_nopos_{n_pages}_{num_cpus}"
-    shutil.rmtree(index_dir, ignore_errors=True)
-    cfg = IndexConfig(term_partitions=64, target_docs_per_part=4096, store_positions=False)
-    t0 = time.time()
-    build_index(corpus_dir, index_dir, cfg)
-    sec = time.time() - t0
-    shutil.rmtree(index_dir, ignore_errors=True)
-    return {
-        "n_pages": n_pages,
-        "build_sec": round(sec, 3),
-        "docs_per_sec": round(n_pages / sec, 1),
-        "store_positions": False,
+        "build_nopos": nopos,
     }
 
 
@@ -346,8 +346,7 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    h = run_headline(args.sf_dir, args.cpus)
-    nopos = run_build_nopos(args.sf_dir, args.cpus)
+    h = run_headline(args.sf_dir, args.cpus, dual_build=True)
     timings = {} if args.no_catalog else run_catalog(args.sf_dir)
     ray.shutdown()
     out = {
@@ -358,7 +357,7 @@ def main() -> None:
         "sf": _sf_of(args.sf_dir),
         "num_cpus": h["num_cpus"],
         "build": {k: h[k] for k in ("n_pages", "build_sec", "docs_per_sec")},
-        "build_nopos": nopos,
+        "build_nopos": h["build_nopos"],
         "query": {k: h[k] for k in ("n_queries", "query_sec", "qps")},
     }
     print(json.dumps(out))
