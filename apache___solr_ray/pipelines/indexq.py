@@ -1553,3 +1553,40 @@ def sorted_topk_nchars(sf_dir: str):
             "sortv": pa.array(v, pa.float64()),
         }
     )
+
+
+@q(
+    "terms_regex_enum",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM toks WHERE regexp_matches(term, 'a') GROUP BY term
+    """,
+)
+def terms_regex_enum(sf_dir: str):
+    """TermsComponent regex mode (reference TermsComponent.java
+    ``terms.regex``): enumerate indexed terms matching a regex + df,
+    from the sorted term dictionaries (no postings decoded)."""
+    import re as _re
+
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.segment import SegmentReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    rx = _re.compile("a")
+    agg: dict[str, int] = defaultdict(int)
+    for segs in r._segments_by_tkey.values():
+        for seg in segs:
+            sr = SegmentReader(os.path.join(index_dir, "segments", seg["name"]))
+            for term, df, _ttf in sr.iter_terms():
+                if rx.search(term):
+                    agg[term] += int(df)
+            sr.close()
+    terms = sorted(agg)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([agg[t] for t in terms], pa.int64()),
+        }
+    )

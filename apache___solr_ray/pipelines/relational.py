@@ -1688,3 +1688,69 @@ def func_strdist_customers(sf_dir: str):
         batch_format="pyarrow",
     )
     return out.select_columns(["c_custkey", "sim"])
+
+
+# -- interval facets (overlapping intervals — IntervalFacets.java) ------------
+
+#: (label, lo, hi, lo_incl, hi_incl); hi=None => unbounded (Solr '*')
+_FACET_INTERVALS = [
+    ("[0,50)", 0.0, 50.0, True, False),
+    ("[25,100)", 25.0, 100.0, True, False),
+    ("[50,200]", 50.0, 200.0, True, True),
+    ("(100,*]", 100.0, None, False, True),
+]
+
+
+def _interval_oracle_sql() -> str:
+    parts = []
+    for label, lo, hi, lo_i, hi_i in _FACET_INTERVALS:
+        conds = [f"value >{'=' if lo_i else ''} {lo}"]
+        if hi is not None:
+            conds.append(f"value <{'=' if hi_i else ''} {hi}")
+        parts.append(
+            f"SELECT '{label}' AS interval, count(*) AS n FROM events WHERE "
+            + " AND ".join(conds)
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@q("facet_interval_value", _interval_oracle_sql())
+def facet_interval_value(sf_dir: str):
+    """Interval facets (reference
+    solr/core/src/java/org/apache/solr/request/IntervalFacets.java:
+    arbitrary, possibly OVERLAPPING intervals with per-end open/closed
+    bounds — the feature range facets can't express; Solr syntax
+    ``facet.interval.set=[0,50)``). One streaming pass: every batch counts
+    each interval with a vectorized mask (a row can land in several), the
+    groupby sums the per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    ds = load(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy()
+        labels, counts = [], []
+        for label, lo, hi, lo_i, hi_i in _FACET_INTERVALS:
+            m = (v >= lo) if lo_i else (v > lo)
+            if hi is not None:
+                m &= (v <= hi) if hi_i else (v < hi)
+            labels.append(label)
+            counts.append(int(m.sum()))
+        return pa.table(
+            {
+                "interval": pa.array(labels, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("interval")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("n"), "n", t.column("n").cast(pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -1219,3 +1219,27 @@ def tagger_ldr_matches(sf_dir: str):
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(DictionaryTaggerLDR, batch_format="pyarrow", concurrency=(1, 8))
+
+
+@q(
+    "urp_regex_redact",
+    """
+    SELECT doc_id, regexp_replace(text, '[0-9]+', '#', 'g') AS redacted
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def urp_regex_redact(sf_dir: str):
+    """RegexReplaceProcessorFactory analog (reference
+    solr/core/src/java/org/apache/solr/update/processor/RegexReplaceProcessorFactory.java:
+    pattern/replacement rewrite of a field at ingest) — the redaction /
+    PII-scrub shape of a training-data pipeline: one vectorized
+    ``replace_substring_regex`` per batch, no Python per row."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("doc_id"), 100)
+        t = t.filter(keep)
+        red = pc.replace_substring_regex(t.column("text"), pattern="[0-9]+", replacement="#")
+        return pa.table({"doc_id": t.column("doc_id"), "redacted": red})
+
+    return ds.map_batches(redact, batch_format="pyarrow")
