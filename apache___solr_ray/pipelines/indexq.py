@@ -1590,3 +1590,114 @@ def terms_regex_enum(sf_dir: str):
             "df": pa.array([agg[t] for t in terms], pa.int64()),
         }
     )
+
+
+# -- edismax pf (phrase-fields boost) -----------------------------------------
+
+_PF_TERMS = ["merge", "join"]
+_PF_WEIGHT = 2.0
+
+
+def _edismax_pf_oracle_sql() -> str:
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    in_list = ", ".join(repr(t) for t in _PF_TERMS)
+    case_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN s END), 0) AS s_{t}"
+        for t in _PF_TERMS
+    )
+    ssum = " + ".join(f"s_{t}" for t in _PF_TERMS)
+    pj = "".join(
+        f" JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(_PF_TERMS))
+    )
+    pc_ = " AND ".join(f"t{i}.term = '{t}'" for i, t in enumerate(_PF_TERMS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(len({_TOKS}))) AS pos
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({in_list}) GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id),
+    pfreq AS (SELECT t0.doc_id, count(*) AS ptf
+              FROM toks t0{pj} WHERE {pc_} GROUP BY t0.doc_id),
+    pidf AS (SELECT sum(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))) AS v
+             FROM df CROSS JOIN st),
+    ps AS (SELECT pfreq.doc_id,
+                  pidf.v * pfreq.ptf
+                    / (pfreq.ptf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS p
+           FROM pfreq JOIN qd ON qd.doc_id = pfreq.doc_id
+           CROSS JOIN st CROSS JOIN pidf),
+    fin AS (SELECT pd.doc_id, {ssum} + {_PF_WEIGHT}*COALESCE(ps.p, 0) AS b
+            FROM pd LEFT JOIN ps ON ps.doc_id = pd.doc_id
+            WHERE {ssum} > 0)
+    SELECT CAST(row_number() OVER (ORDER BY b DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(b*10000 + 0.5)/10000.0 AS score
+    FROM fin ORDER BY b DESC, doc_id LIMIT 10
+    """
+
+
+@q("index_edismax_pf_topk", _edismax_pf_oracle_sql())
+def index_edismax_pf_topk(sf_dir: str):
+    """edismax ``pf`` (phrase fields) analog (reference
+    solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java:
+    the analyzed query is ALSO run as a phrase query on the pf fields and
+    its score adds to the main dismax score with the pf boost). Query
+    'merge join', pf boost 2.0: final = Σ term BM25 + 2.0 × phrase BM25
+    (phrase tf = exact-phrase freq from codec-v2 positions, idf = summed
+    clause idfs — Lucene PhraseWeight). f64 rescoring path; DuckDB mirrors
+    the position self-join and the blend bit-for-bit."""
+    import math
+
+    from apache___solr_ray.lucene import LENGTH_TABLE
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, _PF_TERMS)
+    s = cols[_PF_TERMS[0]].copy()
+    for t in _PF_TERMS[1:]:
+        s = s + cols[t]
+
+    pdocs, pfreqs, pnorms = r.phrase_freqs(" ".join(_PF_TERMS))
+    if len(pdocs):
+        avgdl = r.sum_total_tf / r.doc_count
+        idf = 0.0
+        for t in _PF_TERMS:
+            tp = r.term_postings(t)
+            idf += math.log(1 + (r.doc_count - tp.df + 0.5) / (tp.df + 0.5))
+        qdl = LENGTH_TABLE[pnorms.astype(np.uint8)].astype(np.float64)
+        ptf = pfreqs.astype(np.float64)
+        p = idf * ptf / (ptf + 1.2 * (0.25 + 0.75 * qdl / avgdl))
+        mapped = np.array([idmap[int(d)] for d in pdocs], dtype=np.int64)
+        pos = np.searchsorted(ids, mapped)
+        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == mapped)
+        np.add.at(s, pos[ok], _PF_WEIGHT * p[ok])
+
+    cand = (cols[_PF_TERMS[0]] + sum(cols[t] for t in _PF_TERMS[1:])) > 0
+    ids_c, s_c = ids[cand], s[cand]
+    final = np.lexsort((ids_c, -s_c))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids_c[final], pa.int64()),
+            "score": pa.array(
+                np.floor(s_c[final] * 10000 + 0.5) / 10000.0, pa.float64()
+            ),
+        }
+    )
