@@ -1754,3 +1754,54 @@ def facet_interval_value(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+@q(
+    "facet_nested_subfacet",
+    """
+    WITH agg AS (
+      SELECT event_type, user_id, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rn
+      FROM agg
+    )
+    SELECT event_type, user_id, n, sum_value, rn
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def facet_nested_subfacet(sf_dir: str):
+    """JSON Facet nested subfacets (reference JSON Facet API — FacetField
+    buckets with nested facets/stats per bucket, FacetModule.java): per
+    event_type bucket, the top-2 user_id sub-buckets by count, each
+    carrying its own stat (sum_value). One (type,user) groupby with
+    partial aggregation, then the vectorized per-partition window kernel —
+    the same two-shuffle shape a nested JSON facet compiles to."""
+    from ray.data.aggregate import Count, Sum
+
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    ds = load(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    agg = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sv")
+    )
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True])
+        rn = g.groupby("event_type", sort=False).cumcount() + 1
+        g = g.assign(rn=rn.astype(np.int64))
+        g = g[g["rn"] <= 2]
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n": g["n"].to_numpy().astype(np.int64),
+                "sum_value": np.round(g["sv"].to_numpy(), 2),
+                "rn": g["rn"].to_numpy(),
+            }
+        )
+
+    return grouped_map(agg, "event_type", top2)
