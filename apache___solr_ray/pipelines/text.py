@@ -1243,3 +1243,35 @@ def urp_regex_redact(sf_dir: str):
         return pa.table({"doc_id": t.column("doc_id"), "redacted": red})
 
     return ds.map_batches(redact, batch_format="pyarrow")
+
+
+@q(
+    "quality_model_scores",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_unique,
+             floor((length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                    / greatest(length(text), 1)) * 10000 + 0.5) / 10000.0 AS digit_r
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+             -1.5 + 0.55*ln(1 + n_tokens) + (-8.0)*digit_r
+                  + 2.0*(n_unique / greatest(n_tokens, 1.0)) AS z
+      FROM f)
+    SELECT doc_id, floor((1.0/(1.0 + exp(-z))) * 10000 + 0.5) / 10000.0 AS quality_score
+    FROM z
+    """,
+)
+def quality_model_scores(sf_dir: str):
+    """Batched model inference over the corpus (the training-data-pipeline
+    quality-classifier stage; engine analog: ClassificationUpdateProcessor
+    scoring at ingest, reference ClassificationUpdateProcessorFactory.java).
+    Deterministic logistic model in an ACTOR POOL (`QualityModelScorer`:
+    weights load once per actor in __init__, vectorized scoring per batch);
+    the DuckDB oracle recomputes the same DOUBLE formula."""
+    from apache___solr_ray.stages.textstats import QualityModelScorer
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(QualityModelScorer, batch_format="pyarrow", concurrency=(1, 8))

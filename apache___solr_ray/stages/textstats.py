@@ -131,3 +131,39 @@ def rolling_fingerprint(col: str, out: str = "rk_fingerprint", base: int = 1_000
         return t.append_column(out, pa.array(np.array(vals, dtype=np.uint64)))
 
     return run
+
+
+class QualityModelScorer:
+    """Batched model inference as an actor-pool stage — the
+    training-data-pipeline "quality classifier" shape (and the engine's
+    ClassificationUpdateProcessor scoring analog): the model (here a
+    deterministic logistic regression over quality features) is "loaded"
+    ONCE per actor in ``__init__``; ``__call__`` scores a whole Arrow batch
+    vectorized. Swap ``self.w`` for real learned weights (or a model file
+    read) without touching the Ray plumbing.
+
+    score = sigmoid(w0 + w1·ln(1+n_tokens) + w2·digit_ratio
+                    + w3·unique_ratio), floor-rounded to 4dp so a SQL
+    oracle can mirror it (same IEEE DOUBLE ops in the same order)."""
+
+    W = (-1.5, 0.55, -8.0, 2.0)
+
+    def __init__(self):
+        self.w = np.asarray(self.W, dtype=np.float64)  # "model load"
+        self._features = quality_features("text")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        f = self._features(t)
+        n_tokens = f.column("n_tokens").to_numpy().astype(np.float64)
+        n_unique = f.column("n_unique_tokens").to_numpy().astype(np.float64)
+        digit_r = f.column("digit_ratio").to_numpy()
+        uniq_r = n_unique / np.maximum(n_tokens, 1.0)
+        w = self.w
+        z = w[0] + w[1] * np.log1p(n_tokens) + w[2] * digit_r + w[3] * uniq_r
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "quality_score": pa.array(np.floor(score * 1e4 + 0.5) / 1e4),
+            }
+        )
