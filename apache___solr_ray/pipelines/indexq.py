@@ -1701,3 +1701,63 @@ def index_edismax_pf_topk(sf_dir: str):
             ),
         }
     )
+
+
+@q(
+    "suggest_prefix_context",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS term FROM documents WHERE lang = 'en'
+    ),
+    agg AS (SELECT term, count(*) AS weight FROM toks GROUP BY term)
+    SELECT term, weight FROM agg WHERE term LIKE 's%'
+    ORDER BY weight DESC, term LIMIT 10
+    """,
+)
+def suggest_prefix_context(sf_dir: str):
+    """Suggester with CONTEXT FILTERING (reference
+    AnalyzingInfixSuggester contexts / SuggestComponent
+    ``suggest.cfq``: suggestions restricted to documents matching a
+    context filter — here lang='en'). Served from the multi-context path:
+    docs are filtered by the context docvalue first, then term weights are
+    recounted over the filtered stream (one tokenize + groupby over the
+    context subset; at scale the context filter prunes at the read via the
+    lang column)."""
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.analyze import SIMPLE_TOKEN_RE
+    from apache___solr_ray.sources import load as _load
+
+    ds = _load(sf_dir, "documents", columns=["text", "lang"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.equal(t.column("lang"), "en"))
+        findall = SIMPLE_TOKEN_RE.findall
+        out: list[str] = []
+        for txt in t.column("text").to_pylist():
+            out += [w for w in findall((txt or "").lower()) if w.startswith("s")]
+        vals, counts = np.unique(np.asarray(out, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(list(vals), pa.string()),
+                "weight": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+    out = agg.sort(["weight", "term"], descending=[True, False]).limit(10)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "term": t.column("term"),
+                "weight": t.column("weight").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1275,3 +1275,59 @@ def quality_model_scores(sf_dir: str):
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(QualityModelScorer, batch_format="pyarrow", concurrency=(1, 8))
+
+
+@q(
+    "mlt_interesting_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 7 GROUP BY term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT s.term, CAST(s.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+           floor(s.tf * ln(n.n * 1.0 / df.df) * 10000 + 0.5) / 10000.0 AS score
+    FROM src s JOIN df USING (term) CROSS JOIN n
+    ORDER BY score DESC, s.term LIMIT 10
+    """,
+)
+def mlt_interesting_terms(sf_dir: str):
+    """MoreLikeThis ``mlt.interestingTerms=details`` analog (reference
+    MoreLikeThisComponent.java / Lucene MoreLikeThis#retrieveInterestingTerms:
+    the source doc's terms ranked by tf·idf, the terms the MLT query is
+    built from). tf comes from the source doc alone; df from one
+    distributed term-df aggregate semi-joined (broadcast) to the source's
+    tiny term set; score = tf·ln(N/df) floor-rounded 4dp."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count
+
+    from apache___solr_ray.pipelines.common import semi_join_filter
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    pf = pq.ParquetFile(src_path)
+    n_docs = pf.metadata.num_rows
+    t7 = pq.read_table(src_path, columns=["doc_id", "text"], filters=[("doc_id", "=", 7)])
+    tf = dict(Counter(simple_tokenize(t7.column("text")[0].as_py() or "")))
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    dfds = (
+        ds.map_batches(_term_tuples, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+    )
+    rows = semi_join_filter(dfds, "term", list(tf)).take_all()
+    out = []
+    for r in rows:
+        t, df_ = r["term"], int(r["df"])
+        score = np.floor(tf[t] * np.log(n_docs * 1.0 / df_) * 1e4 + 0.5) / 1e4
+        out.append((t, int(tf[t]), df_, float(score)))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    out = out[:10]
+    return pa.table(
+        {
+            "term": pa.array([x[0] for x in out], pa.string()),
+            "tf": pa.array([x[1] for x in out], pa.int64()),
+            "df": pa.array([x[2] for x in out], pa.int64()),
+            "score": pa.array([x[3] for x in out], pa.float64()),
+        }
+    )
