@@ -1804,3 +1804,36 @@ def facet_nested_subfacet(sf_dir: str):
         )
 
     return grouped_map(agg, "event_type", top2)
+
+
+@q(
+    "export_partitioned_roundtrip",
+    """
+    SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id
+    FROM events GROUP BY event_type
+    """,
+)
+def export_partitioned_roundtrip(sf_dir: str):
+    """Resumable partitioned-Parquet sink (sinks.py): export ``events``
+    as one committed directory per event_type (atomic rename + fingerprint
+    manifest per partition — the index build's segment commit discipline
+    applied to exports), then READ THE SINK BACK and aggregate — proving
+    the written bytes, not the source. A re-export with the same input
+    fingerprint skips every partition (pytest asserts the skip and the
+    crash-resume path)."""
+    import hashlib
+    import os
+
+    from apache___solr_ray.pipelines.common import partial_sum_count
+    from apache___solr_ray.sinks import read_partitioned, write_partitioned
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = f"{src}:{os.path.getsize(src)}"
+    out_dir = f"/tmp/apache___solr_ray_cache/export_{hashlib.md5(fp.encode()).hexdigest()[:12]}"
+    ds = load(sf_dir, "events", columns=["event_type", "event_id"])
+    write_partitioned(ds, out_dir, "event_type", fp)
+
+    back = read_partitioned(out_dir, "event_type")
+    return partial_sum_count(
+        back, "event_type", [("event_id", "sum_id")], count_alias="n"
+    ).select_columns(["event_type", "n", "sum_id"])

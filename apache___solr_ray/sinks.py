@@ -1,0 +1,94 @@
+"""Resumable partitioned-Parquet sink.
+
+The task brief's "resumable output" requirement (and the reference's
+commit discipline, UpdateHandler/DirectUpdateHandler2 semantics): output is
+one DIRECTORY PER PARTITION KEY, each committed atomically (tmp → rename)
+with a manifest carrying the input fingerprint and row count, so a failed
+run re-submitted with the same input skips finished partitions instead of
+rewriting the world. The same discipline the index build applies to
+segments (`manifest.py`), packaged for arbitrary Dataset exports.
+
+Shape: hash-partition by the key (all rows of one key land in one task),
+write one file per key inside the task, manifest per key. Resume is
+two-level: the task skips keys whose manifest matches (write elided), and
+`write_partitioned` short-circuits the whole pipeline when every expected
+key is already committed (nothing is even read).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from apache___solr_ray.manifest import read_json, write_json_atomic
+
+
+def _part_dir(out_dir: str, key: str, value) -> str:
+    return os.path.join(out_dir, f"{key}={value}")
+
+
+def write_partitioned(
+    ds,
+    out_dir: str,
+    key: str,
+    fingerprint: str,
+    expected_values: list | None = None,
+) -> dict:
+    """Write ``ds`` as ``out_dir/<key>=<value>/data.parquet`` (+ manifest).
+    Returns {"written": [values], "skipped": [values]}. ``expected_values``
+    (when the caller knows the key domain) enables the zero-read fast path:
+    if every expected partition's manifest matches ``fingerprint``, the
+    Dataset is never executed."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    os.makedirs(out_dir, exist_ok=True)
+    if expected_values is not None:
+        done = all(
+            (read_json(os.path.join(_part_dir(out_dir, key, v), "manifest.json")) or {}).get(
+                "fingerprint"
+            )
+            == fingerprint
+            for v in expected_values
+        )
+        if done:
+            return {"written": [], "skipped": [str(v) for v in expected_values]}
+
+    def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        written, skipped = [], []
+        for v, g in df.groupby(key, sort=False):
+            pdir = _part_dir(out_dir, key, v)
+            man_path = os.path.join(pdir, "manifest.json")
+            man = read_json(man_path)
+            if man and man.get("fingerprint") == fingerprint and man.get("rows") == len(g):
+                skipped.append(str(v))
+                continue
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, "data.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(pdir, "data.parquet"))
+            write_json_atomic(
+                man_path, {"fingerprint": fingerprint, "rows": len(g), "key": str(v)}
+            )
+            written.append(str(v))
+        return pd.DataFrame({"value": written + skipped, "written": [True] * len(written) + [False] * len(skipped)})
+
+    status = grouped_map(ds, key, write_group).to_pandas()
+    return {
+        "written": sorted(status[status.written]["value"]),
+        "skipped": sorted(status[~status.written]["value"]),
+    }
+
+
+def read_partitioned(out_dir: str, key: str):
+    """Read the sink back as a Dataset (one block per partition dir)."""
+    import ray.data as rd
+
+    paths = sorted(
+        os.path.join(out_dir, d, "data.parquet")
+        for d in os.listdir(out_dir)
+        if d.startswith(f"{key}=")
+    )
+    return rd.read_parquet(paths)

@@ -104,3 +104,49 @@ def test_tolerant_wraps_filtering_stage():
     assert out.column("n").to_pylist() == [10, None]
     errs = out.column("_error").to_pylist()
     assert errs[0] is None and errs[1] and "ArrowInvalid" in errs[1]
+
+
+def test_partitioned_sink_resume_and_crash_recovery(ray_session, tmp_path):
+    """write_partitioned: first run writes every partition; an identical
+    re-run skips all (zero-read fast path with expected_values); deleting
+    one partition's manifest re-writes ONLY that partition; a fingerprint
+    change rewrites everything."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.sinks import read_partitioned, write_partitioned
+    from apache___solr_ray.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "sink")
+    ds = load(sf, "events", columns=["event_type", "event_id"])
+    types = sorted(
+        pq.read_table(f"{sf}/events.parquet", columns=["event_type"])
+        .column("event_type")
+        .unique()
+        .to_pylist()
+    )
+
+    r1 = write_partitioned(ds, out, "event_type", "fp1", expected_values=types)
+    assert sorted(r1["written"]) == types and not r1["skipped"]
+
+    r2 = write_partitioned(ds, out, "event_type", "fp1", expected_values=types)
+    assert not r2["written"] and sorted(r2["skipped"]) == types
+
+    # crash recovery: one partition loses its manifest -> only it rewrites
+    os.remove(os.path.join(out, f"event_type={types[0]}", "manifest.json"))
+    r3 = write_partitioned(ds, out, "event_type", "fp1", expected_values=types)
+    assert r3["written"] == [types[0]]
+    assert sorted(r3["skipped"]) == types[1:]
+
+    # input changed -> full rewrite
+    r4 = write_partitioned(ds, out, "event_type", "fp2", expected_values=types)
+    assert sorted(r4["written"]) == types
+
+    # roundtrip: written bytes equal the source
+    back = read_partitioned(out, "event_type").to_pandas()
+    src = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "event_id"]).to_pandas()
+    a = back.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+    b = src.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+    assert a.equals(b)
