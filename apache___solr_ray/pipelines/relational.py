@@ -1837,3 +1837,48 @@ def export_partitioned_roundtrip(sf_dir: str):
     return partial_sum_count(
         back, "event_type", [("event_id", "sum_id")], count_alias="n"
     ).select_columns(["event_type", "n", "sum_id"])
+
+
+@q(
+    "big_join_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def big_join_priority_revenue(sf_dir: str):
+    """Big-big DISTRIBUTED hash join (reference HashJoinStream with
+    parallel partitioning semantics / InnerJoinStream over partitioned
+    streams): lineitem ⋈ orders where NEITHER side is broadcast — both
+    stay streamed Datasets through Ray's hash-partitioned join
+    (partitions sized to the cluster, stages/dedup._default_join_partitions),
+    then the partial+final rollup. The broadcast joins elsewhere are the
+    small-side fast path; this is the shape that survives when both sides
+    are 100 TB."""
+    from apache___solr_ray.pipelines.common import cents, partial_sum_count
+    from apache___solr_ray.stages.dedup import _default_join_partitions
+
+    li = load(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_cents": cents(t.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders = load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_default_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return partial_sum_count(
+        joined, "o_orderpriority", [("rev_cents", "rev_cents")], count_alias="n"
+    )
