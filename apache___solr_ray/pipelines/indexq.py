@@ -1761,3 +1761,43 @@ def suggest_prefix_context(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+@q(
+    "sorted_cursor_pages",
+    """
+    SELECT CAST(pg AS BIGINT) AS page, doc_id, CAST(n_chars AS DOUBLE) AS sortv
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST(floor((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) / 7) AS BIGINT) AS pg
+      FROM documents
+    ) WHERE pg < 3
+    """,
+)
+def sorted_cursor_pages(sf_dir: str):
+    """Deep paging over the index-time sort (searchAfter / CursorMark on
+    the <indexSort> field — Lucene TopFieldCollector after-FieldDoc +
+    segmentTerminateEarly): three 7-row pages, each page a fresh
+    ``sorted_topk(after=cursor)`` call that re-prunes parts by their sort
+    range, so page N never rescans pages 1..N-1's parts unless their range
+    still qualifies."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index_sorted(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    pages, cursor = [], None
+    for pg in range(3):
+        d, v, _m = r.sorted_topk(7, after=cursor)
+        if len(d) == 0:
+            break
+        cursor = (float(v[-1]), int(d[-1]))
+        for dd, vv in zip(d, v):
+            pages.append((pg, idmap[int(dd)], float(vv)))
+    return pa.table(
+        {
+            "page": pa.array([p for p, _, _ in pages], pa.int64()),
+            "doc_id": pa.array([d for _, d, _ in pages], pa.int64()),
+            "sortv": pa.array([v for _, _, v in pages], pa.float64()),
+        }
+    )

@@ -941,7 +941,9 @@ class IndexReader:
 
     # -- doc resolution -----------------------------------------------------
 
-    def sorted_topk(self, k: int = 10) -> tuple[np.ndarray, np.ndarray, dict]:
+    def sorted_topk(
+        self, k: int = 10, after: tuple[float, int] | None = None
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
         """Segment-sorted early termination (Lucene <indexSort> +
         TopFieldCollector: when the query sort matches the index-time sort,
         collection stops once a segment/part can no longer contribute).
@@ -952,7 +954,13 @@ class IndexReader:
         are never opened. Returns (doc_ids, values, metrics) with
         ``metrics['parts_visited'] <= parts_total`` — the early-termination
         evidence. Tie-break: value, then doc_id ascending (stable across
-        any partitioning because doc ids ascend in row order per part)."""
+        any partitioning because doc ids ascend in row order per part).
+
+        ``after=(value, doc_id)`` is the searchAfter/CursorMark
+        continuation (Lucene TopFieldCollector after-FieldDoc): only rows
+        strictly after the cursor in (value, doc_id) order are candidates,
+        and parts wholly before the cursor's value range still early-out
+        via the same bound check."""
         sf = self.stats.get("sort_field")
         if sf is None:
             raise ValueError("index was not built with an index-time sort")
@@ -980,6 +988,10 @@ class IndexReader:
             alive = self._alive(d)
             if alive is not None:
                 d, v = d[alive], v[alive]
+            if after is not None:
+                av, ad = after
+                m = (v < av) | ((v == av) & (d > ad)) if desc else (v > av) | ((v == av) & (d > ad))
+                d, v = d[m], v[m]
             take = min(k, len(d))
             metrics["parts_visited"] += 1
             metrics["rows_scanned"] += take

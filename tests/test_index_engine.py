@@ -627,3 +627,26 @@ def test_sorted_index_early_termination(ray_session):
     )[:10]
     assert [idmap[int(x)] for x in d] == [doc for _, doc in rows]
     assert v.tolist() == [float(nc) for nc, _ in rows]
+
+
+def test_sorted_cursor_pages_equal_topk_prefix(ray_session):
+    """searchAfter pages over the sorted index must equal consecutive
+    slices of one big sorted_topk, and later pages must still early-out
+    (parts_visited < parts_total)."""
+    from apache___solr_ray.pipelines.indexq import ensure_doc_index_sorted
+    from apache___solr_ray.query import IndexReader
+
+    sf = "/root/testdata/sf0.001"
+    r = IndexReader(ensure_doc_index_sorted(sf))
+    d_all, v_all, _ = r.sorted_topk(21)
+    got_d, got_v, cursor = [], [], None
+    for pg in range(3):
+        d, v, m = r.sorted_topk(7, after=cursor)
+        if pg == 0:  # deep cursors may legitimately need more parts to fill
+            assert m["parts_visited"] < m["parts_total"]
+        assert m["rows_scanned"] <= 7 * m["parts_visited"]
+        got_d.extend(d.tolist())
+        got_v.extend(v.tolist())
+        cursor = (float(v[-1]), int(d[-1]))
+    assert got_d == d_all.tolist()
+    assert got_v == v_all.tolist()
