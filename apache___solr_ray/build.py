@@ -333,7 +333,10 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         # index-time sort (Lucene flush-time IndexSorter): materialize THIS
         # partition, order rows by (sort_field, url) so doc ids ascend in
         # sort order within the part; ties keep deterministic url order
-        whole = pa.Table.from_batches(list(it))
+        got = list(it)
+        if not got:  # empty row-group range: same no-op as the unsorted path
+            return
+        whole = pa.Table.from_batches(got)
         order = pc.sort_indices(
             whole,
             sort_keys=[

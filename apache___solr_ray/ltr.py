@@ -55,9 +55,7 @@ class SolrFeature(Feature):
     name: str = "solrFeature"
 
     def extract(self, reader, doc_ids, first_pass):
-        import math
-
-        from apache___solr_ray.lucene import LENGTH_TABLE
+        from apache___solr_ray.lucene import bm25_f64_scores
 
         terms = reader.analyzer.analyze(self.query)
         avgdl = reader.sum_total_tf / reader.doc_count
@@ -69,10 +67,7 @@ class SolrFeature(Feature):
             if tp is None:
                 continue
             docs, tfs, norms = tp.decode_all()
-            idf = math.log(1 + (reader.doc_count - tp.df + 0.5) / (tp.df + 0.5))
-            qdl = LENGTH_TABLE[norms.astype(np.uint8)].astype(np.float64)
-            tff = tfs.astype(np.float64)
-            s = idf * tff / (tff + 1.2 * (0.25 + 0.75 * qdl / avgdl))
+            s = bm25_f64_scores(tfs, norms, tp.df, reader.doc_count, avgdl)
             # align postings (sorted by doc) to the candidate window
             pos = np.searchsorted(sorted_ids, docs)
             ok = (pos < len(sorted_ids)) & (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == docs)
@@ -111,16 +106,3 @@ class LinearModel:
             s += w * f.extract(reader, doc_ids, first_pass)
         return s
 
-
-def ltr_rerank(
-    reader,
-    doc_ids: np.ndarray,
-    first_pass: np.ndarray,
-    model: LinearModel,
-    k: int = 10,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Re-rank the first-pass window by the model score (desc, doc asc) —
-    the LTRQParserPlugin rescorer shape."""
-    s = model.rescore(reader, doc_ids, first_pass)
-    order = np.lexsort((doc_ids, -s))[:k]
-    return doc_ids[order], s[order]

@@ -237,3 +237,19 @@ def murmurhash3_x86_32(data: bytes, seed: int = 0) -> int:
     h1 = (h1 * 0xC2B2AE35) & _U32
     h1 ^= h1 >> 16
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def bm25_f64_scores(
+    tfs: np.ndarray, norms: np.ndarray, df: int, doc_count: int, avgdl: float
+) -> np.ndarray:
+    """The f64 RESCORING variant of BM25 (quantized SmallFloat doc lengths
+    but DOUBLE arithmetic, k1=1.2 b=0.75) — the single definition shared by
+    every oracle-mirrorable scoring path (indexq._f64_term_score_cols, LTR
+    SolrFeature); DuckDB mirrors these exact IEEE ops. The float32 Lucene
+    serving path stays in BM25Scorer."""
+    import math
+
+    qdl = LENGTH_TABLE[norms.astype(np.uint8)].astype(np.float64)
+    idf_ = math.log(1 + (doc_count - df + 0.5) / (df + 0.5))
+    tff = tfs.astype(np.float64)
+    return idf_ * tff / (tff + 1.2 * (0.25 + 0.75 * qdl / avgdl))

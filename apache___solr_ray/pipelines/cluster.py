@@ -93,6 +93,17 @@ def kmeans_fit(sf_dir: str, k: int = K_CLUSTERS, iters: int = K_ITERS):
         def partial(t: pa.Table) -> pa.Table:
             if "C" not in state:
                 state["C"] = ray.get(cref)
+            if t.num_rows == 0:
+                kk0, dd0 = state["C"].shape
+                return pa.table(
+                    {
+                        "cluster": pa.array(np.arange(kk0, dtype=np.int64)),
+                        "n": pa.array(np.zeros(kk0, dtype=np.int64)),
+                        "sums": pa.array(
+                            np.zeros((kk0, dd0)).tolist(), pa.list_(pa.float64())
+                        ),
+                    }
+                )
             E = _emb_matrix(t)
             a = _assign(E, state["C"])
             kk, dd = state["C"].shape
@@ -167,6 +178,14 @@ def kmeans_cluster_sizes(sf_dir: str):
     def final_assign(t: pa.Table) -> pa.Table:
         if "C" not in state:
             state["C"] = ray.get(cref)
+        if t.num_rows == 0:
+            kk0 = len(state["C"])
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk0, dtype=np.int64)),
+                    "n": pa.array(np.zeros(kk0, dtype=np.int64)),
+                }
+            )
         E = _emb_matrix(t)
         a = _assign(E, state["C"])
         kk = len(state["C"])

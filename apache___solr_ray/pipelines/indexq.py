@@ -274,9 +274,7 @@ def _f64_term_score_cols(r, idmap, terms):
     ``topk``; this is the oracle-mirrorable rescoring variant).
 
     Returns (sorted documents.doc_id array, {term: aligned score col})."""
-    import math
-
-    from apache___solr_ray.lucene import LENGTH_TABLE
+    from apache___solr_ray.lucene import bm25_f64_scores
 
     avgdl = r.sum_total_tf / r.doc_count
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -286,10 +284,7 @@ def _f64_term_score_cols(r, idmap, terms):
             per_term[t] = (np.zeros(0, np.int64), np.zeros(0, np.float64))
             continue
         docs, tfs, norms = tp.decode_all()
-        qdl = LENGTH_TABLE[norms.astype(np.uint8)].astype(np.float64)
-        idf = math.log(1 + (r.doc_count - tp.df + 0.5) / (tp.df + 0.5))
-        tff = tfs.astype(np.float64)
-        s = idf * tff / (tff + 1.2 * (0.25 + 0.75 * qdl / avgdl))
+        s = bm25_f64_scores(tfs, norms, tp.df, r.doc_count, avgdl)
         if idmap is None:  # engine doc-id space (identity)
             mapped = docs.astype(np.int64)
         else:
@@ -1450,7 +1445,6 @@ def ltr_linear_rerank_topk(sf_dir: str):
         LinearModel,
         OriginalScoreFeature,
         SolrFeature,
-        ltr_rerank,
     )
     from apache___solr_ray.query import IndexReader
 
@@ -1674,6 +1668,7 @@ def index_edismax_pf_topk(sf_dir: str):
     for t in _PF_TERMS[1:]:
         s = s + cols[t]
 
+    cand = s > 0  # candidates are main-query matches, pre-boost
     pdocs, pfreqs, pnorms = r.phrase_freqs(" ".join(_PF_TERMS))
     if len(pdocs):
         avgdl = r.sum_total_tf / r.doc_count
@@ -1689,7 +1684,6 @@ def index_edismax_pf_topk(sf_dir: str):
         ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == mapped)
         np.add.at(s, pos[ok], _PF_WEIGHT * p[ok])
 
-    cand = (cols[_PF_TERMS[0]] + sum(cols[t] for t in _PF_TERMS[1:])) > 0
     ids_c, s_c = ids[cand], s[cand]
     final = np.lexsort((ids_c, -s_c))[:10]
     return pa.table(

@@ -1760,7 +1760,7 @@ def facet_interval_value(sf_dir: str):
     """
     WITH agg AS (
       SELECT event_type, user_id, count(*) AS n,
-             round(sum(value), 2) AS sum_value
+             floor(sum(value) * 100 + 0.5) / 100.0 AS sum_value
       FROM events GROUP BY event_type, user_id
     ),
     ranked AS (
@@ -1798,7 +1798,7 @@ def facet_nested_subfacet(sf_dir: str):
                 "event_type": g["event_type"].to_numpy(),
                 "user_id": g["user_id"].to_numpy(),
                 "n": g["n"].to_numpy().astype(np.int64),
-                "sum_value": np.round(g["sv"].to_numpy(), 2),
+                "sum_value": np.floor(g["sv"].to_numpy() * 100 + 0.5) / 100.0,
                 "rn": g["rn"].to_numpy(),
             }
         )

@@ -58,7 +58,8 @@ def write_partitioned(
 
     def write_group(df: pd.DataFrame) -> pd.DataFrame:
         written, skipped = [], []
-        for v, g in df.groupby(key, sort=False):
+        # dropna=False: a null partition key must not silently drop rows
+        for v, g in df.groupby(key, sort=False, dropna=False):
             pdir = _part_dir(out_dir, key, v)
             man_path = os.path.join(pdir, "manifest.json")
             man = read_json(man_path)
