@@ -1795,3 +1795,68 @@ def sorted_cursor_pages(sf_dir: str):
             "sortv": pa.array([v for _, _, v in pages], pa.float64()),
         }
     )
+
+
+@q(
+    "index_explain_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9), (10), (11), (12), (13), (14), (15), (16), (17), (18), (19), (20), (21), (22), (23), (24), (25), (26), (27), (28), (29), (30), (31), (32), (33), (34), (35), (36), (37), (38), (39), (40), (42), (44), (46), (48), (50), (52), (54), (56), (60), (64), (68), (72), (76), (80), (84), (88), (96), (104), (112), (120), (128), (136), (144), (152), (168), (184), (200), (216), (232), (248), (264), (280), (312), (344), (376), (408), (440), (472), (504), (536), (600), (664), (728), (792), (856), (920), (984), (1048), (1176), (1304), (1432), (1560), (1688), (1816), (1944), (2072), (2328), (2584), (2840), (3096), (3352), (3608), (3864), (4120), (4632), (5144), (5656), (6168), (6680), (7192), (7704), (8216), (9240), (10264), (11288), (12312), (13336), (14360), (15384), (16408), (18456), (20504), (22552), (24600), (26648), (28696), (30744), (32792), (36888), (40984), (45080), (49176), (53272), (57368), (61464), (65560), (73752), (81944), (90136), (98328), (106520), (114712), (122904), (131096), (147480), (163864), (180248), (196632), (213016), (229400), (245784), (262168), (294936), (327704), (360472), (393240), (426008), (458776), (491544), (524312), (589848), (655384), (720920), (786456), (851992), (917528), (983064), (1048600), (1179672), (1310744), (1441816), (1572888), (1703960), (1835032), (1966104), (2097176), (2359320), (2621464), (2883608), (3145752), (3407896), (3670040), (3932184), (4194328), (4718616), (5242904), (5767192), (6291480), (6815768), (7340056), (7864344), (8388632), (9437208), (10485784), (11534360), (12582936), (13631512), (14680088), (15728664), (16777240), (18874392), (20971544), (23068696), (25165848), (27263000), (29360152), (31457304), (33554456), (37748760), (41943064), (46137368), (50331672), (54525976), (58720280), (62914584), (67108888), (75497496), (83886104), (92274712), (100663320), (109051928), (117440536), (125829144), (134217760), (150994976), (167772192), (184549408), (201326624), (218103840), (234881056), (251658272), (268435488), (301989920), (335544352), (369098784), (402653216), (436207648), (469762080), (503316512), (536870912), (603979776), (671088640), (738197504), (805306368), (872415232), (939524096), (1006632960), (1073741824), (1207959552), (1342177280), (1476395008), (1610612736), (1744830464), (1879048192), (2013265920)),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('fast', 'join', 'merge') GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ('fast', 'join', 'merge') GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    tot AS (SELECT doc_id, sum(s) AS total FROM sc GROUP BY doc_id),
+    top AS (SELECT doc_id, total FROM tot ORDER BY total DESC, doc_id LIMIT 5)
+    SELECT top.doc_id, sc.term,
+           floor(sc.s*10000 + 0.5)/10000.0 AS contribution,
+           floor(top.total*10000 + 0.5)/10000.0 AS total
+    FROM top JOIN sc ON sc.doc_id = top.doc_id
+    """,
+)
+def index_explain_topk(sf_dir: str):
+    """debugQuery / Explanation analog (reference
+    solr/core/src/java/org/apache/solr/handler/component/DebugComponent.java
+    + Lucene Explanation: per-term score breakdown of each hit). Top-5 docs
+    of 'fast merge join' in the f64 rescoring path, one row per (doc,
+    matching term) with the term's BM25 contribution and the doc total —
+    DuckDB recomputes the identical decomposition."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, _RERANK_MAIN)
+    total = cols[_RERANK_MAIN[0]].copy()
+    for t in _RERANK_MAIN[1:]:
+        total = total + cols[t]
+    cand = total > 0
+    ids_c, tot_c = ids[cand], total[cand]
+    top = np.lexsort((ids_c, -tot_c))[:5]
+    d_out, t_out, c_out, tt_out = [], [], [], []
+    for i in top:
+        doc = int(ids_c[i])
+        full = np.flatnonzero(ids == doc)[0]
+        for t in sorted(set(_RERANK_MAIN)):
+            c = cols[t][full]
+            if c > 0:
+                d_out.append(doc)
+                t_out.append(t)
+                c_out.append(np.floor(c * 10000 + 0.5) / 10000.0)
+                tt_out.append(np.floor(tot_c[i] * 10000 + 0.5) / 10000.0)
+    return pa.table(
+        {
+            "doc_id": pa.array(d_out, pa.int64()),
+            "term": pa.array(t_out, pa.string()),
+            "contribution": pa.array(c_out, pa.float64()),
+            "total": pa.array(tt_out, pa.float64()),
+        }
+    )
