@@ -994,8 +994,13 @@ def build_index(
     # previous purge-merge physically reclaimed (deletes.record_purged)
     from apache___solr_ray.deletes import reapply_purged
 
-    n_reapplied = reapply_purged(index_dir, fingerprints)
+    n_reapplied, n_unapplied = reapply_purged(index_dir, fingerprints)
     if n_reapplied:
         man["metrics"]["tombstones_reapplied"] = n_reapplied
+    if n_unapplied:
+        # loud signal: purged docs whose partitions are not in this layout
+        # could NOT be re-asserted — they are live again until the ledger
+        # partition reappears. Recorded in build stats so callers can gate.
+        man["metrics"]["tombstones_unapplied"] = n_unapplied
     write_json_atomic(os.path.join(index_dir, "index_manifest.json"), man)
     return man

@@ -91,7 +91,7 @@ def record_purged(index_dir: str, doc_ids, input_fingerprints: list[str]) -> Non
     write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"by_fp": by_fp})
 
 
-def reapply_purged(index_dir: str, current_fingerprints: list[str]) -> int:
+def reapply_purged(index_dir: str, current_fingerprints: list[str]) -> tuple[int, int]:
     """Re-assert purged deletes after a rebuild: every ledger partition
     whose input-fingerprint appears in the current build has its rows
     mapped to that partition's CURRENT positional id and merged back into
@@ -99,29 +99,35 @@ def reapply_purged(index_dir: str, current_fingerprints: list[str]) -> int:
     must stay dead). Entries whose fingerprint is absent from the current
     build are KEPT in the ledger (the partition may reappear in a later
     layout) and reported with a warning — never silently pruned. Returns
-    the number of re-applied tombstones."""
+    ``(n_reapplied, n_unapplied)``; a non-zero second element means purged
+    docs that could NOT be re-asserted in this layout (unknown-partition
+    sentinel or stale fingerprints) — callers must surface it in build
+    stats / fail loudly rather than rely on the warning."""
     import warnings
 
     ledger = read_json(os.path.join(index_dir, PURGED_FILE))
     if not ledger:
-        return 0
+        return 0, 0
     by_fp = ledger.get("by_fp")
     if by_fp is None and ledger.get("entries"):
         # migrate a pre-v3 positional ledger: its doc ids were only valid
         # for the layout it was written under; treat as unknown-partition
         by_fp = {_UNKNOWN_FP: sorted(int(k) for k in ledger["entries"])}
     if not by_fp:
-        return 0
+        return 0, 0
     pos_of = {fp: i for i, fp in enumerate(current_fingerprints)}
     reapply: list[int] = []
     stale: list[str] = []
+    n_unapplied = 0
     for fp, rows in by_fp.items():
         if fp == _UNKNOWN_FP:
             stale.append(fp)
+            n_unapplied += len(rows)
             continue
         pos = pos_of.get(fp)
         if pos is None:
             stale.append(fp)
+            n_unapplied += len(rows)
             continue
         reapply.extend((pos << 32) + int(r) for r in rows)
     if stale:
@@ -134,7 +140,7 @@ def reapply_purged(index_dir: str, current_fingerprints: list[str]) -> int:
         merged = sorted(set(existing.tolist()) | set(reapply))
         write_json_atomic(os.path.join(index_dir, TOMBSTONE_FILE), {"doc_ids": merged})
     write_json_atomic(os.path.join(index_dir, PURGED_FILE), {"by_fp": by_fp})
-    return len(reapply)
+    return len(reapply), n_unapplied
 
 
 def tombstoned_doc_lens(index_dir: str, tombs: np.ndarray) -> tuple[int, int]:

@@ -44,12 +44,16 @@ K_ITERS = 3
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:
-    """Zero-copy-ish list<float> -> (n, d) float64."""
+    """Zero-copy-ish list<float> -> (n, d) float64. Uses ``flatten()`` (not
+    ``.values``) so sliced/offset list chunks yield exactly the slice's
+    elements — ``.values`` covers the whole parent buffer and would misalign
+    rows for offset batches."""
     col = t.column("embedding").combine_chunks()
     if isinstance(col, pa.ChunkedArray):
         col = col.chunk(0)
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    assert n == 0 or flat.size % n == 0, (flat.size, n)
     return flat.reshape(n, -1)
 
 
@@ -63,6 +67,12 @@ def _assign(E: np.ndarray, C: np.ndarray) -> np.ndarray:
     for j in range(d):  # d is small (embedding dim); n stays vectorized
         diff = E[:, j, None] - C[None, :, j]
         out += diff * diff
+    # Round distances to 1e-6 before argmin (mirrored in the SQL oracle's
+    # floor(d*1e6+0.5)/1e6): f64 accumulation ORDER differs between numpy
+    # and DuckDB's SUM, so raw near-ties (~1e-14 apart) could flip argmin
+    # nondeterministically; after rounding both sides tie-break by cluster
+    # id (np.argmin first-wins == ORDER BY d, c).
+    out = np.floor(out * 1e6 + 0.5) / 1e6
     return np.argmin(out, axis=1)
 
 
@@ -141,7 +151,8 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
     prev = "c0"
     for it in range(1, iters + 1):
         ctes.append(
-            f"""d{it} AS (SELECT ev.vec_id, {prev}.c, sum((ev.v - {prev}.v)*(ev.v - {prev}.v)) AS d
+            f"""d{it} AS (SELECT ev.vec_id, {prev}.c,
+               floor(sum((ev.v - {prev}.v)*(ev.v - {prev}.v))*1000000 + 0.5)/1000000 AS d
                FROM ev JOIN {prev} USING (i) GROUP BY ev.vec_id, {prev}.c)"""
         )
         ctes.append(

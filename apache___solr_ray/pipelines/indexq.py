@@ -284,6 +284,9 @@ def _f64_term_score_cols(r, idmap, terms):
             per_term[t] = (np.zeros(0, np.int64), np.zeros(0, np.float64))
             continue
         docs, tfs, norms = tp.decode_all()
+        alive = r._alive(docs)  # liveDocs filter — match topk/span/payload paths
+        if alive is not None:
+            docs, tfs, norms = docs[alive], tfs[alive], norms[alive]
         s = bm25_f64_scores(tfs, norms, tp.df, r.doc_count, avgdl)
         if idmap is None:  # engine doc-id space (identity)
             mapped = docs.astype(np.int64)

@@ -537,9 +537,9 @@ def mlt_similar_docs(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Sum("shared", alias_name="shared"))
     )
-    tbl = out.to_pandas()
-    tbl = tbl.sort_values(["shared", "doc_id"], ascending=[False, True]).head(10)
-    return pa.Table.from_pandas(tbl.reset_index(drop=True), preserve_index=False)
+    # distributed top-k: never pull the (potentially |corpus|-row) overlap
+    # aggregate to the driver — sort+limit streams per-block top-10s
+    return out.sort(["shared", "doc_id"], descending=[True, False]).limit(10)
 
 
 _BIG = (1 << 62)
@@ -746,13 +746,20 @@ def near_dup_components(sf_dir: str):
         ds, None, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
     )
     nodes = load(sf_dir, "documents", columns=["doc_id"])
-    labels = connected_components_ds(pairs, nodes).to_pandas().sort_values("node")
-    return pa.table(
-        {
-            "doc_id": pa.array(labels["node"].to_numpy(), pa.int64()),
-            "component": pa.array(labels["label"].to_numpy(), pa.int64()),
-        }
-    )
+    labels = connected_components_ds(pairs, nodes)
+
+    # Return the labels DATASET (contract accepts it) — one row per document
+    # must never be materialized on the driver at 10^12 docs; downstream
+    # consumers write via sinks.write_partitioned or keep streaming.
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("node").cast(pa.int64()),
+                "component": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 @q(
@@ -933,10 +940,10 @@ def shingle_bigram_top(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bigram")
         .aggregate(Sum("pn", alias_name="n"))
-        .to_pandas()
     )
-    out = out.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    # distributed top-20 over the full bigram vocabulary (10^9+ at web
+    # scale): sort+limit, never to_pandas on the unbounded aggregate
+    return out.sort(["n", "bigram"], descending=[True, False]).limit(20)
 
 
 @q(
@@ -1145,13 +1152,21 @@ def xml_loader_roundtrip(sf_dir: str):
 
     from apache___solr_ray.sources import load_arrow, read_xml_adds, write_xml_add
 
-    base = f"/tmp/apache___solr_ray_cache/events_xml_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # Cache key covers the source file's size+mtime (as ensure_doc_index
+    # does) so a regenerated corpus at the same path doesn't reuse stale XML.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    base = f"/tmp/apache___solr_ray_cache/events_xml_{hashlib.md5(fp.encode()).hexdigest()[:10]}"
     if not os.path.exists(os.path.join(base, "shard-1.xml")):
         os.makedirs(base, exist_ok=True)
         t = load_arrow(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
         half = t.num_rows // 2
-        write_xml_add(t.slice(0, half), os.path.join(base, "shard-0.xml"))
-        write_xml_add(t.slice(half), os.path.join(base, "shard-1.xml"))
+        # write shard-1 LAST and atomically: its existence is the commit marker
+        for name, tbl in (("shard-0.xml", t.slice(0, half)), ("shard-1.xml", t.slice(half))):
+            tmp = os.path.join(base, name + ".tmp")
+            write_xml_add(tbl, tmp)
+            os.replace(tmp, os.path.join(base, name))
     ds = read_xml_adds([os.path.join(base, "shard-0.xml"), os.path.join(base, "shard-1.xml")])
 
     def typed(t: pa.Table) -> pa.Table:
