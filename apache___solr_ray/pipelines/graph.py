@@ -133,6 +133,58 @@ def graph_gather_nodes(sf_dir: str):
     )
 
 
+def _bfs_rounds_distributed(edges, visited_ds, frontier_ds, start_depth: int, max_depth: int):
+    """Fully-distributed BFS rounds: frontier ⋈ edges via the adaptive
+    ``_hop`` (broadcast ≤ FRONTIER_BROADCAST_MAX, else hash semi-join),
+    then a groupby-min anti-join against the visited Dataset — neither the
+    frontier nor the visited set ever lands on the driver. Returns the
+    final (node, dist) Dataset. Per-round materialize = the iterative-
+    algorithm checkpoint (same reasoning as connected_components_ds)."""
+    from ray.data.aggregate import Min
+
+    visited_ds = visited_ds.materialize()
+    frontier_ds = frontier_ds.materialize()
+    for depth in range(start_depth, max_depth):
+        reached = _hop(edges, "src", "dst", frontier_ds)
+
+        def tag(t: pa.Table, new: int) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node").cast(pa.int64()),
+                    "is_new": pa.array(np.full(t.num_rows, new, dtype=np.int64)),
+                }
+            )
+
+        tagged = reached.map_batches(
+            lambda t: tag(t, 1), batch_format="pyarrow"
+        ).union(visited_ds.map_batches(lambda t: tag(t, 0), batch_format="pyarrow"))
+        fresh = (
+            tagged.groupby("node")
+            .aggregate(Min("is_new", alias_name="nw"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.filter(pc.equal(t.column("nw"), 1)).column("node")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if fresh.count() == 0:
+            break
+        fresh_d = fresh.map_batches(
+            lambda t, _d=depth + 1: pa.table(
+                {
+                    "node": t.column("node"),
+                    "dist": pa.array(np.full(t.num_rows, _d, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        visited_ds = visited_ds.union(fresh_d).materialize()
+        frontier_ds = fresh
+    return visited_ds
+
+
 @q(
     "graph_shortest_path",
     """
@@ -149,14 +201,19 @@ def graph_gather_nodes(sf_dir: str):
     SELECT node, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY node
     """,
 )
-def graph_shortest_path(sf_dir: str):
+def graph_shortest_path(sf_dir: str, plan: str = "auto"):
     """ShortestPathStream (bounded BFS, maxDepth=3) over the bipartite
     order↔part graph (node encoding: order=2k, part=2k+1), from seed
-    order 1. Per round the frontier is broadcast (ray.put) and the edge
-    Dataset is scanned with a vectorized is_in filter — edges scale to
-    10^12 as a streamed scan; the visited set is bounded by the seed's
-    reach at maxDepth (the reference's own memory model,
-    ShortestPathStream.java visited map). Oracle: DuckDB recursive CTE."""
+    order 1. ADAPTIVE frontier (reuses FRONTIER_BROADCAST_MAX): while the
+    reach stays small the frontier is broadcast (ray.put) and the edge
+    Dataset is scanned with a vectorized is_in filter — the reference's
+    own memory model (ShortestPathStream.java visited map on the
+    coordinator). The moment a round's frontier exceeds the threshold the
+    remaining rounds run FULLY DISTRIBUTED (``_bfs_rounds_distributed``):
+    frontier and visited stay Datasets, the anti-join is a groupby-min —
+    high-reach seeds never overflow the driver. ``plan`` in
+    {auto, driver, distributed}; results identical (test_graph_plans.py
+    forces the distributed plan). Oracle: DuckDB recursive CTE."""
     import ray
 
     max_depth = 3
@@ -197,9 +254,40 @@ def graph_shortest_path(sf_dir: str):
         .materialize()
     )
 
+    import ray.data as rd
+
+    def _visited_frontier_ds(dist: dict[int, int], frontier: np.ndarray):
+        nodes = np.fromiter(dist.keys(), dtype=np.int64, count=len(dist))
+        ds_v = rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes),
+                    "dist": pa.array(
+                        np.fromiter(dist.values(), dtype=np.int64, count=len(dist))
+                    ),
+                }
+            )
+        )
+        ds_f = rd.from_arrow(pa.table({"node": pa.array(frontier, pa.int64())}))
+        return ds_v, ds_f
+
+    def _finish_distributed(dist, frontier, depth):
+        v, f = _visited_frontier_ds(dist, frontier)
+        out = _bfs_rounds_distributed(edges, v, f, depth, max_depth)
+        return out.sort("node")
+
+    if plan == "distributed":
+        return _finish_distributed({seed: 0}, np.array([seed], dtype=np.int64), 0)
+
     dist: dict[int, int] = {seed: 0}
     frontier = np.array([seed], dtype=np.int64)
     for depth in range(max_depth):
+        if plan == "auto" and len(frontier) > FRONTIER_BROADCAST_MAX:
+            # high-reach seed: hand the remaining rounds to the fully
+            # distributed plan before the frontier/visited overflow the
+            # driver (dist is still <= reach at THIS depth, bounded by the
+            # threshold that triggered the spill)
+            return _finish_distributed(dist, frontier, depth)
         ref = ray.put(np.sort(frontier))
 
         def reach(t: pa.Table, _ref=ref) -> pa.Table:

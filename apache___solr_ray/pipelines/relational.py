@@ -977,6 +977,62 @@ def sliding_window_hourly(sf_dir: str):
     return round_cols(out, {"sum_3h": 2})
 
 
+ASOF_BROADCAST_MAX = 5_000_000  # build-side rows above which the bucketed plan runs
+
+
+def _events_rows(sf_dir: str) -> int:
+    """Build-side size estimate from parquet metadata (upper bound: total
+    events rows ≥ purchase rows) — no data read, same cheap-stat plan
+    switch as graph.FRONTIER_BROADCAST_MAX."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+
+
+def _asof_bucketed(sf_dir: str):
+    """Scale path: co-locate clicks+purchases by user_id hash (one shuffle),
+    then one vectorized ``pd.merge_asof`` per partition. Partitioning
+    assumption: all rows of a user fit one partition (true unless a single
+    user's history exceeds a block — salt the key first if so)."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    ds = load(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def keep_sides(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("event_type"), value_set=pa.array(["click", "purchase"]))
+        )
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df["event_type"] == "click"]
+        buys = df.loc[df["event_type"] == "purchase", ["ts", "user_id"]].copy()
+        buys["last_purchase_ts"] = buys["ts"]
+        if len(clicks) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=clicks["event_id"].dtype),
+                    "last_purchase_ts": pd.Series([], dtype=buys["ts"].dtype),
+                }
+            )
+        clicks = clicks.sort_values("ts", kind="mergesort")
+        buys = buys.sort_values("ts", kind="mergesort")
+        out = pd.merge_asof(
+            clicks,
+            buys,
+            on="ts",
+            by="user_id",
+            allow_exact_matches=False,  # strictly earlier
+            direction="backward",
+        )
+        return out[["event_id", "last_purchase_ts"]]
+
+    return grouped_map(
+        ds.map_batches(keep_sides, batch_format="pyarrow"), "user_id", merge_part
+    )
+
+
 @q(
     "asof_last_purchase_before_click",
     """
@@ -987,16 +1043,22 @@ def sliding_window_hourly(sf_dir: str):
     FROM events c WHERE c.event_type = 'click'
     """,
 )
-def asof_last_purchase_before_click(sf_dir: str):
+def asof_last_purchase_before_click(sf_dir: str, plan: str = "auto"):
     """AS-OF JOIN (a custom operator Ray Data lacks; named in the task
     brief): for every click, the latest strictly-earlier purchase by the
-    same user. Implementation: the build side (purchases, keyed+sorted)
-    is broadcast once via ray.put; each probe batch does one vectorized
-    searchsorted per user run — no shuffle. At scale the same logic runs
-    per key-hash bucket after a single groupby co-location (pd.merge_asof
-    inside map_groups); the broadcast form is the small-build-side fast
-    path, exactly like the reference's HashJoinStream (HashJoinStream.java:
-    35-45 builds the small side at open)."""
+    same user. ADAPTIVE plan (mirrors graph._hop's FRONTIER_BROADCAST_MAX
+    switch): when the build side (purchases) is small it is broadcast once
+    via ray.put and each probe batch does one vectorized searchsorted per
+    user run — no shuffle (the reference's HashJoinStream.java:35-45 builds
+    the small side at open). Above ``ASOF_BROADCAST_MAX`` build rows the
+    bucketed scale path runs instead: ONE hash co-location of both sides by
+    user_id (grouped_map) and a vectorized ``pd.merge_asof`` per partition —
+    the build side never has to fit in an object-store blob. ``plan`` in
+    {auto, broadcast, bucketed} (tests force both; results are identical)."""
+    if plan == "bucketed" or (
+        plan == "auto" and _events_rows(sf_dir) > ASOF_BROADCAST_MAX
+    ):
+        return _asof_bucketed(sf_dir)
     import ray
 
     ev = load_arrow(sf_dir, "events", columns=["ts", "user_id", "event_type"])
