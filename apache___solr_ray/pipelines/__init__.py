@@ -16,18 +16,20 @@ that is the driver's correctness contract.
                     graph expressions, SURVEY §2.4)
 """
 
-from apache___solr_ray.pipelines import cluster, graph, indexq, relational, similarity, text  # noqa: F401
+from apache___solr_ray.pipelines import cluster, graph, indexq, relational, similarity, sqlq, text  # noqa: F401
+
+_MODULES = (relational, text, similarity, indexq, graph, cluster, sqlq)
 
 
 def all_queries():
     out = {}
-    for m in (relational, text, similarity, indexq, graph, cluster):
+    for m in _MODULES:
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (relational, text, similarity, indexq, graph, cluster):
+    for m in _MODULES:
         out.update(m.ORACLE)
     return out

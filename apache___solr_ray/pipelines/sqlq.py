@@ -1,0 +1,100 @@
+"""SQL front-end catalog entries — the query string is BOTH the engine
+input (parsed + compiled onto Ray Data by ``apache___solr_ray.sql``) and
+the DuckDB oracle, so the correctness gate checks the compiler end-to-end:
+parse → column-pruned scan → vectorized WHERE → partial-aggregate GROUP BY
+→ HAVING → projection → distributed ORDER BY/LIMIT.
+
+Reference surface: the Solr SQL module's push-down planner rules
+(solr/modules/sql/src/java/org/apache/solr/handler/sql/SolrProject.java,
+SolrFilter.java, SolrAggregate.java, SolrSort.java, SolrRules.java).
+
+Float aggregates are rounded with the repo's floor(x*K+0.5)/K convention
+INSIDE the SQL (both sides execute it), because f64 accumulation order
+differs between the partial-aggregate shuffle and DuckDB's serial sum.
+"""
+
+from __future__ import annotations
+
+from apache___solr_ray.sql import sql_query
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _sql(name: str, sql: str) -> None:
+    def fn(sf_dir: str, _sql=sql):
+        return sql_query(sf_dir, _sql)
+
+    fn.__name__ = name
+    fn.__doc__ = f"SQL front-end entry; input == oracle:\n{sql}"
+    QUERIES[name] = fn
+    ORACLE[name] = sql
+
+
+_sql(
+    "sql_filter_sort",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+
+_sql(
+    "sql_select_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC
+    """,
+)
+
+_sql(
+    "sql_group_having",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 25
+    ORDER BY n DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+
+_sql(
+    "sql_expr_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'N') AND l_quantity >= 45
+    ORDER BY net DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 15
+    """,
+)
+
+_sql(
+    "sql_global_agg",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
+           floor(min(value) * 10000 + 0.5) / 10000 AS min_v,
+           floor(max(value) * 10000 + 0.5) / 10000 AS max_v
+    FROM events
+    """,
+)
+
+_sql(
+    "sql_distinct_like",
+    """
+    SELECT DISTINCT event_type
+    FROM events
+    WHERE event_type NOT LIKE '%y' AND props IS NOT NULL
+    ORDER BY event_type ASC
+    """,
+)

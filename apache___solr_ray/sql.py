@@ -1,0 +1,766 @@
+"""SQL front-end compiled onto Ray Data pipelines.
+
+The reference ships a SQL interface over Apache Calcite whose planner
+pushes relational operators down into engine requests — see
+``solr/modules/sql/src/java/org/apache/solr/handler/sql/SolrProject.java``
+(column projection), ``SolrFilter.java`` (WHERE → filter query),
+``SolrAggregate.java`` (GROUP BY → facet/rollup), ``SolrSort.java``
+(ORDER BY/LIMIT → sorted export), wired in ``SolrRules.java``. This module
+is that surface rebuilt Ray-Data-first: a hand-rolled recursive-descent
+parser for the SELECT / WHERE / GROUP BY / HAVING / ORDER BY / LIMIT
+subset the reference push-downs target, compiled onto the same building
+blocks the rest of this engine uses:
+
+- referenced-column pruning at ``read_parquet``          (SolrProject)
+- WHERE → ONE vectorized pyarrow.compute mask per batch  (SolrFilter)
+- GROUP BY → per-batch pandas partials (sum/count/min/
+  max; avg = final sum/count) + one small groupby over
+  partials — raw rows never shuffle                      (SolrAggregate)
+- ORDER BY / LIMIT → ``Dataset.sort(...).limit(n)``      (SolrSort)
+- SELECT DISTINCT → groupby over the projected columns
+
+Dialect (documented subset — everything else raises ``SqlError``):
+  SELECT [DISTINCT] item [, item...]   item := expr [AS alias]
+  FROM <single table>
+  [WHERE expr] [GROUP BY col, ...] [HAVING expr]
+  [ORDER BY name [ASC|DESC], ...] [LIMIT n]
+  expr: column, 'string', number, + - * / ( ), comparison (= <> != < <= > >=),
+        AND OR NOT, IN (...), [NOT] LIKE, IS [NOT] NULL, BETWEEN lo AND hi,
+        CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR), floor(x), abs(x),
+        aggregates count(*) | count(col) | sum | avg | min | max
+  ``/`` is double division (DuckDB semantics). Computed select items
+  require an alias so output names match the oracle exactly.
+
+Scale notes: the only shuffle a SQL query performs is the final groupby
+over (groups × blocks) partial rows and/or the ORDER BY sort — never the
+raw input; the scan is column-pruned and the WHERE mask runs before
+anything leaves the read tasks.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class SqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Col:
+    name: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    val: object
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str  # + - * /
+    l: object
+    r: object
+
+
+@dataclass(frozen=True)
+class Cmp:
+    op: str  # = <> < <= > >=
+    l: object
+    r: object
+
+
+@dataclass(frozen=True)
+class Logic:
+    op: str  # and | or
+    items: tuple
+
+
+@dataclass(frozen=True)
+class NotOp:
+    e: object
+
+
+@dataclass(frozen=True)
+class InList:
+    e: object
+    vals: tuple
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class LikeOp:
+    e: object
+    pattern: str
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class IsNullOp:
+    e: object
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class CastOp:
+    e: object
+    typ: str
+
+
+@dataclass(frozen=True)
+class Func:
+    name: str  # floor | abs
+    e: object
+
+
+@dataclass(frozen=True)
+class Agg:
+    func: str  # count | sum | avg | min | max
+    col: str | None  # None = count(*)
+
+
+@dataclass
+class Item:
+    expr: object
+    alias: str | None
+
+
+@dataclass
+class Query:
+    items: list
+    distinct: bool
+    table: str
+    where: object | None
+    group_by: list
+    having: object | None
+    order_by: list  # [(name, desc)]
+    limit: int | None
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\*|\+|-|/|\.)"
+    r")"
+)
+
+_KEYWORDS = {
+    "select", "distinct", "from", "where", "group", "by", "having", "order",
+    "limit", "as", "and", "or", "not", "in", "like", "is", "null", "between",
+    "cast", "asc", "desc",
+}
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            rest = sql[pos:].strip()
+            if not rest:
+                break
+            raise SqlError(f"cannot tokenize near: {rest[:30]!r}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "id":
+            word = m.group("id")
+            out.append(("kw" if word.lower() in _KEYWORDS else "id", word))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent; precedence: OR < AND < NOT < cmp < add < mul)
+# ---------------------------------------------------------------------------
+
+_AGG_FUNCS = {"count", "sum", "avg", "min", "max"}
+_SCALAR_FUNCS = {"floor", "abs"}
+_CAST_TYPES = {
+    "bigint": pa.int64(),
+    "integer": pa.int32(),
+    "int": pa.int32(),
+    "double": pa.float64(),
+    "float": pa.float32(),
+    "varchar": pa.string(),
+}
+
+
+class _Parser:
+    def __init__(self, sql: str):
+        self.toks = _tokenize(sql)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def at_kw(self, *words) -> bool:
+        typ, v = self.peek()
+        return typ == "kw" and v.lower() in words
+
+    def eat_kw(self, word: str) -> bool:
+        if self.at_kw(word):
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.eat_kw(word):
+            raise SqlError(f"expected {word.upper()} at token {self.peek()}")
+
+    def at_op(self, *ops) -> bool:
+        typ, v = self.peek()
+        return typ == "op" and v in ops
+
+    def eat_op(self, op: str) -> bool:
+        if self.at_op(op):
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.eat_op(op):
+            raise SqlError(f"expected {op!r} at token {self.peek()}")
+
+    def ident(self) -> str:
+        typ, v = self.next()
+        if typ != "id":
+            raise SqlError(f"expected identifier, got {typ} {v!r}")
+        # strip a table qualifier (single-table queries)
+        if self.at_op("."):
+            self.i += 1
+            typ2, v2 = self.next()
+            if typ2 != "id":
+                raise SqlError("expected identifier after '.'")
+            return v2
+        return v
+
+    # -- grammar ------------------------------------------------------------
+    def parse(self) -> Query:
+        self.expect_kw("select")
+        distinct = self.eat_kw("distinct")
+        items = [self.select_item()]
+        while self.eat_op(","):
+            items.append(self.select_item())
+        self.expect_kw("from")
+        table = self.ident()
+        where = self.expr() if self.eat_kw("where") else None
+        group_by: list[str] = []
+        if self.eat_kw("group"):
+            self.expect_kw("by")
+            group_by.append(self.ident())
+            while self.eat_op(","):
+                group_by.append(self.ident())
+        having = self.expr() if self.eat_kw("having") else None
+        order_by: list[tuple[str, bool]] = []
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            while True:
+                name = self.ident()
+                desc = False
+                if self.eat_kw("desc"):
+                    desc = True
+                else:
+                    self.eat_kw("asc")
+                order_by.append((name, desc))
+                if not self.eat_op(","):
+                    break
+        limit = None
+        if self.eat_kw("limit"):
+            typ, v = self.next()
+            if typ != "num" or "." in v:
+                raise SqlError("LIMIT expects an integer")
+            limit = int(v)
+        if self.peek() != (None, None):
+            raise SqlError(f"unexpected trailing tokens: {self.peek()}")
+        return Query(items, distinct, table, where, group_by, having, order_by, limit)
+
+    def select_item(self) -> Item:
+        e = self.expr()
+        alias = None
+        if self.eat_kw("as"):
+            typ, v = self.next()
+            if typ != "id":
+                raise SqlError("expected alias after AS")
+            alias = v
+        return Item(e, alias)
+
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        items = [self.and_expr()]
+        while self.eat_kw("or"):
+            items.append(self.and_expr())
+        return items[0] if len(items) == 1 else Logic("or", tuple(items))
+
+    def and_expr(self):
+        items = [self.not_expr()]
+        while self.eat_kw("and"):
+            items.append(self.not_expr())
+        return items[0] if len(items) == 1 else Logic("and", tuple(items))
+
+    def not_expr(self):
+        if self.eat_kw("not"):
+            return NotOp(self.not_expr())
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        l = self.add_expr()
+        negate = self.eat_kw("not")
+        if self.eat_kw("in"):
+            self.expect_op("(")
+            vals = [self._literal()]
+            while self.eat_op(","):
+                vals.append(self._literal())
+            self.expect_op(")")
+            return InList(l, tuple(vals), negate)
+        if self.eat_kw("like"):
+            typ, v = self.next()
+            if typ != "str":
+                raise SqlError("LIKE expects a string pattern")
+            return LikeOp(l, v, negate)
+        if self.eat_kw("between"):
+            lo = self.add_expr()
+            self.expect_kw("and")
+            hi = self.add_expr()
+            node = Logic("and", (Cmp(">=", l, lo), Cmp("<=", l, hi)))
+            return NotOp(node) if negate else node
+        if negate:
+            raise SqlError("NOT must precede IN / LIKE / BETWEEN here")
+        if self.eat_kw("is"):
+            neg = self.eat_kw("not")
+            self.expect_kw("null")
+            return IsNullOp(l, neg)
+        for op in ("<=", ">=", "<>", "!=", "=", "<", ">"):
+            if self.eat_op(op):
+                r = self.add_expr()
+                return Cmp("<>" if op == "!=" else op, l, r)
+        return l
+
+    def add_expr(self):
+        l = self.mul_expr()
+        while self.at_op("+", "-"):
+            _, op = self.next()
+            l = Bin(op, l, self.mul_expr())
+        return l
+
+    def mul_expr(self):
+        l = self.unary()
+        while self.at_op("*", "/"):
+            _, op = self.next()
+            l = Bin(op, l, self.unary())
+        return l
+
+    def unary(self):
+        if self.eat_op("-"):
+            return Bin("-", Lit(0), self.unary())
+        return self.primary()
+
+    def _literal(self):
+        if self.eat_op("-"):
+            typ, v = self.next()
+            if typ != "num":
+                raise SqlError("expected number after '-'")
+            return Lit(-(float(v) if "." in v else int(v)))
+        typ, v = self.next()
+        if typ == "num":
+            return Lit(float(v) if "." in v else int(v))
+        if typ == "str":
+            return Lit(v)
+        if typ == "kw" and v.lower() == "null":
+            return Lit(None)
+        raise SqlError(f"expected literal, got {typ} {v!r}")
+
+    def primary(self):
+        typ, v = self.peek()
+        if typ == "num" or typ == "str":
+            return self._literal()
+        if typ == "kw" and v.lower() == "null":
+            self.i += 1
+            return Lit(None)
+        if typ == "kw" and v.lower() == "cast":
+            self.i += 1
+            self.expect_op("(")
+            e = self.expr()
+            self.expect_kw("as")
+            t_typ, t_v = self.next()
+            if t_typ != "id" and t_typ != "kw":
+                raise SqlError("expected type name in CAST")
+            t_name = t_v.lower()
+            if t_name not in _CAST_TYPES:
+                raise SqlError(f"unsupported CAST type {t_v!r}")
+            self.expect_op(")")
+            return CastOp(e, t_name)
+        if typ == "id" and self.peek(1) == ("op", "("):
+            fname = v.lower()
+            self.i += 2
+            if fname in _AGG_FUNCS:
+                if fname == "count" and self.eat_op("*"):
+                    self.expect_op(")")
+                    return Agg("count", None)
+                col = self.ident()
+                self.expect_op(")")
+                return Agg(fname, col)
+            if fname in _SCALAR_FUNCS:
+                e = self.expr()
+                self.expect_op(")")
+                return Func(fname, e)
+            raise SqlError(f"unsupported function {v!r}")
+        if typ == "id":
+            self.i += 1
+            if self.at_op("."):
+                self.i += 1
+                t2, v2 = self.next()
+                if t2 != "id":
+                    raise SqlError("expected identifier after '.'")
+                return Col(v2)
+            return Col(v)
+        if self.eat_op("("):
+            e = self.expr()
+            self.expect_op(")")
+            return e
+        raise SqlError(f"unexpected token {typ} {v!r}")
+
+
+def parse_sql(sql: str) -> Query:
+    return _Parser(sql).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+
+def _walk(node, out_cols: set, out_aggs: list):
+    """Collect referenced column names and Agg nodes (in encounter order)."""
+    if isinstance(node, Col):
+        out_cols.add(node.name)
+    elif isinstance(node, Agg):
+        if node.col is not None:
+            out_cols.add(node.col)
+        if node not in out_aggs:
+            out_aggs.append(node)
+    elif isinstance(node, Bin) or isinstance(node, Cmp):
+        _walk(node.l, out_cols, out_aggs)
+        _walk(node.r, out_cols, out_aggs)
+    elif isinstance(node, Logic):
+        for it in node.items:
+            _walk(it, out_cols, out_aggs)
+    elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
+        _walk(node.e, out_cols, out_aggs)
+    elif isinstance(node, Lit) or node is None:
+        pass
+    else:  # pragma: no cover
+        raise SqlError(f"unknown node {node!r}")
+
+
+def _bare_cols(node, out: set):
+    """Column refs NOT inside an aggregate (for the grouping-rule check)."""
+    if isinstance(node, Col):
+        out.add(node.name)
+    elif isinstance(node, Agg):
+        pass
+    elif isinstance(node, (Bin, Cmp)):
+        _bare_cols(node.l, out)
+        _bare_cols(node.r, out)
+    elif isinstance(node, Logic):
+        for it in node.items:
+            _bare_cols(it, out)
+    elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
+        _bare_cols(node.e, out)
+
+
+def _eval(node, t: pa.Table, agg_name=None):
+    """Vectorized expression evaluation over an Arrow table. ``agg_name``
+    maps Agg nodes to materialized column names (aggregate stage output)."""
+    if isinstance(node, Col):
+        return t.column(node.name)
+    if isinstance(node, Lit):
+        return pa.scalar(node.val)
+    if isinstance(node, Agg):
+        if agg_name is None:
+            raise SqlError("aggregate used outside an aggregate query")
+        return t.column(agg_name[node])
+    if isinstance(node, Bin):
+        l, r = _eval(node.l, t, agg_name), _eval(node.r, t, agg_name)
+        if node.op == "+":
+            return pc.add(l, r)
+        if node.op == "-":
+            return pc.subtract(l, r)
+        if node.op == "*":
+            return pc.multiply(l, r)
+        # '/': double division (DuckDB); pc.divide on ints would truncate
+        return pc.divide(pc.cast(l, pa.float64()), pc.cast(r, pa.float64()))
+    if isinstance(node, Cmp):
+        l, r = _eval(node.l, t, agg_name), _eval(node.r, t, agg_name)
+        fn = {
+            "=": pc.equal,
+            "<>": pc.not_equal,
+            "<": pc.less,
+            "<=": pc.less_equal,
+            ">": pc.greater,
+            ">=": pc.greater_equal,
+        }[node.op]
+        return fn(l, r)
+    if isinstance(node, Logic):
+        vals = [_eval(it, t, agg_name) for it in node.items]
+        out = vals[0]
+        comb = pc.and_kleene if node.op == "and" else pc.or_kleene
+        for v in vals[1:]:
+            out = comb(out, v)
+        return out
+    if isinstance(node, NotOp):
+        return pc.invert(_eval(node.e, t, agg_name))
+    if isinstance(node, InList):
+        vals = [v.val for v in node.vals]
+        m = pc.is_in(_eval(node.e, t, agg_name), value_set=pa.array(vals))
+        return pc.invert(m) if node.negate else m
+    if isinstance(node, LikeOp):
+        m = pc.match_like(_eval(node.e, t, agg_name), node.pattern)
+        return pc.invert(m) if node.negate else m
+    if isinstance(node, IsNullOp):
+        v = _eval(node.e, t, agg_name)
+        return pc.is_valid(v) if node.negate else pc.is_null(v)
+    if isinstance(node, CastOp):
+        v = _eval(node.e, t, agg_name)
+        target = _CAST_TYPES[node.typ]
+        vt = v.type if not isinstance(v, pa.Scalar) else v.type
+        if pa.types.is_integer(target) and pa.types.is_floating(vt):
+            # DuckDB CAST(double AS BIGINT) rounds half away from zero;
+            # arrow's checked cast would raise on any fractional value
+            return pc.cast(
+                pc.round(v, round_mode="half_towards_infinity"), target, safe=False
+            )
+        return pc.cast(v, target)
+    if isinstance(node, Func):
+        v = _eval(node.e, t, agg_name)
+        if node.name == "floor":
+            return pc.floor(pc.cast(v, pa.float64()))
+        return pc.abs(v)
+    raise SqlError(f"cannot evaluate {node!r}")
+
+
+def _as_array(v, n: int):
+    """Broadcast a scalar result to an n-row array (constant select item)."""
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    return pa.nulls(n, v.type) if v.as_py() is None else pa.array([v.as_py()] * n)
+
+
+def _item_name(item: Item) -> str:
+    if item.alias:
+        return item.alias
+    if isinstance(item.expr, Col):
+        return item.expr.name
+    raise SqlError("computed select items require an AS alias (oracle naming)")
+
+
+def sql_query(sf_dir: str, sql: str):
+    """Parse + compile ``sql`` and return the lazy Ray ``Dataset``.
+
+    Single-table queries against the standard parquet tables in ``sf_dir``
+    (the same views the DuckDB oracle sees), so the SQL string itself is
+    both the engine input and the oracle."""
+    from apache___solr_ray.sources import load
+
+    q = parse_sql(sql)
+
+    # -- referenced-column pruning (SolrProject push-down) -------------------
+    cols: set[str] = set()
+    aggs: list[Agg] = []
+    for it in q.items:
+        _walk(it.expr, cols, aggs)
+    _walk(q.where, cols, [])  # aggregates are illegal in WHERE
+    if q.having is not None:
+        _walk(q.having, cols, aggs)
+    for g in q.group_by:
+        cols.add(g)
+    if not cols:
+        raise SqlError("query references no columns")
+    ds = load(sf_dir, q.table, columns=sorted(cols))
+
+    # -- WHERE (SolrFilter push-down): one vectorized mask per batch ---------
+    if q.where is not None:
+        w = q.where
+
+        def flt(t: pa.Table, _w=w) -> pa.Table:
+            return t.filter(_eval(_w, t))
+
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+
+    if aggs or q.group_by:
+        # validate: outside aggregate arguments, only group-by columns may
+        # be referenced (standard SQL grouping rule)
+        gset = set(q.group_by)
+        for it in q.items:
+            bare: set[str] = set()
+            _bare_cols(it.expr, bare)
+            if bare - gset:
+                raise SqlError(
+                    f"column(s) {sorted(bare - gset)} must appear in GROUP BY "
+                    "or inside an aggregate"
+                )
+        if q.having is not None:
+            bare = set()
+            _bare_cols(q.having, bare)
+            if bare - gset:
+                raise SqlError(f"HAVING references non-grouped column(s) {sorted(bare - gset)}")
+        ds = _aggregate(ds, q, aggs)
+        agg_name = {a: _agg_internal_name(i) for i, a in enumerate(aggs)}
+    else:
+        agg_name = None
+        if q.having is not None:
+            raise SqlError("HAVING requires GROUP BY / aggregates")
+
+    # -- HAVING: mask over the finished aggregate table ----------------------
+    if q.having is not None:
+        h = q.having
+
+        def hav(t: pa.Table, _h=h, _an=agg_name) -> pa.Table:
+            return t.filter(_eval(_h, t, _an))
+
+        ds = ds.map_batches(hav, batch_format="pyarrow")
+
+    # -- final projection -----------------------------------------------------
+    items = [(it, _item_name(it)) for it in q.items]
+    names = [n for _, n in items]
+    if len(set(names)) != len(names):
+        raise SqlError(f"duplicate output column names: {names}")
+
+    def project(t: pa.Table, _items=items, _an=agg_name) -> pa.Table:
+        arrs = {n: _as_array(_eval(it.expr, t, _an), t.num_rows) for it, n in _items}
+        return pa.table(arrs)
+
+    ds = ds.map_batches(project, batch_format="pyarrow")
+
+    # -- DISTINCT: dedup via groupby over the projected columns --------------
+    if q.distinct:
+        ds = (
+            ds.groupby(names)
+            .count()
+            .map_batches(
+                lambda t, _n=list(names): t.select(_n), batch_format="pyarrow"
+            )
+        )
+
+    # -- ORDER BY / LIMIT (SolrSort push-down) --------------------------------
+    if q.order_by:
+        for name, _ in q.order_by:
+            if name not in names:
+                raise SqlError(f"ORDER BY {name!r} is not an output column")
+        ds = ds.sort([n for n, _ in q.order_by], descending=[d for _, d in q.order_by])
+    if q.limit is not None:
+        ds = ds.limit(q.limit)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (SolrAggregate push-down): per-batch pandas partials + ONE
+# groupby over partials. avg is carried as (sum, count) and finished after
+# the shuffle; count(col) counts non-nulls, count(*) counts rows.
+# ---------------------------------------------------------------------------
+
+
+def _agg_internal_name(i: int) -> str:
+    return f"__a{i}"
+
+
+def _aggregate(ds, q: Query, aggs: list[Agg]):
+    from ray.data.aggregate import Max, Min, Sum
+
+    keys = list(q.group_by)
+    synthetic_key = not keys
+    if synthetic_key:
+        keys = ["__g"]
+
+    # partial layout per agg i: sum/avg -> __a{i}_s (+ __a{i}_n for avg);
+    # count -> __a{i}_n; min/max -> __a{i}_m
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if synthetic_key:
+            df = df.assign(__g=np.int64(0))
+        gb = df.groupby(keys, dropna=False, sort=False)
+        out = {}
+        for i, a in enumerate(aggs):
+            nm = _agg_internal_name(i)
+            if a.func == "count":
+                out[nm + "_n"] = gb.size() if a.col is None else gb[a.col].count()
+            elif a.func == "sum":
+                out[nm + "_s"] = gb[a.col].sum(min_count=1)
+            elif a.func == "avg":
+                out[nm + "_s"] = gb[a.col].sum(min_count=1)
+                out[nm + "_n"] = gb[a.col].count()
+            else:  # min / max
+                out[nm + "_m"] = getattr(gb[a.col], a.func)()
+        if not out:  # GROUP BY with no aggregates (DISTINCT-like)
+            out["__one"] = gb.size()
+        return pd.DataFrame(out).reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    fns = []
+    for i, a in enumerate(aggs):
+        nm = _agg_internal_name(i)
+        if a.func == "count":
+            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func == "sum":
+            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+        elif a.func == "avg":
+            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func == "min":
+            fns.append(Min(nm + "_m", alias_name=nm + "_m"))
+        else:
+            fns.append(Max(nm + "_m", alias_name=nm + "_m"))
+    if not fns:
+        fns.append(Sum("__one", alias_name="__one"))
+    agg_ds = parts.groupby(keys).aggregate(*fns)
+
+    # finish: avg = s/n (f64), count -> int64, sum/min/max pass through
+    def finish(t: pa.Table, _aggs=tuple(aggs), _keys=tuple(q.group_by)) -> pa.Table:
+        cols = {k: t.column(k) for k in _keys}
+        for i, a in enumerate(_aggs):
+            nm = _agg_internal_name(i)
+            if a.func == "count":
+                cols[nm] = t.column(nm + "_n").cast(pa.int64())
+            elif a.func == "sum":
+                cols[nm] = t.column(nm + "_s")
+            elif a.func == "avg":
+                cols[nm] = pc.divide(
+                    pc.cast(t.column(nm + "_s"), pa.float64()),
+                    pc.cast(t.column(nm + "_n"), pa.float64()),
+                )
+            else:
+                cols[nm] = t.column(nm + "_m")
+        if not cols:
+            raise SqlError("empty aggregate output")
+        return pa.table(cols)
+
+    return agg_ds.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,110 @@
+"""SQL front-end: parser + Ray-Data compiler vs DuckDB on the same
+parquet tables (the string is both engine input and oracle — exactly the
+shape of the catalog gate, plus dialect corners the catalog doesn't hit)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from apache___solr_ray.sql import SqlError, parse_sql, sql_query
+
+SF = "/root/testdata/sf0.001"
+TABLES = "orders lineitem events customer documents".split()
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def _mine(sql: str) -> pd.DataFrame:
+    return sql_query(SF, sql).to_pandas()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+EQUIV = [
+    # OR + NOT + parens + <>
+    "SELECT event_id FROM events WHERE (event_type = 'click' OR event_type = 'view') AND NOT user_id <> user_id ORDER BY event_id LIMIT 30",
+    # BETWEEN and arithmetic in WHERE
+    "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 12 AND l_discount * 100 >= 5 ORDER BY l_orderkey, l_quantity LIMIT 40",
+    # NOT IN
+    "SELECT c_custkey FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE') ORDER BY c_custkey LIMIT 50",
+    # per-group avg/min/max + HAVING on a non-selected aggregate
+    "SELECT event_type, floor(avg(value) * 10000 + 0.5) / 10000 AS av, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type HAVING min(value) >= 0 ORDER BY event_type",
+    # division is double division
+    "SELECT o_orderkey, floor(o_totalprice / 7 * 100 + 0.5) / 100 AS per7 FROM orders ORDER BY o_orderkey LIMIT 10",
+    # count(col) vs count(*) with IS NULL filter
+    "SELECT CAST(count(*) AS BIGINT) AS rows_all, CAST(count(props) AS BIGINT) AS props_nonnull FROM events",
+    # LIKE with _ and %
+    "SELECT doc_id FROM documents WHERE lang LIKE 'e_' ORDER BY doc_id LIMIT 20",
+    # negative literal + BETWEEN NOT
+    "SELECT event_id FROM events WHERE value NOT BETWEEN -1 AND 50 ORDER BY event_id LIMIT 20",
+    # multi-key group by
+    "SELECT lang, source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang, source ORDER BY lang, source",
+    # CAST in WHERE and projection (round-half-away float->int like DuckDB)
+    "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE CAST(o_totalprice AS BIGINT) = 144449 ORDER BY k LIMIT 5",
+]
+
+
+@pytest.mark.parametrize("sql", EQUIV, ids=range(len(EQUIV)))
+def test_sql_equivalence(ray_session, sql):
+    mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+    assert list(mine.columns) == list(duck.columns)
+    assert len(mine) == len(duck)
+    pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
+
+
+def test_sql_empty_result(ray_session):
+    # empty results keep row-count semantics; Ray's sort drops the schema
+    # of a fully-empty Dataset (documented Ray Data behavior)
+    df = _mine("SELECT o_orderkey FROM orders WHERE o_totalprice < 0 ORDER BY o_orderkey")
+    assert len(df) == 0
+
+
+def test_parse_errors():
+    with pytest.raises(SqlError):
+        parse_sql("SELECT FROM orders")
+    with pytest.raises(SqlError):
+        parse_sql("SELECT a FROM orders WHERE")
+    with pytest.raises(SqlError):
+        parse_sql("SELECT a FROM orders LIMIT x")
+    with pytest.raises(SqlError):
+        parse_sql("SELECT substr(a, 1) FROM orders")  # unsupported function
+    with pytest.raises(SqlError):
+        parse_sql("SELECT CAST(a AS BLOB) FROM orders")
+
+
+def test_compile_errors(ray_session):
+    # computed item without alias
+    with pytest.raises(SqlError):
+        sql_query(SF, "SELECT o_totalprice * 2 FROM orders")
+    # HAVING without grouping
+    with pytest.raises(SqlError):
+        sql_query(SF, "SELECT o_orderkey FROM orders HAVING count(*) > 1")
+    # ORDER BY a non-output column
+    with pytest.raises(SqlError):
+        sql_query(SF, "SELECT o_orderkey FROM orders ORDER BY o_totalprice")
+    # duplicate output names
+    with pytest.raises(SqlError):
+        sql_query(SF, "SELECT o_orderkey, o_custkey AS o_orderkey FROM orders")
+
+
+def test_parser_shapes():
+    q = parse_sql(
+        "SELECT a, sum(b) AS s FROM t WHERE c = 1 GROUP BY a HAVING sum(b) > 2 "
+        "ORDER BY s DESC, a LIMIT 7"
+    )
+    assert q.table == "t" and q.limit == 7 and q.group_by == ["a"]
+    assert q.order_by == [("s", True), ("a", False)]
+    # string escaping
+    q2 = parse_sql("SELECT a FROM t WHERE b = 'it''s'")
+    assert q2.where.r.val == "it's"
