@@ -259,6 +259,49 @@ def ensure_ivf_index(sf_dir: str) -> str:
     return index_dir
 
 
+# -- HNSW (per-segment navigable-small-world graph): the reference-parity
+# -- vector index (Lucene persists an HNSW graph per segment) -----------------
+
+_HNSW_CACHE: dict[str, str] = {}
+
+
+def ensure_hnsw_index(sf_dir: str) -> str:
+    """Build (once per corpus, resumable) the persisted per-segment NSW
+    graph index over ``embeddings`` (hnsw.py) — Lucene DenseVectorField
+    semantics: the graph is a per-segment index ARTIFACT committed with a
+    manifest at build time; query time only searches it."""
+    import hashlib
+
+    from apache___solr_ray.hnsw import build_hnsw_index
+
+    hit = _HNSW_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(f"{src}:{os.path.getsize(src)}:hnsw1".encode()).hexdigest()[:16]
+    index_dir = f"/tmp/apache___solr_ray_cache/{key}/hnsw"
+    build_hnsw_index(src, index_dir, vec_col="embedding", id_col="vec_id", n_segments=4)
+    _HNSW_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+@q("ann_hnsw_top20")  # rows-only for the driver; recall >=0.9 pytest-asserted
+def ann_hnsw_top20(sf_dir: str):
+    """HNSW-family ANN over the PERSISTED per-segment graph (hnsw.py):
+    one Ray task per segment reads only that segment's parquet, beam-
+    searches its NSW graph (ef_search=96), driver merges n_segments × k
+    winners. Graph construction happens once at build time, never per
+    query (recall gate 0.9 vs IVF's 0.6 at the same probe budget —
+    tests/test_hnsw.py)."""
+    from apache___solr_ray.hnsw import hnsw_topk
+
+    qv = _query_vec(sf_dir)
+    index_dir = ensure_hnsw_index(sf_dir)
+    top = hnsw_topk(index_dir, qv, k=20, ef_search=96, exclude_id=0)
+    cos = pc.round(top.column("cos"), ndigits=6)
+    return pa.table({"vec_id": top.column("vec_id"), "cos": cos})
+
+
 @q("ann_ivf_top20")  # rows-only for the driver; recall pytest-asserted
 def ann_ivf_top20(sf_dir: str):
     """IVF ANN over the PERSISTED index (ann.py): probe the nprobe=4
