@@ -101,6 +101,42 @@ def col_expr(batch: pa.Table, expr):
         if len(args) == 1:
             return _ms(args[0])
         return pc.subtract(_ms(args[0]), _ms(args[1]))
+    if head == "sqedist":
+        # SquaredEuclideanFunction (ValueSourceParser 'sqedist'): first half
+        # of the args is point A's components, second half point B's
+        vals = [col_expr(batch, a) for a in args]
+        if len(vals) < 2 or len(vals) % 2:
+            raise ValueError("sqedist needs an even number of components")
+        h = len(vals) // 2
+        out = None
+        for i in range(h):
+            d = pc.subtract(
+                pc.cast(vals[i], pa.float64()), pc.cast(vals[h + i], pa.float64())
+            )
+            sq = pc.multiply(d, d)
+            out = sq if out is None else pc.add(out, sq)
+        return out
+    if head in ("ord", "rord"):
+        # OrdFieldSource / ReverseOrdFieldSource: 1-based rank of the value
+        # in the field's sorted distinct values (the term dictionary —
+        # dense_rank in SQL). The dictionary is computed ONCE per pipeline
+        # (a tiny distinct aggregate, the analog of reading the index's
+        # sorted term dict) and passed as the literal second argument;
+        # values absent from the dictionary yield null.
+        x = col_expr(batch, args[0])
+        values = list(args[1])
+        idx = pc.index_in(x, value_set=pa.array(values))
+        idx64 = pc.cast(idx, pa.int64())
+        if head == "ord":
+            return pc.add(idx64, 1)
+        return pc.subtract(pa.scalar(len(values), pa.int64()), idx64)
+    if head == "payload":
+        # PayloadValueSourceParser 'payload(field, term, default)': the
+        # index read (payload channel for the term) is surfaced as a column
+        # by the pipeline stage (IndexReader.payload_scores join); this
+        # function applies the default for docs without the term.
+        x = col_expr(batch, args[0])
+        return pc.fill_null(pc.cast(x, pa.float64()), pa.scalar(float(args[1])))
     if head == "strdist":
         # Lucene LevenshteinDistance.getDistance: 1 - lev(a,b)/max(len) —
         # vectorized DP against a constant query string (no per-row Python)
@@ -178,6 +214,16 @@ def add_computed(out_name: str, expr):
     return run
 
 
+def distinct_sorted(ds, col: str) -> tuple:
+    """The sorted distinct values of a column (the 'term dictionary' the
+    ord/rord functions rank against) via one streaming groupby — cardinality
+    is assumed bounded (categorical field), exactly the fields Solr's
+    OrdFieldSource targets."""
+    rows = ds.groupby(col).count().take_all()
+    return tuple(sorted(r[col] for r in rows))
+
+
 REGISTERED = sorted(set(_BINARY) | set(_UNARY) | set(_CONST) | {
     "if", "def", "linear", "recip", "scale", "map", "concat", "ms", "strdist",
+    "sqedist", "ord", "rord", "payload",
 })

@@ -1159,6 +1159,56 @@ def index_payload_scores(sf_dir: str):
     )
 
 
+@q(
+    "index_payload_func",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(0, len({_TOKS}))) AS pos
+      FROM documents
+    ),
+    p AS (SELECT doc_id, CAST(sum(pos) AS DOUBLE) AS s FROM toks
+          WHERE term = 'merge' GROUP BY doc_id)
+    SELECT d.doc_id, 2 * COALESCE(p.s, 0.0) + 1 AS boost
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+)
+def index_payload_func(sf_dir: str):
+    """payload() FUNCTION query chained with linear() (ValueSourceParser
+    'payload' = PayloadValueSourceParser: payload(field, term, default) —
+    per-doc payload value with a default for docs lacking the term): the
+    index read (IndexReader.payload_scores — bounded by df(term)) is
+    broadcast and joined as a nullable column inside map_batches; the
+    col_expr chain linear(payload(x, 0.0), 2, 1) applies default + boost.
+    At web scale the function is applied to candidate sets, not the full
+    corpus; here the whole table keeps the oracle total."""
+    import ray
+
+    from apache___solr_ray.functions import add_computed
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.sources import load
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    docs, sums, _mins = r.payload_scores("merge")
+    pay = {int(idmap[int(d)]): float(s) for d, s in zip(docs, sums)}
+    ref = ray.put(pay)
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def join_payload(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        vals = [m.get(int(d)) for d in t.column("doc_id").to_pylist()]
+        return t.append_column("pay_raw", pa.array(vals, pa.float64()))
+
+    out = ds.map_batches(join_payload, batch_format="pyarrow").map_batches(
+        add_computed("boost", ("linear", ("payload", "pay_raw", 0.0), 2.0, 1.0)),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["doc_id", "boost"])
+
+
 # -- suggester (prefix + infix autosuggest over the term dict) ---------------
 
 

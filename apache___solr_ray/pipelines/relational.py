@@ -1751,6 +1751,53 @@ def func_strdist_customers(sf_dir: str):
     return out.select_columns(["c_custkey", "sim"])
 
 
+@q(
+    "func_ord_sqedist",
+    """
+    WITH d AS (SELECT count(DISTINCT c_mktsegment) AS n FROM customer),
+    r AS (SELECT c_custkey, c_acctbal,
+                 dense_rank() OVER (ORDER BY c_mktsegment) AS o
+          FROM customer)
+    SELECT c_custkey, CAST(o AS BIGINT) AS ord,
+           CAST((SELECT n FROM d) + 1 - o AS BIGINT) AS rord,
+           floor(((c_acctbal/1000 - 2.5)*(c_acctbal/1000 - 2.5)
+                  + (o - 3)*(o - 3)) * 10000 + 0.5)/10000 AS dist2
+    FROM r
+    """,
+)
+def func_ord_sqedist(sf_dir: str):
+    """ord()/rord()/sqedist() function queries chained (ValueSourceParser
+    'ord'/'rord' = OrdFieldSource rank in the field's sorted term dict,
+    'sqedist' = SquaredEuclideanFunction): the term dictionary is ONE tiny
+    distinct aggregate (functions.distinct_sorted — the index read analog),
+    broadcast into the expression; dist2 = squared distance from the point
+    (c_acctbal/1000, ord) to (2.5, 3). Oracle mirrors ord as dense_rank."""
+    from apache___solr_ray.functions import add_computed, distinct_sorted
+    from apache___solr_ray.pipelines.common import round_cols
+
+    ds = load(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    seg_dict = distinct_sorted(ds, "c_mktsegment")
+    out = (
+        ds.map_batches(
+            add_computed("ord", ("ord", "c_mktsegment", seg_dict)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            add_computed("rord", ("rord", "c_mktsegment", seg_dict)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            add_computed(
+                "dist2",
+                ("sqedist", ("div", "c_acctbal", 1000.0), "ord", 2.5, 3.0),
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["c_custkey", "ord", "rord", "dist2"])
+    )
+    return round_cols(out, {"dist2": 4})
+
+
 # -- interval facets (overlapping intervals — IntervalFacets.java) ------------
 
 #: (label, lo, hi, lo_incl, hi_incl); hi=None => unbounded (Solr '*')

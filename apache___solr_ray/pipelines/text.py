@@ -789,6 +789,137 @@ def highlight_snippets(sf_dir: str):
     return ds.map_batches(snip, batch_format="pandas")
 
 
+_HL_TERMS = ("merge", "fast", "index")
+_HL_WINDOW = 20
+
+
+def _unified_hl_sql() -> str:
+    terms = ", ".join(repr(t) for t in _HL_TERMS)
+    w = _HL_WINDOW
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(len({_TOKS}))) AS pos
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({terms}) GROUP BY term),
+    uniq AS (
+      SELECT DISTINCT t.doc_id, CAST(floor(t.pos / {w}) AS BIGINT) AS w, t.term,
+             ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5)) AS idf
+      FROM toks t JOIN df d USING (term) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, w, floor(sum(idf) * 10000 + 0.5)/10000 AS score
+      FROM uniq GROUP BY doc_id, w
+    ),
+    best AS (
+      SELECT doc_id, w, score FROM (
+        SELECT doc_id, w, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.w AS window, b.score,
+           array_to_string(list_slice({_TOKS}, b.w * {w} + 1, b.w * {w} + {w}), ' ') AS snippet
+    FROM best b JOIN documents USING (doc_id)
+    """
+
+
+def best_passage_rows(
+    texts: list, doc_ids: list, idf: dict[str, float], window: int = _HL_WINDOW
+):
+    """Unified-highlighter passage selection (pure fn for unit tests):
+    passages are fixed ``window``-token buckets; passage score = sum of
+    idf over the UNIQUE query terms present (UnifiedHighlighter counts a
+    term once per passage); scores are rounded to 4 decimals BEFORE the
+    comparison so the (score desc, window asc) tie-break is identical to
+    the SQL mirror's row_number ordering. Returns rows (doc_id, window,
+    score, snippet) for docs with a scoring passage."""
+    out_id, out_w, out_s, out_snip = [], [], [], []
+    qset = set(idf)
+    for did, txt in zip(doc_ids, texts):
+        toks = simple_tokenize(txt or "")
+        best_s, best_w = 0.0, -1
+        for w in range(0, (len(toks) + window - 1) // window):
+            seen = qset.intersection(toks[w * window : (w + 1) * window])
+            if not seen:
+                continue
+            s = 0.0
+            for t in sorted(seen):  # fixed order: deterministic f64 sum
+                s += idf[t]
+            s = np.floor(s * 10000 + 0.5) / 10000
+            if s > best_s:  # strict > keeps the SMALLEST window on ties
+                best_s, best_w = s, w
+        if best_w >= 0:
+            out_id.append(did)
+            out_w.append(best_w)
+            out_s.append(best_s)
+            out_snip.append(" ".join(toks[best_w * window : (best_w + 1) * window]))
+    return out_id, out_w, out_s, out_snip
+
+
+@q("highlight_unified", _unified_hl_sql())
+def highlight_unified(sf_dir: str):
+    """UnifiedHighlighter analog (reference solr/core/.../highlight/
+    UnifiedSolrHighlighter.java: candidate passages are SCORED — idf-
+    weighted unique query-term hits per passage — and the best passage is
+    returned, not the first match). Passages here are fixed 20-token
+    buckets so the scoring is deterministic and SQL-mirrorable; df/idf of
+    the query terms comes from one tiny streaming aggregate (3 rows
+    broadcast into the scoring pass). ``highlight_snippets`` remains the
+    fast first-match mode (Solr ships both)."""
+    import math
+
+    import pyarrow.parquet as _pq
+    from ray.data.aggregate import Sum
+
+    n_docs = _pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pdf(t: pa.Table) -> pa.Table:
+        counts = dict.fromkeys(_HL_TERMS, 0)
+        for txt in t.column("text").to_pylist():
+            present = set(simple_tokenize(txt or "")) & set(_HL_TERMS)
+            for term in present:
+                counts[term] += 1
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "term": pa.array([k for k, _ in items], pa.string()),
+                "pdf": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    dfs = {
+        r["term"]: r["df"]
+        for r in ds.map_batches(pdf, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .take_all()  # <= |query terms| rows — tiny by construction
+    }
+    idf = {
+        t: math.log(1 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in _HL_TERMS
+        if dfs.get(t, 0) > 0
+    }
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        ids, ws, ss, snips = best_passage_rows(
+            t.column("text").to_pylist(), t.column("doc_id").to_pylist(), idf
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "window": pa.array(ws, pa.int64()),
+                "score": pa.array(ss, pa.float64()),
+                "snippet": pa.array(snips, pa.string()),
+            }
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
 def _levenshtein1(a: str, b: str) -> bool:
     """edit distance <= 1 (insert/delete/substitute)."""
     la, lb = len(a), len(b)
