@@ -1343,6 +1343,45 @@ def sample_events_hash(sf_dir: str):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+#: per-stratum sampling rates (percent) — head types downsampled hard,
+#: tail types kept: the class-rebalancing shape a training pipeline uses
+_STRATA_PCT = {"view": 5, "click": 20, "purchase": 80, "login": 50, "logout": 50}
+
+
+@q(
+    "sample_events_stratified",
+    f"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE ((event_id % 1000003) * 2654435761 + 12345) % 1000000007 % 100
+          < CASE event_type
+              {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRATA_PCT.items()))}
+              ELSE 0 END
+    """,
+)
+def sample_events_stratified(sf_dir: str):
+    """STRATIFIED seeded sampling (per-class rates — the class-rebalancing
+    sampler a training-data pipeline runs; reference shape: RandomStream's
+    deterministic sample, applied per stratum): the same Knuth
+    multiplicative hash as `sample_events_hash` decides membership, but the
+    threshold is the stratum's rate — head classes downsampled, tail
+    classes kept. Pure map-side filter (rates broadcast in the closure),
+    mirrored by the oracle's integer CASE arithmetic."""
+    ds = load(sf_dir, "events", columns=["event_id", "event_type"])
+    rates = dict(_STRATA_PCT)
+
+    def flt(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy()
+        h = ((ids % 1000003) * 2654435761 + 12345) % 1000000007 % 100
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        thresh = np.zeros(len(et), dtype=np.int64)
+        for k, v in rates.items():  # |strata| vectorized compares, not per-row
+            thresh[et == k] = v
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 @q(
     "cursor_orders_pages",
     """

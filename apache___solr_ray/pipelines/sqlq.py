@@ -90,6 +90,18 @@ _sql(
 )
 
 _sql(
+    "sql_stats_variance",
+    """
+    SELECT event_type,
+           floor(stddev(value) * 10000 + 0.5) / 10000 AS sd,
+           floor(variance(value) * 10000 + 0.5) / 10000 AS var
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+
+_sql(
     "sql_distinct_like",
     """
     SELECT DISTINCT event_type

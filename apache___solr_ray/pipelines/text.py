@@ -789,6 +789,93 @@ def highlight_snippets(sf_dir: str):
     return ds.map_batches(snip, batch_format="pandas")
 
 
+@q(
+    "dedup_corpus_keep_canonical",
+    f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE 10 * len(list_intersect(a.grams, b.grams))
+            >= 9 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, reach) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT s.a, r.reach FROM sym s JOIN reach r ON s.b = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(reach) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d JOIN comp USING (doc_id)
+    WHERE comp.component = d.doc_id
+    """,
+)
+def dedup_corpus_keep_canonical(sf_dir: str):
+    """The END-TO-END dedup a training pipeline actually runs: keep ONE
+    canonical doc per near-dup component (the min-id member) and drop the
+    rest. Min-label propagation makes this a pure filter — a doc is
+    canonical iff its label equals its own id — so the dedup is
+    label-join + filter + corpus semi-join, all streaming; the surviving
+    corpus is returned with payload columns intact (here doc_id, n_chars;
+    at 100 TB write via sinks.write_partitioned instead)."""
+    from apache___solr_ray.stages.dedup import lsh_verified_pairs
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = lsh_verified_pairs(
+        ds, None, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
+    )
+    nodes = load(sf_dir, "documents", columns=["doc_id"])
+    labels = connected_components_ds(pairs, nodes)
+
+    def canon_ids(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("node"), t.column("label"))
+        return pa.table({"doc_id": t.filter(keep).column("node").cast(pa.int64())})
+
+    canonical = labels.map_batches(canon_ids, batch_format="pyarrow")
+    # distributed semi-join back onto the corpus: ONE doc_id hash
+    # co-location of (canonical ids ∪ corpus rows), then a vectorized
+    # per-partition filter — the id set never lands on the driver
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    def tag_canon(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.nulls(t.num_rows, pa.int64()),
+                "is_id": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "is_id": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    corpus = load(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    both = canonical.map_batches(tag_canon, batch_format="pyarrow").union(
+        corpus.map_batches(tag_corpus, batch_format="pyarrow")
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keep = set(df.loc[df["is_id"] == 1, "doc_id"])
+        rows = df[(df["is_id"] == 0) & df["doc_id"].isin(keep)]
+        return rows[["doc_id", "n_chars"]]
+
+    return grouped_map(both, "doc_id", pick)
+
+
 _MINHASH_SIDE_CACHE: dict[str, str] = {}
 _MHQ_DOC = 8  # has J>=0.9 neighbors in the test corpora
 

@@ -28,6 +28,7 @@ Dialect (documented subset — everything else raises ``SqlError``):
         AND OR NOT, IN (...), [NOT] LIKE, IS [NOT] NULL, BETWEEN lo AND hi,
         CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR), floor(x), abs(x),
         aggregates count(*) | count(col) | sum | avg | min | max
+                   | stddev | variance (sample; (sum, sumsq, n) partials)
   ``/`` is double division (DuckDB semantics). Computed select items
   require an alias so output names match the oracle exactly.
 
@@ -194,7 +195,7 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
 # Parser (recursive descent; precedence: OR < AND < NOT < cmp < add < mul)
 # ---------------------------------------------------------------------------
 
-_AGG_FUNCS = {"count", "sum", "avg", "min", "max"}
+_AGG_FUNCS = {"count", "sum", "avg", "min", "max", "stddev", "variance"}
 _SCALAR_FUNCS = {"floor", "abs"}
 _CAST_TYPES = {
     "bigint": pa.int64(),
@@ -702,10 +703,16 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
         keys = ["__g"]
 
     # partial layout per agg i: sum/avg -> __a{i}_s (+ __a{i}_n for avg);
-    # count -> __a{i}_n; min/max -> __a{i}_m
+    # count -> __a{i}_n; min/max -> __a{i}_m; stddev/variance ->
+    # (sum, sum-of-squares, count) finished as (q - s^2/n)/(n-1)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if synthetic_key:
             df = df.assign(__g=np.int64(0))
+        for i, a in enumerate(aggs):
+            if a.func in ("stddev", "variance"):
+                df = df.assign(
+                    **{f"__sq{i}": df[a.col].astype(np.float64) ** 2}
+                )
         gb = df.groupby(keys, dropna=False, sort=False)
         out = {}
         for i, a in enumerate(aggs):
@@ -716,6 +723,10 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
                 out[nm + "_s"] = gb[a.col].sum(min_count=1)
             elif a.func == "avg":
                 out[nm + "_s"] = gb[a.col].sum(min_count=1)
+                out[nm + "_n"] = gb[a.col].count()
+            elif a.func in ("stddev", "variance"):
+                out[nm + "_s"] = gb[a.col].sum(min_count=1).astype(np.float64)
+                out[nm + "_q"] = gb[f"__sq{i}"].sum(min_count=1)
                 out[nm + "_n"] = gb[a.col].count()
             else:  # min / max
                 out[nm + "_m"] = getattr(gb[a.col], a.func)()
@@ -734,6 +745,10 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
             fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
         elif a.func == "avg":
             fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func in ("stddev", "variance"):
+            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            fns.append(Sum(nm + "_q", alias_name=nm + "_q"))
             fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
         elif a.func == "min":
             fns.append(Min(nm + "_m", alias_name=nm + "_m"))
@@ -757,6 +772,17 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
                     pc.cast(t.column(nm + "_s"), pa.float64()),
                     pc.cast(t.column(nm + "_n"), pa.float64()),
                 )
+            elif a.func in ("stddev", "variance"):
+                s = pc.cast(t.column(nm + "_s"), pa.float64())
+                qq = pc.cast(t.column(nm + "_q"), pa.float64())
+                n = pc.cast(t.column(nm + "_n"), pa.float64())
+                var = pc.divide(
+                    pc.subtract(qq, pc.divide(pc.multiply(s, s), n)),
+                    pc.subtract(n, 1.0),
+                )
+                # sample variance is null for n <= 1 (DuckDB semantics)
+                var = pc.if_else(pc.greater(n, 1.0), var, pa.scalar(None, pa.float64()))
+                cols[nm] = pc.sqrt(var) if a.func == "stddev" else var
             else:
                 cols[nm] = t.column(nm + "_m")
         if not cols:

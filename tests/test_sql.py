@@ -52,6 +52,10 @@ EQUIV = [
     "SELECT lang, source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang, source ORDER BY lang, source",
     # CAST in WHERE and projection (round-half-away float->int like DuckDB)
     "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE CAST(o_totalprice AS BIGINT) = 144449 ORDER BY k LIMIT 5",
+    # stddev/variance as (sum, sumsq, n) partials finished post-shuffle
+    "SELECT event_type, floor(stddev(value) * 10000 + 0.5)/10000 AS sd, floor(variance(value) * 10000 + 0.5)/10000 AS var, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    # global stddev without GROUP BY
+    "SELECT floor(stddev(o_totalprice) * 100 + 0.5)/100 AS sd FROM orders",
 ]
 
 
