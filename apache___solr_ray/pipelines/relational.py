@@ -848,6 +848,50 @@ def hll_unique_users(sf_dir: str):
 
 
 @q(
+    "block_join_childfield",
+    """
+    SELECT l_orderkey AS o_orderkey, l_extendedprice AS child_price
+    FROM (
+      SELECT l_orderkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_quantity DESC, l_linenumber ASC) AS rn
+      FROM lineitem WHERE l_quantity >= 49
+    ) WHERE rn = 1
+    """,
+)
+def block_join_childfield(sf_dir: str):
+    """childfield() over a block join (reference
+    solr/core/src/java/org/apache/solr/search/join/ChildFieldValueSourceParser.java:
+    a parent's value is a FIELD OF ITS BEST-MATCHING CHILD — here the
+    l_extendedprice of the child with the highest l_quantity among
+    children matching the predicate, tie-broken by l_linenumber). One
+    l_orderkey hash co-location (the block), then a vectorized
+    sort + keep-first per parent inside each partition — the same
+    one-shuffle shape as collapse."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    ds = load(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def match(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("l_quantity"), 49))
+
+    def best_child(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_orderkey", "l_quantity", "l_linenumber"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("l_orderkey")
+        out = df[["l_orderkey", "l_extendedprice"]].copy()
+        out.columns = ["o_orderkey", "child_price"]
+        return out
+
+    return grouped_map(ds.map_batches(match, batch_format="pyarrow"), "l_orderkey", best_child)
+
+
+@q(
     "block_join_orders_with_big_item",
     """
     SELECT o.o_orderkey, o.o_orderpriority

@@ -696,6 +696,29 @@ def connected_components_ds(
     )
 
 
+_NEAR_DUP_LABELS_CACHE: dict[str, object] = {}
+
+
+def _near_dup_labels(sf_dir: str):
+    """(node, label) component labels for the documents corpus — computed
+    once per process per corpus (materialized in the object store, shared
+    by near_dup_components and dedup_corpus_keep_canonical) via the
+    single-tokenize LSH→verify→propagate pipeline."""
+    hit = _NEAR_DUP_LABELS_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from apache___solr_ray.stages.dedup import lsh_verified_pairs
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = lsh_verified_pairs(
+        ds, None, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
+    )
+    nodes = load(sf_dir, "documents", columns=["doc_id"])
+    labels = connected_components_ds(pairs, nodes).materialize()
+    _NEAR_DUP_LABELS_CACHE[sf_dir] = labels
+    return labels
+
+
 @q(
     "near_dup_components",
     f"""
@@ -739,14 +762,7 @@ def near_dup_components(sf_dir: str):
     (tests/test_dedup_scale.py); the DuckDB recursive-CTE oracle checks
     this LSH path directly (recall at J≥0.9 is 1-4e-8 per pair with 16×4
     banding)."""
-    from apache___solr_ray.stages.dedup import lsh_verified_pairs
-
-    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = lsh_verified_pairs(
-        ds, None, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
-    )
-    nodes = load(sf_dir, "documents", columns=["doc_id"])
-    labels = connected_components_ds(pairs, nodes)
+    labels = _near_dup_labels(sf_dir)
 
     # Return the labels DATASET (contract accepts it) — one row per document
     # must never be materialized on the driver at 10^12 docs; downstream
@@ -826,14 +842,7 @@ def dedup_corpus_keep_canonical(sf_dir: str):
     label-join + filter + corpus semi-join, all streaming; the surviving
     corpus is returned with payload columns intact (here doc_id, n_chars;
     at 100 TB write via sinks.write_partitioned instead)."""
-    from apache___solr_ray.stages.dedup import lsh_verified_pairs
-
-    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = lsh_verified_pairs(
-        ds, None, "text", "doc_id", threshold_num=9, threshold_den=10, shingle=3
-    )
-    nodes = load(sf_dir, "documents", columns=["doc_id"])
-    labels = connected_components_ds(pairs, nodes)
+    labels = _near_dup_labels(sf_dir)
 
     def canon_ids(t: pa.Table) -> pa.Table:
         keep = pc.equal(t.column("node"), t.column("label"))
