@@ -90,6 +90,18 @@ _sql(
 )
 
 _sql(
+    "sql_count_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uu,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+
+_sql(
     "sql_stats_variance",
     """
     SELECT event_type,

@@ -27,8 +27,11 @@ Dialect (documented subset — everything else raises ``SqlError``):
   expr: column, 'string', number, + - * / ( ), comparison (= <> != < <= > >=),
         AND OR NOT, IN (...), [NOT] LIKE, IS [NOT] NULL, BETWEEN lo AND hi,
         CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR), floor(x), abs(x),
-        aggregates count(*) | count(col) | sum | avg | min | max
-                   | stddev | variance (sample; (sum, sumsq, n) partials)
+        aggregates count(*) | count(col) | count(DISTINCT col) | sum | avg
+                   | min | max | stddev | variance (sample). stddev/variance
+                   ride (sum, sumsq, n) partials; count(DISTINCT) compiles
+                   to the two-level (keys, col) -> keys rewrite (one
+                   distinct column per query)
   ``/`` is double division (DuckDB semantics). Computed select items
   require an alias so output names match the oracle exactly.
 
@@ -427,6 +430,10 @@ class _Parser:
                 if fname == "count" and self.eat_op("*"):
                     self.expect_op(")")
                     return Agg("count", None)
+                if fname == "count" and self.eat_kw("distinct"):
+                    col = self.ident()
+                    self.expect_op(")")
+                    return Agg("count_distinct", col)
                 col = self.ident()
                 self.expect_op(")")
                 return Agg(fname, col)
@@ -694,8 +701,74 @@ def _agg_internal_name(i: int) -> str:
     return f"__a{i}"
 
 
-def _aggregate(ds, q: Query, aggs: list[Agg]):
+def _final_fns(aggs: list[Agg]):
+    """ray.data aggregate fns combining the partial layout post-shuffle."""
     from ray.data.aggregate import Max, Min, Sum
+
+    fns = []
+    for i, a in enumerate(aggs):
+        nm = _agg_internal_name(i)
+        if a.func in ("count", "count_distinct"):
+            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func == "sum":
+            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+        elif a.func == "avg":
+            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func in ("stddev", "variance"):
+            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            fns.append(Sum(nm + "_q", alias_name=nm + "_q"))
+            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func == "min":
+            fns.append(Min(nm + "_m", alias_name=nm + "_m"))
+        else:
+            fns.append(Max(nm + "_m", alias_name=nm + "_m"))
+    return fns
+
+
+def _finish_fn(aggs: list[Agg], group_by: list[str]):
+    def finish(t: pa.Table, _aggs=tuple(aggs), _keys=tuple(group_by)) -> pa.Table:
+        cols = {k: t.column(k) for k in _keys}
+        for i, a in enumerate(_aggs):
+            nm = _agg_internal_name(i)
+            if a.func in ("count", "count_distinct"):
+                cols[nm] = t.column(nm + "_n").cast(pa.int64())
+            elif a.func == "sum":
+                cols[nm] = t.column(nm + "_s")
+            elif a.func == "avg":
+                cols[nm] = pc.divide(
+                    pc.cast(t.column(nm + "_s"), pa.float64()),
+                    pc.cast(t.column(nm + "_n"), pa.float64()),
+                )
+            elif a.func in ("stddev", "variance"):
+                s = pc.cast(t.column(nm + "_s"), pa.float64())
+                qq = pc.cast(t.column(nm + "_q"), pa.float64())
+                n = pc.cast(t.column(nm + "_n"), pa.float64())
+                var = pc.divide(
+                    pc.subtract(qq, pc.divide(pc.multiply(s, s), n)),
+                    pc.subtract(n, 1.0),
+                )
+                # sample variance is null for n <= 1 (DuckDB semantics)
+                var = pc.if_else(pc.greater(n, 1.0), var, pa.scalar(None, pa.float64()))
+                cols[nm] = pc.sqrt(var) if a.func == "stddev" else var
+            else:
+                cols[nm] = t.column(nm + "_m")
+        if not cols:
+            raise SqlError("empty aggregate output")
+        return pa.table(cols)
+
+    return finish
+
+
+def _aggregate(ds, q: Query, aggs: list[Agg]):
+    dist_cols = {a.col for a in aggs if a.func == "count_distinct"}
+    if len(dist_cols) > 1:
+        raise SqlError(
+            "multiple COUNT(DISTINCT ...) columns in one query are unsupported "
+            "(the two-level rewrite needs a single distinct column)"
+        )
+    if dist_cols:
+        return _aggregate_with_distinct(ds, q, aggs, dist_cols.pop())
 
     keys = list(q.group_by)
     synthetic_key = not keys
@@ -735,58 +808,117 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
         return pd.DataFrame(out).reset_index()
 
     parts = ds.map_batches(partial, batch_format="pandas")
-
-    fns = []
-    for i, a in enumerate(aggs):
-        nm = _agg_internal_name(i)
-        if a.func == "count":
-            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
-        elif a.func == "sum":
-            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
-        elif a.func == "avg":
-            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
-            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
-        elif a.func in ("stddev", "variance"):
-            fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
-            fns.append(Sum(nm + "_q", alias_name=nm + "_q"))
-            fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
-        elif a.func == "min":
-            fns.append(Min(nm + "_m", alias_name=nm + "_m"))
-        else:
-            fns.append(Max(nm + "_m", alias_name=nm + "_m"))
+    fns = _final_fns(aggs)
     if not fns:
+        from ray.data.aggregate import Sum
+
         fns.append(Sum("__one", alias_name="__one"))
     agg_ds = parts.groupby(keys).aggregate(*fns)
+    return agg_ds.map_batches(_finish_fn(aggs, q.group_by), batch_format="pyarrow")
 
-    # finish: avg = s/n (f64), count -> int64, sum/min/max pass through
-    def finish(t: pa.Table, _aggs=tuple(aggs), _keys=tuple(q.group_by)) -> pa.Table:
-        cols = {k: t.column(k) for k in _keys}
-        for i, a in enumerate(_aggs):
+
+def _aggregate_with_distinct(ds, q: Query, aggs: list[Agg], dcol: str):
+    """COUNT(DISTINCT dcol) via the standard two-level rewrite (the Spark
+    single-distinct plan): LEVEL 1 aggregates the regular aggs' partials
+    grouped by (keys, dcol) — one global shuffle on the expanded key, one
+    row per distinct pair; LEVEL 2 re-partials those rows by keys —
+    count-distinct = count of non-null dcol rows, regular partials compose
+    associatively (sum of sums, min of mins, avg/stddev carried as
+    components). Nulls in dcol form a level-1 group so regular aggs see
+    every row, but count() skips them (DuckDB semantics)."""
+    import pandas as pd
+
+    if dcol in q.group_by:
+        raise SqlError(f"COUNT(DISTINCT {dcol}) with {dcol} in GROUP BY is degenerate")
+    keys = list(q.group_by)
+    synthetic_key = not keys
+    if synthetic_key:
+        keys = ["__g"]
+    reg = [(i, a) for i, a in enumerate(aggs) if a.func != "count_distinct"]
+
+    def partial1(df: pd.DataFrame) -> pd.DataFrame:
+        if synthetic_key:
+            df = df.assign(__g=np.int64(0))
+        for i, a in reg:
+            if a.func in ("stddev", "variance"):
+                df = df.assign(**{f"__sq{i}": df[a.col].astype(np.float64) ** 2})
+        gb = df.groupby(keys + [dcol], dropna=False, sort=False)
+        out = {}
+        for i, a in reg:
             nm = _agg_internal_name(i)
             if a.func == "count":
-                cols[nm] = t.column(nm + "_n").cast(pa.int64())
+                out[nm + "_n"] = gb.size() if a.col is None else gb[a.col].count()
             elif a.func == "sum":
-                cols[nm] = t.column(nm + "_s")
+                out[nm + "_s"] = gb[a.col].sum(min_count=1)
             elif a.func == "avg":
-                cols[nm] = pc.divide(
-                    pc.cast(t.column(nm + "_s"), pa.float64()),
-                    pc.cast(t.column(nm + "_n"), pa.float64()),
-                )
+                out[nm + "_s"] = gb[a.col].sum(min_count=1)
+                out[nm + "_n"] = gb[a.col].count()
             elif a.func in ("stddev", "variance"):
-                s = pc.cast(t.column(nm + "_s"), pa.float64())
-                qq = pc.cast(t.column(nm + "_q"), pa.float64())
-                n = pc.cast(t.column(nm + "_n"), pa.float64())
-                var = pc.divide(
-                    pc.subtract(qq, pc.divide(pc.multiply(s, s), n)),
-                    pc.subtract(n, 1.0),
-                )
-                # sample variance is null for n <= 1 (DuckDB semantics)
-                var = pc.if_else(pc.greater(n, 1.0), var, pa.scalar(None, pa.float64()))
-                cols[nm] = pc.sqrt(var) if a.func == "stddev" else var
+                out[nm + "_s"] = gb[a.col].sum(min_count=1).astype(np.float64)
+                out[nm + "_q"] = gb[f"__sq{i}"].sum(min_count=1)
+                out[nm + "_n"] = gb[a.col].count()
             else:
-                cols[nm] = t.column(nm + "_m")
-        if not cols:
-            raise SqlError("empty aggregate output")
-        return pa.table(cols)
+                out[nm + "_m"] = getattr(gb[a.col], a.func)()
+        if not out:
+            out["__one"] = gb.size()
+        return pd.DataFrame(out).reset_index()
 
-    return agg_ds.map_batches(finish, batch_format="pyarrow")
+    # level-1 combine fns, keyed by each agg's TRUE index (not 0-based)
+    fns1 = []
+    from ray.data.aggregate import Max, Min, Sum
+
+    for i, a in reg:
+        nm = _agg_internal_name(i)
+        if a.func == "count":
+            fns1.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func == "sum":
+            fns1.append(Sum(nm + "_s", alias_name=nm + "_s"))
+        elif a.func == "avg":
+            fns1.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            fns1.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func in ("stddev", "variance"):
+            fns1.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            fns1.append(Sum(nm + "_q", alias_name=nm + "_q"))
+            fns1.append(Sum(nm + "_n", alias_name=nm + "_n"))
+        elif a.func == "min":
+            fns1.append(Min(nm + "_m", alias_name=nm + "_m"))
+        else:
+            fns1.append(Max(nm + "_m", alias_name=nm + "_m"))
+    if not fns1:
+        fns1.append(Sum("__one", alias_name="__one"))
+    level1 = (
+        ds.map_batches(partial1, batch_format="pandas")
+        .groupby(keys + [dcol])
+        .aggregate(*fns1)
+    )
+
+    def partial2(df: pd.DataFrame) -> pd.DataFrame:
+        gb = df.groupby(keys, dropna=False, sort=False)
+        out = {}
+        for i, a in enumerate(aggs):
+            nm = _agg_internal_name(i)
+            if a.func == "count_distinct":
+                out[nm + "_n"] = gb[dcol].count()  # non-null distinct values
+            elif a.func == "count":
+                out[nm + "_n"] = gb[nm + "_n"].sum()
+            elif a.func == "sum":
+                out[nm + "_s"] = gb[nm + "_s"].sum(min_count=1)
+            elif a.func == "avg":
+                out[nm + "_s"] = gb[nm + "_s"].sum(min_count=1)
+                out[nm + "_n"] = gb[nm + "_n"].sum()
+            elif a.func in ("stddev", "variance"):
+                out[nm + "_s"] = gb[nm + "_s"].sum(min_count=1)
+                out[nm + "_q"] = gb[nm + "_q"].sum(min_count=1)
+                out[nm + "_n"] = gb[nm + "_n"].sum()
+            elif a.func == "min":
+                out[nm + "_m"] = gb[nm + "_m"].min()
+            else:
+                out[nm + "_m"] = gb[nm + "_m"].max()
+        return pd.DataFrame(out).reset_index()
+
+    agg_ds = (
+        level1.map_batches(partial2, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(*_final_fns(aggs))
+    )
+    return agg_ds.map_batches(_finish_fn(aggs, q.group_by), batch_format="pyarrow")

@@ -56,6 +56,12 @@ EQUIV = [
     "SELECT event_type, floor(stddev(value) * 10000 + 0.5)/10000 AS sd, floor(variance(value) * 10000 + 0.5)/10000 AS var, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type ORDER BY event_type",
     # global stddev without GROUP BY
     "SELECT floor(stddev(o_totalprice) * 100 + 0.5)/100 AS sd FROM orders",
+    # count(DISTINCT) mixed with regular aggs (two-level rewrite)
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS uu, CAST(count(*) AS BIGINT) AS n, floor(sum(value) * 100 + 0.5)/100 AS sv FROM events GROUP BY event_type ORDER BY event_type",
+    # global count(DISTINCT) alone
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS uu FROM events",
+    # count(DISTINCT) with min/max companions and HAVING
+    "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS kinds, floor(max(value) * 100 + 0.5)/100 AS mx FROM events GROUP BY user_id HAVING count(DISTINCT event_type) >= 4 ORDER BY user_id LIMIT 25",
 ]
 
 
@@ -100,6 +106,12 @@ def test_compile_errors(ray_session):
     # duplicate output names
     with pytest.raises(SqlError):
         sql_query(SF, "SELECT o_orderkey, o_custkey AS o_orderkey FROM orders")
+    # two different DISTINCT columns (single-distinct rewrite only)
+    with pytest.raises(SqlError):
+        sql_query(
+            SF,
+            "SELECT count(DISTINCT user_id) AS a, count(DISTINCT event_type) AS b FROM events",
+        )
 
 
 def test_parser_shapes():
