@@ -805,7 +805,11 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
                 out[nm + "_m"] = getattr(gb[a.col], a.func)()
         if not out:  # GROUP BY with no aggregates (DISTINCT-like)
             out["__one"] = gb.size()
-        return pd.DataFrame(out).reset_index()
+        # emit ARROW blocks: Ray's hash aggregate is ~9x slower consuming
+        # pandas blocks (measured 8.2s vs 0.8s on the same partials)
+        return pa.Table.from_pandas(
+            pd.DataFrame(out).reset_index(), preserve_index=False
+        )
 
     parts = ds.map_batches(partial, batch_format="pandas")
     fns = _final_fns(aggs)
@@ -861,7 +865,11 @@ def _aggregate_with_distinct(ds, q: Query, aggs: list[Agg], dcol: str):
                 out[nm + "_m"] = getattr(gb[a.col], a.func)()
         if not out:
             out["__one"] = gb.size()
-        return pd.DataFrame(out).reset_index()
+        # emit ARROW blocks: Ray's hash aggregate is ~9x slower consuming
+        # pandas blocks (measured 8.2s vs 0.8s on the same partials)
+        return pa.Table.from_pandas(
+            pd.DataFrame(out).reset_index(), preserve_index=False
+        )
 
     # level-1 combine fns, keyed by each agg's TRUE index (not 0-based)
     fns1 = []
@@ -914,7 +922,11 @@ def _aggregate_with_distinct(ds, q: Query, aggs: list[Agg], dcol: str):
                 out[nm + "_m"] = gb[nm + "_m"].min()
             else:
                 out[nm + "_m"] = gb[nm + "_m"].max()
-        return pd.DataFrame(out).reset_index()
+        # emit ARROW blocks: Ray's hash aggregate is ~9x slower consuming
+        # pandas blocks (measured 8.2s vs 0.8s on the same partials)
+        return pa.Table.from_pandas(
+            pd.DataFrame(out).reset_index(), preserve_index=False
+        )
 
     agg_ds = (
         level1.map_batches(partial2, batch_format="pandas")
