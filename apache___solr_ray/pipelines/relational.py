@@ -148,6 +148,66 @@ def facet_event_types(sf_dir: str):
 
 
 @q(
+    "facet_numbuckets_allbuckets",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS numBuckets,
+           CAST(count(*) AS BIGINT) AS allBuckets_count,
+           floor(sum(value) * 100 + 0.5) / 100 AS allBuckets_sum
+    FROM events
+    """,
+)
+def facet_numbuckets_allbuckets(sf_dir: str):
+    """JSON Facet ``numBuckets`` + ``allBuckets`` (reference FacetModule —
+    FacetFieldProcessor.java: numBuckets = how many distinct buckets the
+    facet HAS regardless of the limit, allBuckets = the aggregates over
+    ALL bucketed docs as one pseudo-bucket): one partial pass emits per-
+    batch (distinct user set size is NOT summable, so the bucket keys ride
+    the shuffle once — a distinct-pairs groupby — while the allBuckets
+    sums pre-aggregate per batch), then a tiny final combine."""
+    from apache___solr_ray.pipelines.common import partial_sum_count
+
+    ds = load(sf_dir, "events", columns=["user_id", "value"])
+
+    # numBuckets: distinct bucket keys — per-batch dedup, one groupby, count
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table({"user_id": pa.array(np.unique(t.column("user_id").to_numpy()))})
+
+    n_buckets = (
+        ds.map_batches(distinct_keys, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+        .count()  # distributed row count of the distinct-key table
+    )
+    # allBuckets: global count + sum with per-batch partials
+    def ones_key(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column("__g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    ab = partial_sum_count(
+        ds.map_batches(ones_key, batch_format="pyarrow"),
+        "__g",
+        [("value", "allBuckets_sum")],
+        count_alias="allBuckets_count",
+    ).to_pandas()
+    out = pa.table(
+        {
+            "numBuckets": pa.array([int(n_buckets)], pa.int64()),
+            "allBuckets_count": pa.array(
+                [int(ab["allBuckets_count"].iloc[0])], pa.int64()
+            ),
+            "allBuckets_sum": pa.array(
+                [np.floor(float(ab["allBuckets_sum"].iloc[0]) * 100 + 0.5) / 100],
+                pa.float64(),
+            ),
+        }
+    )
+    return out
+
+
+@q(
     "facet_range_value",
     "SELECT floor(value / 5) * 5 AS bucket, count(*) AS n FROM events GROUP BY 1",
 )
