@@ -806,6 +806,159 @@ def highlight_snippets(sf_dir: str):
 
 
 @q(
+    "doc_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    bc AS (
+      SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM (
+        SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           floor((1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 * 10000 + 0.5) / 10000 AS dup_word_frac,
+           COALESCE(floor(CAST(bc.maxc AS DOUBLE) / bc.total * 10000 + 0.5) / 10000,
+                    0.0) AS top_bigram_frac
+    FROM t LEFT JOIN bc USING (doc_id)
+    WHERE len(toks) > 0
+    """,
+)
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1 —
+    'fraction of duplicate words/n-grams' rules used by web-scale training
+    pipelines to drop boilerplate): per doc, the duplicate-word fraction
+    (1 - distinct/total) and the top-bigram fraction (most frequent bigram
+    / total bigrams). Pure per-doc map — embarrassingly parallel, no
+    shuffle; a filter stage thresholds these downstream."""
+    from collections import Counter as _C
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids, dup, topb = [], [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = simple_tokenize(txt or "")
+            if not toks:
+                continue
+            ids.append(did)
+            dup.append(np.floor((1 - len(set(toks)) / len(toks)) * 10000 + 0.5) / 10000)
+            if len(toks) >= 2:
+                bc = _C(zip(toks, toks[1:]))
+                topb.append(
+                    np.floor(max(bc.values()) / (len(toks) - 1) * 10000 + 0.5) / 10000
+                )
+            else:
+                topb.append(0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup_word_frac": pa.array(dup, pa.float64()),
+                "top_bigram_frac": pa.array(topb, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+@q(
+    "doc_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term)
+    SELECT t.doc_id, floor(avg(ln(tf.c / tot.n)) * 10000 + 0.5) / 10000 AS logprob
+    FROM toks t JOIN tf USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def doc_unigram_logprob(sf_dir: str):
+    """Unigram language-model document score (the CCNet/KenLM quality-
+    filter shape, Wenzek et al. 2020: docs scored by per-token LM logprob,
+    thresholded to drop gibberish): mean ln(p(term)) per doc under the
+    corpus unigram model. Fully distributed — NO vocabulary broadcast (a
+    web-scale vocab is 10^9 terms): term counts come from one
+    partial-aggregated groupby, the per-token logprob attaches via a
+    term-hash cogroup (grouped_map over the tagged union), and the per-doc
+    mean is a (sum, n) partial + one doc groupby. Only the scalar total
+    token count crosses the driver."""
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines.common import grouped_map, partial_sum_count
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        out_d, out_t = [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            tt = simple_tokenize(txt or "")
+            out_d.extend([did] * len(tt))
+            out_t.extend(tt)
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()), "term": pa.array(out_t, pa.string())}
+        )
+
+    token_rows = ds.map_batches(toks, batch_format="pyarrow").materialize()
+    n_total = float(token_rows.count())
+    tf = partial_sum_count(token_rows, "term", [], count_alias="c")
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "c": t.column("c").cast(pa.int64()),
+            }
+        )
+
+    def tag_tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "doc_id": t.column("doc_id"),
+                "c": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    both = tf.map_batches(tag_tf, batch_format="pyarrow").union(
+        token_rows.map_batches(tag_tok, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = df.loc[df["doc_id"].isna(), ["term", "c"]]
+        rows = df[df["doc_id"].notna()][["doc_id", "term"]]
+        m = rows.merge(cmap, on="term", how="left")
+        m["lp"] = np.log(m["c"].to_numpy(dtype=np.float64) / n_total)
+        g = m.groupby("doc_id", sort=False)
+        out = pd.DataFrame({"s": g["lp"].sum(), "k": g.size()}).reset_index()
+        return out
+
+    parts = grouped_map(both, "term", attach)
+    agg = parts.groupby("doc_id").aggregate(
+        Sum("s", alias_name="s"), Sum("k", alias_name="k")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lp = t.column("s").to_numpy() / t.column("k").to_numpy()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "logprob": pa.array(np.floor(lp * 10000 + 0.5) / 10000, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@q(
     "dedup_corpus_keep_canonical",
     f"""
     WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
