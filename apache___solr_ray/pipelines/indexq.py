@@ -1159,6 +1159,64 @@ def index_payload_scores(sf_dir: str):
     )
 
 
+def _termfreq_oracle_sql() -> str:
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'merge' GROUP BY doc_id),
+    df AS (SELECT count(*) AS df FROM tf)
+    SELECT tf.doc_id, CAST(tf.tf AS BIGINT) AS tf,
+           CAST((SELECT max(v) FROM lut WHERE v <= dl.dl) AS BIGINT) AS qdl,
+           floor(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * 1000000 + 0.5)/1000000 AS idf
+    FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN df
+    """
+
+
+@q("func_termfreq_norm_idf", _termfreq_oracle_sql())
+def func_termfreq_norm_idf(sf_dir: str):
+    """termfreq()/norm()/idf() index-stat function queries (ValueSourceParser
+    registrations 'termfreq', 'norm', 'idf' — TermFreqValueSource,
+    NormValueSource, IDFValueSource: per-doc values read FROM the index's
+    postings/norms, not recomputed from text): tf and the SmallFloat-
+    quantized doc length decode straight off the posting list; idf is the
+    collection-stats constant. Oracle mirrors the quantization via the
+    256-entry LENGTH_TABLE lut."""
+    import math
+
+    from apache___solr_ray.lucene import LENGTH_TABLE
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    tp = r.term_postings("merge")
+    if tp is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "tf": pa.array([], pa.int64()),
+             "qdl": pa.array([], pa.int64()), "idf": pa.array([], pa.float64())}
+        )
+    docs, tfs, norms = tp.decode_all()
+    alive = r._alive(docs)
+    if alive is not None:
+        docs, tfs, norms = docs[alive], tfs[alive], norms[alive]
+    qdl = LENGTH_TABLE[norms.astype(np.uint8)].astype(np.int64)
+    idf = math.log(1 + (r.doc_count - tp.df + 0.5) / (tp.df + 0.5))
+    idf = np.floor(idf * 1_000_000 + 0.5) / 1_000_000
+    return pa.table(
+        {
+            "doc_id": pa.array([idmap[int(d)] for d in docs], pa.int64()),
+            "tf": pa.array(tfs.astype(np.int64)),
+            "qdl": pa.array(qdl),
+            "idf": pa.array(np.full(len(docs), idf), pa.float64()),
+        }
+    )
+
+
 @q(
     "index_payload_func",
     f"""

@@ -90,6 +90,17 @@ _sql(
 )
 
 _sql(
+    "sql_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+
+_sql(
     "sql_count_distinct",
     """
     SELECT event_type,

@@ -21,9 +21,9 @@ blocks the rest of this engine uses:
 
 Dialect (documented subset — everything else raises ``SqlError``):
   SELECT [DISTINCT] item [, item...]   item := expr [AS alias]
-  FROM <single table>
+  FROM <single table> [[AS] alias]
   [WHERE expr] [GROUP BY col, ...] [HAVING expr]
-  [ORDER BY name [ASC|DESC], ...] [LIMIT n]
+  [ORDER BY name [ASC|DESC], ...] [LIMIT n [OFFSET m]]
   expr: column, 'string', number, + - * / ( ), comparison (= <> != < <= > >=),
         AND OR NOT, IN (...), [NOT] LIKE, IS [NOT] NULL, BETWEEN lo AND hi,
         CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR), floor(x), abs(x),
@@ -150,6 +150,7 @@ class Query:
     having: object | None
     order_by: list  # [(name, desc)]
     limit: int | None
+    offset: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +276,11 @@ class _Parser:
             items.append(self.select_item())
         self.expect_kw("from")
         table = self.ident()
+        # optional table alias (qualified refs strip qualifiers anyway)
+        if self.eat_kw("as"):
+            self.ident()
+        elif self.peek()[0] == "id":
+            self.ident()
         where = self.expr() if self.eat_kw("where") else None
         group_by: list[str] = []
         if self.eat_kw("group"):
@@ -297,14 +303,24 @@ class _Parser:
                 if not self.eat_op(","):
                     break
         limit = None
+        offset = 0
         if self.eat_kw("limit"):
             typ, v = self.next()
             if typ != "num" or "." in v:
                 raise SqlError("LIMIT expects an integer")
             limit = int(v)
+            typ2, v2 = self.peek()
+            if typ2 == "id" and v2.lower() == "offset":
+                self.i += 1
+                t3, v3 = self.next()
+                if t3 != "num" or "." in v3:
+                    raise SqlError("OFFSET expects an integer")
+                offset = int(v3)
         if self.peek() != (None, None):
             raise SqlError(f"unexpected trailing tokens: {self.peek()}")
-        return Query(items, distinct, table, where, group_by, having, order_by, limit)
+        return Query(
+            items, distinct, table, where, group_by, having, order_by, limit, offset
+        )
 
     def select_item(self) -> Item:
         e = self.expr()
@@ -685,6 +701,18 @@ def sql_query(sf_dir: str, sql: str):
             if name not in names:
                 raise SqlError(f"ORDER BY {name!r} is not an output column")
         ds = ds.sort([n for n, _ in q.order_by], descending=[d for _, d in q.order_by])
+    if q.offset:
+        # OFFSET needs a total order to be meaningful, and the page is
+        # small by construction (user-bounded limit+offset): take the
+        # first offset+limit rows in sorted order and slice the page
+        if not q.order_by:
+            raise SqlError("OFFSET requires ORDER BY")
+        if q.limit is None:
+            raise SqlError("OFFSET requires LIMIT")
+        page = ds.limit(q.offset + q.limit).to_pandas()
+        return pa.Table.from_pandas(
+            page.iloc[q.offset :].reset_index(drop=True), preserve_index=False
+        )
     if q.limit is not None:
         ds = ds.limit(q.limit)
     return ds

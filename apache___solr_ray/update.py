@@ -62,11 +62,41 @@ def _fetch_stored(corpus_dir: str, urls: list[str]) -> pa.Table:
     return t.take(pa.array(sorted(seen.values()))) if seen else t
 
 
+class VersionConflict(Exception):
+    """Optimistic-concurrency failure — the stored doc's version does not
+    match the one the caller required (Solr's 409 on a stale ``_version_``,
+    DistributedUpdateProcessor.versionAdd)."""
+
+
+def doc_versions(corpus_dir: str, urls: list[str]) -> dict[str, int]:
+    """Current update-version per uniqueKey: the overwrite path APPENDS a
+    new row per update (old rows are tombstoned, not rewritten), so a
+    doc's version == its occurrence count across the corpus files
+    (1 = original, +1 per upsert/atomic update) — monotonic per key,
+    derived from the same storage the rebuild reads (no extra sidecar)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    want = pa.array(sorted(set(urls)), pa.string())
+    counts: dict[str, int] = {u: 0 for u in urls}
+    for f in sorted(os.listdir(corpus_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(corpus_dir, f), columns=["url"])
+        hit = t.filter(pc.is_in(t.column("url"), value_set=want))
+        for u in hit.column("url").to_pylist():
+            counts[u] += 1
+    return counts
+
+
 def atomic_update(
     corpus_dir: str,
     index_dir: str,
     updates: list[dict],
     cfg: IndexConfig,
+    require_versions: dict[str, int] | None = None,
 ) -> dict:
     """Atomic/partial updates — the AtomicUpdateDocumentMerger analog
     (reference ``solr/core/src/java/org/apache/solr/update/processor/
@@ -80,8 +110,21 @@ def atomic_update(
     append + resumable rebuild), exactly Solr's update-reindexes-the-
     whole-merged-doc semantics. Raises KeyError for an unknown url (Solr
     rejects atomic ops against a missing doc unless every field is
-    createable — we keep the strict form)."""
+    createable — we keep the strict form).
+
+    ``require_versions``: optimistic concurrency (Solr ``_version_`` > 0,
+    DistributedUpdateProcessor.versionAdd): per url, the version the
+    caller last read (``doc_versions``); a mismatch raises
+    ``VersionConflict`` BEFORE any write — the whole batch is rejected,
+    matching Solr's per-request 409."""
     urls = [u["url"] for u in updates]
+    if require_versions:
+        cur = doc_versions(corpus_dir, list(require_versions))
+        stale = {u: (v, cur.get(u, 0)) for u, v in require_versions.items() if cur.get(u, 0) != v}
+        if stale:
+            raise VersionConflict(
+                f"version conflict (required != stored): {dict(sorted(stale.items()))}"
+            )
     stored = _fetch_stored(corpus_dir, urls)
     by_url = {
         u: {c: stored.column(c)[i].as_py() for c in stored.column_names}

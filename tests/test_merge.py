@@ -283,6 +283,27 @@ def test_atomic_updates_set_inc_add_remove(ray_session, tmp_path_factory):
     with _pytest.raises(KeyError):
         atomic_update(d, idx, [{"url": "u://nope", "views": {"inc": 1}}], cfg)
 
+    # optimistic concurrency (Solr _version_ / 409 semantics): u://5 was
+    # updated once above -> version 2; a writer that read version 1 must
+    # be rejected BEFORE any write, a correct version passes and bumps
+    from apache___solr_ray.update import VersionConflict, doc_versions
+
+    vs = doc_versions(d, ["u://5", "u://9", "u://3"])
+    assert vs == {"u://5": 2, "u://9": 2, "u://3": 1}
+    with _pytest.raises(VersionConflict):
+        atomic_update(
+            d, idx, [{"url": "u://5", "views": {"inc": 1}}], cfg,
+            require_versions={"u://5": 1},
+        )
+    assert doc_versions(d, ["u://5"]) == {"u://5": 2}  # rejected batch wrote nothing
+    atomic_update(
+        d, idx, [{"url": "u://5", "views": {"inc": 1}}], cfg,
+        require_versions={"u://5": 2},
+    )
+    assert doc_versions(d, ["u://5"]) == {"u://5": 3}
+    stored2 = _fetch_stored(d, ["u://5"])
+    assert stored2.to_pylist()[0]["views"] == 18
+
 
 def test_index_fingerprint_peersync(ray_session, tmp_path_factory):
     """IndexFingerprint semantics (reference IndexFingerprint.java /

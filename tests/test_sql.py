@@ -62,6 +62,8 @@ EQUIV = [
     "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS uu FROM events",
     # count(DISTINCT) with min/max companions and HAVING
     "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS kinds, floor(max(value) * 100 + 0.5)/100 AS mx FROM events GROUP BY user_id HAVING count(DISTINCT event_type) >= 4 ORDER BY user_id LIMIT 25",
+    # table alias + qualified refs + LIMIT OFFSET paging
+    "SELECT o.o_orderkey, o.o_totalprice FROM orders AS o WHERE o.o_orderstatus = 'F' ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 15",
 ]
 
 
@@ -112,6 +114,9 @@ def test_compile_errors(ray_session):
             SF,
             "SELECT count(DISTINCT user_id) AS a, count(DISTINCT event_type) AS b FROM events",
         )
+    # OFFSET without ORDER BY is nondeterministic -> rejected
+    with pytest.raises(SqlError):
+        sql_query(SF, "SELECT o_orderkey FROM orders LIMIT 5 OFFSET 5")
 
 
 def test_parser_shapes():
