@@ -16,9 +16,9 @@ that is the driver's correctness contract.
                     graph expressions, SURVEY §2.4)
 """
 
-from apache___solr_ray.pipelines import cluster, graph, indexq, relational, similarity, sqlq, text  # noqa: F401
+from apache___solr_ray.pipelines import cluster, graph, indexq, relational, similarity, sqlq, streamq, text  # noqa: F401
 
-_MODULES = (relational, text, similarity, indexq, graph, cluster, sqlq)
+_MODULES = (relational, text, similarity, indexq, graph, cluster, sqlq, streamq)
 
 
 def all_queries():

@@ -1,0 +1,82 @@
+"""Streaming-expression catalog entries — the solrj-streaming DSL text is
+the engine input (parsed + compiled by ``apache___solr_ray.streamexpr``,
+the StreamExpressionParser/StreamFactory analog); the DuckDB oracle is the
+hand-written SQL equivalent, so the gate checks the whole front-end:
+parse → decorator compile → Ray Data execution.
+
+Aggregate output columns use the reference's metric identifiers
+(``count(*)``, ``sum(user_id)`` — RollupStream names its metrics exactly
+this way), quoted in the oracle SQL so names match byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from apache___solr_ray.streamexpr import stream_expr
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _expr(name: str, expression: str, sql: str) -> None:
+    def fn(sf_dir: str, _e=expression):
+        return stream_expr(sf_dir, _e)
+
+    fn.__name__ = name
+    fn.__doc__ = f"streaming expression; compiled by streamexpr.py:\n{expression}"
+    QUERIES[name] = fn
+    ORACLE[name] = sql
+
+
+_expr(
+    "stream_rollup_expr",
+    """rollup(search(events, q="*:*", fl="event_type,user_id,value"),
+              over="event_type", count(*), sum(user_id), min(value), max(value))""",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS "count(*)",
+           CAST(sum(user_id) AS BIGINT) AS "sum(user_id)",
+           min(value) AS "min(value)",
+           max(value) AS "max(value)"
+    FROM events GROUP BY event_type
+    """,
+)
+
+_expr(
+    "stream_join_select_expr",
+    """select(innerJoin(search(customer, q="*:*", fl="c_custkey,c_name"),
+                        search(orders, q="o_orderstatus:F", fl="o_orderkey,o_custkey,o_totalprice"),
+                        on="c_custkey=o_custkey"),
+              "c_custkey", "c_name", "o_totalprice as price")""",
+    """
+    SELECT c_custkey, c_name, o_totalprice AS price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+
+_expr(
+    "stream_unique_top_expr",
+    """top(unique(search(events, q="event_type:click", fl="user_id,event_id,value",
+                         sort="event_id asc"),
+                  over="user_id"),
+           n=15, sort="value desc, user_id asc")""",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
+      FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
+    ORDER BY value DESC, user_id ASC LIMIT 15
+    """,
+)
+
+_expr(
+    "stream_having_expr",
+    """having(rollup(search(events, q="*:*", fl="user_id,value"),
+                     over="user_id", count(*)),
+              gt(count(*), 30))""",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS "count(*)"
+    FROM events GROUP BY user_id HAVING count(*) > 30
+    """,
+)

@@ -1,0 +1,532 @@
+"""Streaming-expression front-end — the solrj-streaming DSL compiled onto
+Ray Data (reference ``solr/solrj-streaming/src/java/org/apache/solr/client/
+solrj/io/stream/expr/StreamExpressionParser.java`` parses the text into a
+``TupleStream`` tree via ``StreamFactory.java``; each decorator stream is a
+class in ``.../io/stream/``). This module is that surface rebuilt: a
+recursive parser for the nested-call syntax and a compiler mapping each
+decorator onto the same Ray Data building blocks the operator catalog uses.
+
+Supported decorators (each cites its reference stream):
+
+- ``search(table, q="f:v"|"f:[lo TO hi]"|"*:*", fl="a,b", sort="a asc,b desc")``
+  — CloudSolrStream/SearchStream: column-pruned scan + vectorized filter
+  (+ explicit sort only when a downstream op needs the order);
+- ``select(stream, "a as b", "c")`` — SelectStream: projection/rename;
+- ``rollup(stream, over="a,b", sum(x), min(x), max(x), avg(x), count(*))``
+  — RollupStream: per-batch partials + one groupby (partial aggregation is
+  exactly RollupStream's worker-side combiner);
+- ``innerJoin(l, r, on="k"|"lk=rk")`` / ``leftOuterJoin(...)`` /
+  ``hashJoin(l, hashed=r, on=...)`` — JoinStreams: ONE key-hash co-location
+  (grouped_map cogroup) + vectorized pandas merge per partition;
+- ``unique(stream, over="f")`` — UniqueStream: keep the first tuple per key
+  in the stream's declared sort order;
+- ``top(stream, n=5, sort="a desc")`` — RankStream: distributed
+  sort+limit;
+- ``having(stream, eq|gt|lt|gteq|lteq|and|or|not(...))`` — HavingStream:
+  boolean predicate over tuples.
+
+Scale notes: the only shuffles are rollup's groupby-over-partials, the
+join's single co-location and top's sort — the decorators compose without
+materializing; ``unique``/joins state the partitioning assumption (all
+rows of a key fit one partition).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class StreamExprError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Parser (StreamExpressionParser analog): name(arg, arg, key=value, ...)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Node:
+    name: str
+    args: list = field(default_factory=list)  # Node | str (positional)
+    params: dict = field(default_factory=dict)  # key -> str | Node
+
+
+_TOK = re.compile(
+    r"\s*(?:"
+    r'(?P<str>"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')'
+    r"|(?P<word>[A-Za-z_][A-Za-z_0-9.]*)"
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<op>[(),=*])"
+    r")"
+)
+
+
+def _tokens(s: str):
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOK.match(s, pos)
+        if m is None:
+            rest = s[pos:].strip()
+            if not rest:
+                break
+            raise StreamExprError(f"cannot tokenize near {rest[:30]!r}")
+        pos = m.end()
+        if m.lastgroup == "str":
+            raw = m.group("str")
+            out.append(("str", raw[1:-1].replace('\\"', '"').replace("\\'", "'")))
+        elif m.lastgroup == "word":
+            out.append(("word", m.group("word")))
+        elif m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+class _P:
+    def __init__(self, s: str):
+        self.t = _tokens(s)
+        self.i = 0
+
+    def peek(self, k=0):
+        j = self.i + k
+        return self.t[j] if j < len(self.t) else (None, None)
+
+    def next(self):
+        v = self.peek()
+        self.i += 1
+        return v
+
+    def parse(self) -> Node:
+        node = self.call()
+        if self.peek() != (None, None):
+            raise StreamExprError(f"trailing tokens at {self.peek()}")
+        return node
+
+    def call(self) -> Node:
+        typ, name = self.next()
+        if typ != "word":
+            raise StreamExprError(f"expected function name, got {typ} {name!r}")
+        if self.next() != ("op", "("):
+            raise StreamExprError(f"expected '(' after {name}")
+        node = Node(name)
+        if self.peek() == ("op", ")"):
+            self.i += 1
+            return node
+        while True:
+            node_or_kv = self._argument()
+            if isinstance(node_or_kv, tuple):
+                node.params[node_or_kv[0]] = node_or_kv[1]
+            else:
+                node.args.append(node_or_kv)
+            typ, v = self.next()
+            if (typ, v) == ("op", ")"):
+                return node
+            if (typ, v) != ("op", ","):
+                raise StreamExprError(f"expected ',' or ')', got {typ} {v!r}")
+
+    def _argument(self):
+        typ, v = self.peek()
+        if typ == "word" and self.peek(1) == ("op", "("):
+            return self.call()
+        if typ == "word" and self.peek(1) == ("op", "="):
+            key = v
+            self.i += 2
+            t2, v2 = self.peek()
+            if t2 == "word" and self.peek(1) == ("op", "("):
+                return (key, self.call())
+            self.i += 1
+            if t2 not in ("str", "word", "num"):
+                raise StreamExprError(f"bad value for {key}: {t2} {v2!r}")
+            return (key, v2)
+        if typ in ("str", "word", "num"):
+            self.i += 1
+            return v
+        if (typ, v) == ("op", "*"):  # count(*)
+            self.i += 1
+            return "*"
+        raise StreamExprError(f"unexpected token {typ} {v!r}")
+
+
+def parse_stream_expr(s: str) -> Node:
+    return _P(s).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler — every op returns (Dataset, sort_spec | None); sort_spec is the
+# declared tuple order ([(col, desc)]), used by unique() and checked by the
+# merge joins (the reference's streams carry the same sort contract).
+# ---------------------------------------------------------------------------
+
+
+def _parse_sort(spec: str):
+    out = []
+    for part in spec.split(","):
+        bits = part.split()
+        if not bits:
+            continue
+        desc = len(bits) > 1 and bits[1].lower() == "desc"
+        out.append((bits[0], desc))
+    return out
+
+
+def _q_filter(qs: str):
+    """Compile the search() q subset: '*:*', 'field:value',
+    'field:[lo TO hi]' (numeric, inclusive)."""
+    qs = qs.strip()
+    if qs == "*:*":
+        return None, None
+    m = re.match(r"^(\w+):\[(\S+)\s+TO\s+(\S+)\]$", qs)
+    if m:
+        f, lo, hi = m.group(1), m.group(2), m.group(3)
+
+        def rng(t: pa.Table) -> pa.Table:
+            col = t.column(f)
+            mask = pa.array(np.ones(t.num_rows, dtype=bool))
+            if lo != "*":
+                mask = pc.and_(mask, pc.greater_equal(col, float(lo)))
+            if hi != "*":
+                mask = pc.and_(mask, pc.less_equal(col, float(hi)))
+            return t.filter(mask)
+
+        return rng, f
+    m = re.match(r"^(\w+):(\S+)$", qs)
+    if m:
+        f, v = m.group(1), m.group(2)
+
+        def eq(t: pa.Table) -> pa.Table:
+            col = t.column(f)
+            val: object = v
+            if pa.types.is_integer(col.type):
+                val = int(v)
+            elif pa.types.is_floating(col.type):
+                val = float(v)
+            return t.filter(pc.equal(col, pa.scalar(val)))
+
+        return eq, f
+    raise StreamExprError(f"unsupported q syntax {qs!r}")
+
+
+def _compile(node: Node, sf_dir: str):
+    name = node.name
+    fn = _OPS.get(name)
+    if fn is None:
+        raise StreamExprError(f"unknown stream decorator {name!r}")
+    return fn(node, sf_dir)
+
+
+def _op_search(node: Node, sf_dir: str):
+    from apache___solr_ray.sources import load
+
+    if not node.args:
+        raise StreamExprError("search() needs a collection name")
+    table = node.args[0]
+    fl = [c.strip() for c in node.params.get("fl", "").split(",") if c.strip()]
+    if not fl:
+        raise StreamExprError("search() requires fl= (explicit field list)")
+    qs = node.params.get("q", "*:*")
+    flt, qfield = _q_filter(qs)
+    cols = sorted(set(fl) | ({qfield} if qfield else set()))
+    ds = load(sf_dir, table, columns=cols)
+    if flt is not None:
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+    if set(cols) != set(fl):
+        ds = ds.map_batches(
+            lambda t, _fl=list(fl): t.select(_fl), batch_format="pyarrow"
+        )
+    sort = _parse_sort(node.params["sort"]) if "sort" in node.params else None
+    # the sort contract is declared lazily: ops that NEED the order
+    # (unique, top output) apply it; a plain scan stays unsorted
+    return ds, sort
+
+
+def _op_select(node: Node, sf_dir: str):
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("select() needs an inner stream")
+    ds, sort = _compile(node.args[0], sf_dir)
+    pairs = []
+    for a in node.args[1:]:
+        if not isinstance(a, str):
+            raise StreamExprError("select() fields must be strings")
+        m = re.match(r"^(\w+)(?:\s+as\s+(\w+))?$", a.strip(), re.IGNORECASE)
+        if not m:
+            raise StreamExprError(f"bad select field {a!r}")
+        pairs.append((m.group(1), m.group(2) or m.group(1)))
+
+    def proj(t: pa.Table, _p=tuple(pairs)) -> pa.Table:
+        return pa.table({dst: t.column(src) for src, dst in _p})
+
+    rename = {s: d for s, d in pairs}
+    if sort:
+        sort = [(rename.get(c, c), d) for c, d in sort]
+    return ds.map_batches(proj, batch_format="pyarrow"), sort
+
+
+_ROLLUP_AGGS = {"sum", "min", "max", "avg", "count"}
+
+
+def _op_rollup(node: Node, sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("rollup() needs an inner stream")
+    ds, _ = _compile(node.args[0], sf_dir)
+    over = [c.strip() for c in node.params.get("over", "").split(",") if c.strip()]
+    if not over:
+        raise StreamExprError("rollup() requires over=")
+    metrics = []  # (func, col, outname)
+    for a in node.args[1:]:
+        if not isinstance(a, Node) or a.name not in _ROLLUP_AGGS:
+            raise StreamExprError(f"rollup() metric must be one of {_ROLLUP_AGGS}")
+        col = a.args[0] if a.args else "*"
+        out = f"{a.name}({col})"
+        metrics.append((a.name, col, out))
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        gb = df.groupby(over, dropna=False, sort=False)
+        out = {}
+        for func, col, nm in metrics:
+            if func == "count":
+                out[nm + "__n"] = gb.size()
+            elif func == "avg":
+                out[nm + "__s"] = gb[col].sum(min_count=1)
+                out[nm + "__n"] = gb[col].count()
+            elif func == "sum":
+                out[nm + "__s"] = gb[col].sum(min_count=1)
+            else:
+                out[nm + "__m"] = getattr(gb[col], func)()
+        return pa.Table.from_pandas(pd.DataFrame(out).reset_index(), preserve_index=False)
+
+    fns = []
+    for func, col, nm in metrics:
+        if func == "count":
+            fns.append(Sum(nm + "__n", alias_name=nm + "__n"))
+        elif func == "avg":
+            fns.append(Sum(nm + "__s", alias_name=nm + "__s"))
+            fns.append(Sum(nm + "__n", alias_name=nm + "__n"))
+        elif func == "sum":
+            fns.append(Sum(nm + "__s", alias_name=nm + "__s"))
+        elif func == "min":
+            fns.append(Min(nm + "__m", alias_name=nm + "__m"))
+        else:
+            fns.append(Max(nm + "__m", alias_name=nm + "__m"))
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(over).aggregate(*fns)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in over}
+        for func, col, nm in metrics:
+            if func == "count":
+                cols[nm] = t.column(nm + "__n").cast(pa.int64())
+            elif func == "avg":
+                cols[nm] = pc.divide(
+                    pc.cast(t.column(nm + "__s"), pa.float64()),
+                    pc.cast(t.column(nm + "__n"), pa.float64()),
+                )
+            elif func == "sum":
+                cols[nm] = t.column(nm + "__s")
+            else:
+                cols[nm] = t.column(nm + "__m")
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow"), None
+
+
+def _join_keys(node: Node):
+    on = node.params.get("on")
+    if not on:
+        raise StreamExprError("join needs on=")
+    lk, rk = [], []
+    for part in on.split(","):
+        part = part.strip()
+        if "=" in part:
+            a, b = part.split("=", 1)
+            lk.append(a.strip())
+            rk.append(b.strip())
+        else:
+            lk.append(part)
+            rk.append(part)
+    return lk, rk
+
+
+def _cogroup_join(lds, rds, lk, rk, how: str):
+    """ONE key-hash co-location of both sides (grouped_map over the tagged
+    union), vectorized pandas merge per partition. Assumes all rows of a
+    key fit one partition (salt hot keys otherwise)."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    def tag(side: int, keymap):
+        def run(t: pa.Table) -> pa.Table:
+            cols = {"__side": pa.array(np.full(t.num_rows, side, dtype=np.int8))}
+            for i, k in enumerate(keymap):
+                cols[f"__k{i}"] = t.column(k)
+            for c in t.column_names:
+                cols[f"c{side}_{c}"] = t.column(c)
+            return pa.table(cols)
+
+        return run
+
+    both = lds.map_batches(tag(0, lk), batch_format="pyarrow").union(
+        rds.map_batches(tag(1, rk), batch_format="pyarrow")
+    )
+    kcols = [f"__k{i}" for i in range(len(lk))]
+
+    rk_drop = {f"c1_{k}" for k in rk}  # join output keeps ONE key column
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        lcols = [c for c in df.columns if c.startswith("c0_")]
+        rcols = [c for c in df.columns if c.startswith("c1_") and c not in rk_drop]
+        out = l[kcols + lcols].merge(
+            r[kcols + rcols], on=kcols, how=("left" if how == "left" else "inner")
+        )
+        out = out.drop(columns=kcols)
+        names = [c[3:] for c in out.columns]
+        if len(set(names)) != len(names):
+            raise StreamExprError(
+                f"join output column collision {sorted(names)}; select()-rename a side"
+            )
+        out.columns = names
+        return out
+
+    return grouped_map(both, kcols, merge_part)
+
+
+def _op_inner_join(node: Node, sf_dir: str):
+    if len(node.args) < 2:
+        raise StreamExprError("join needs two inner streams")
+    lds, _ = _compile(node.args[0], sf_dir)
+    rds, _ = _compile(node.args[1], sf_dir)
+    lk, rk = _join_keys(node)
+    return _cogroup_join(lds, rds, lk, rk, "inner"), None
+
+
+def _op_left_join(node: Node, sf_dir: str):
+    if len(node.args) < 2:
+        raise StreamExprError("join needs two inner streams")
+    lds, _ = _compile(node.args[0], sf_dir)
+    rds, _ = _compile(node.args[1], sf_dir)
+    lk, rk = _join_keys(node)
+    return _cogroup_join(lds, rds, lk, rk, "left"), None
+
+
+def _op_hash_join(node: Node, sf_dir: str):
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("hashJoin needs an inner stream")
+    hashed = node.params.get("hashed")
+    if not isinstance(hashed, Node):
+        raise StreamExprError("hashJoin needs hashed=<stream>")
+    lds, _ = _compile(node.args[0], sf_dir)
+    rds, _ = _compile(hashed, sf_dir)
+    lk, rk = _join_keys(node)
+    return _cogroup_join(lds, rds, lk, rk, "inner"), None
+
+
+def _op_unique(node: Node, sf_dir: str):
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("unique() needs an inner stream")
+    ds, sort = _compile(node.args[0], sf_dir)
+    over = [c.strip() for c in node.params.get("over", "").split(",") if c.strip()]
+    if not over:
+        raise StreamExprError("unique() requires over=")
+    if not sort:
+        raise StreamExprError(
+            "unique() requires the inner stream to declare sort= (UniqueStream "
+            "keeps the FIRST tuple per key in stream order)"
+        )
+    scols = [c for c, _ in sort]
+    sasc = [not d for _, d in sort]
+
+    def first_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(scols, ascending=sasc, kind="mergesort")
+            .drop_duplicates(over)
+        )
+
+    return grouped_map(ds, over, first_per_key), sort
+
+
+def _op_top(node: Node, sf_dir: str):
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("top() needs an inner stream")
+    ds, _ = _compile(node.args[0], sf_dir)
+    n = int(node.params.get("n", "10"))
+    sort = _parse_sort(node.params.get("sort", ""))
+    if not sort:
+        raise StreamExprError("top() requires sort=")
+    out = ds.sort([c for c, _ in sort], descending=[d for _, d in sort]).limit(n)
+    return out, sort
+
+
+_CMP = {
+    "eq": pc.equal, "gt": pc.greater, "lt": pc.less,
+    "gteq": pc.greater_equal, "lteq": pc.less_equal,
+}
+
+
+def _pred(node: Node, t: pa.Table):
+    if node.name in _CMP:
+        ref = node.args[0]
+        if isinstance(ref, Node):  # e.g. gt(count(*), 30) over a rollup
+            arg = ref.args[0] if ref.args else "*"
+            ref = f"{ref.name}({arg})"
+        col = t.column(ref)
+        raw = node.args[1]
+        try:
+            val: object = float(raw) if "." in str(raw) else int(raw)
+        except (TypeError, ValueError):
+            val = raw
+        return _CMP[node.name](col, pa.scalar(val))
+    if node.name == "and":
+        out = _pred(node.args[0], t)
+        for a in node.args[1:]:
+            out = pc.and_kleene(out, _pred(a, t))
+        return out
+    if node.name == "or":
+        out = _pred(node.args[0], t)
+        for a in node.args[1:]:
+            out = pc.or_kleene(out, _pred(a, t))
+        return out
+    if node.name == "not":
+        return pc.invert(_pred(node.args[0], t))
+    raise StreamExprError(f"unknown boolean operand {node.name!r}")
+
+
+def _op_having(node: Node, sf_dir: str):
+    if len(node.args) < 2 or not isinstance(node.args[0], Node) or not isinstance(node.args[1], Node):
+        raise StreamExprError("having(stream, booleanOp) expected")
+    ds, sort = _compile(node.args[0], sf_dir)
+    cond = node.args[1]
+
+    def flt(t: pa.Table, _c=cond) -> pa.Table:
+        return t.filter(_pred(_c, t))
+
+    return ds.map_batches(flt, batch_format="pyarrow"), sort
+
+
+_OPS = {
+    "search": _op_search,
+    "select": _op_select,
+    "rollup": _op_rollup,
+    "innerJoin": _op_inner_join,
+    "leftOuterJoin": _op_left_join,
+    "hashJoin": _op_hash_join,
+    "unique": _op_unique,
+    "top": _op_top,
+    "having": _op_having,
+}
+
+
+def stream_expr(sf_dir: str, expression: str):
+    """Parse + compile a streaming expression; returns the lazy Dataset."""
+    ds, _sort = _compile(parse_stream_expr(expression), sf_dir)
+    return ds
