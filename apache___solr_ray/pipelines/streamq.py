@@ -71,6 +71,24 @@ _expr(
 )
 
 _expr(
+    "stream_fetch_merge_expr",
+    """sort(merge(fetch(customer,
+                        search(orders, q="o_orderstatus:F", fl="o_orderkey,o_custkey"),
+                        on="o_custkey=c_custkey", fl="c_name"),
+                  fetch(customer,
+                        search(orders, q="o_orderstatus:P", fl="o_orderkey,o_custkey"),
+                        on="o_custkey=c_custkey", fl="c_name"),
+                  on="o_orderkey asc"),
+            by="o_orderkey asc")""",
+    """
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus IN ('F', 'P')
+    ORDER BY o_orderkey
+    """,
+)
+
+_expr(
     "stream_having_expr",
     """having(rollup(search(events, q="*:*", fl="user_id,value"),
                      over="user_id", count(*)),

@@ -417,6 +417,42 @@ def _op_left_join(node: Node, sf_dir: str):
     return _cogroup_join(lds, rds, lk, rk, "left"), None
 
 
+#: hashJoin/fetch read their build side fully (HashJoinStream.java opens
+#: the hashed stream into memory; FetchStream point-looks-up) — guard the
+#: contract instead of silently degrading
+HASHED_SIDE_MAX = 5_000_000
+
+
+def _broadcast_join_stream(lds, rds, lk, rk, how: str):
+    """Build side collected ONCE and broadcast (ray.put); every probe batch
+    does one vectorized pandas merge — no shuffle. This is the reference's
+    own hashJoin/fetch memory model; sides above HASHED_SIDE_MAX rows must
+    use innerJoin/leftOuterJoin (the distributed cogroup) instead."""
+    import ray
+
+    rt = rds.to_pandas()
+    if len(rt) > HASHED_SIDE_MAX:
+        raise StreamExprError(
+            f"hashed/fetch side has {len(rt)} rows (> {HASHED_SIDE_MAX}); "
+            "use innerJoin/leftOuterJoin for big-big joins"
+        )
+    ref = ray.put(rt)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        out = df.merge(
+            r,
+            left_on=lk,
+            right_on=rk,
+            how=("left" if how == "left" else "inner"),
+            suffixes=("", "__r"),
+        )
+        drop = [k for k in rk if k not in lk and k in out.columns]
+        return out.drop(columns=drop)
+
+    return lds.map_batches(probe, batch_format="pandas")
+
+
 def _op_hash_join(node: Node, sf_dir: str):
     if not node.args or not isinstance(node.args[0], Node):
         raise StreamExprError("hashJoin needs an inner stream")
@@ -426,7 +462,7 @@ def _op_hash_join(node: Node, sf_dir: str):
     lds, _ = _compile(node.args[0], sf_dir)
     rds, _ = _compile(hashed, sf_dir)
     lk, rk = _join_keys(node)
-    return _cogroup_join(lds, rds, lk, rk, "inner"), None
+    return _broadcast_join_stream(lds, rds, lk, rk, "inner"), None
 
 
 def _op_unique(node: Node, sf_dir: str):
@@ -513,6 +549,53 @@ def _op_having(node: Node, sf_dir: str):
     return ds.map_batches(flt, batch_format="pyarrow"), sort
 
 
+def _op_sort(node: Node, sf_dir: str):
+    """SortStream: full re-sort of the incoming stream by ``by=``."""
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("sort() needs an inner stream")
+    ds, _ = _compile(node.args[0], sf_dir)
+    sort = _parse_sort(node.params.get("by", ""))
+    if not sort:
+        raise StreamExprError("sort() requires by=")
+    return ds.sort([c for c, _ in sort], descending=[d for _, d in sort]), sort
+
+
+def _op_merge(node: Node, sf_dir: str):
+    """MergeStream: union of streams merged into the ``on=`` order (the
+    reference interleaves two already-sorted streams; union + one sort is
+    the Ray Data equivalent with identical output order)."""
+    streams = [a for a in node.args if isinstance(a, Node)]
+    if len(streams) < 2:
+        raise StreamExprError("merge() needs at least two inner streams")
+    sort = _parse_sort(node.params.get("on", ""))
+    if not sort:
+        raise StreamExprError("merge() requires on=")
+    ds, _ = _compile(streams[0], sf_dir)
+    for s in streams[1:]:
+        other, _ = _compile(s, sf_dir)
+        ds = ds.union(other)
+    return ds.sort([c for c, _ in sort], descending=[d for _, d in sort]), sort
+
+
+def _op_fetch(node: Node, sf_dir: str):
+    """FetchStream: enrich stream tuples with fields from another
+    collection by key (batched point lookups in the reference — the lookup
+    side is broadcast once, left-outer so unmatched tuples pass through
+    unenriched, exactly FetchStream's semantics)."""
+    from apache___solr_ray.sources import load
+
+    if len(node.args) < 2 or isinstance(node.args[0], Node) or not isinstance(node.args[1], Node):
+        raise StreamExprError("fetch(collection, stream, on=..., fl=...) expected")
+    table = node.args[0]
+    ds, sort = _compile(node.args[1], sf_dir)
+    lk, rk = _join_keys(node)
+    fl = [c.strip() for c in node.params.get("fl", "").split(",") if c.strip()]
+    if not fl:
+        raise StreamExprError("fetch() requires fl= (fields to pull)")
+    right = load(sf_dir, table, columns=sorted(set(fl) | set(rk)))
+    return _broadcast_join_stream(ds, right, lk, rk, "left"), sort
+
+
 _OPS = {
     "search": _op_search,
     "select": _op_select,
@@ -523,6 +606,9 @@ _OPS = {
     "unique": _op_unique,
     "top": _op_top,
     "having": _op_having,
+    "sort": _op_sort,
+    "merge": _op_merge,
+    "fetch": _op_fetch,
 }
 
 

@@ -64,11 +64,13 @@ def test_hashjoin_equals_innerjoin(ray_session):
         'hashJoin(search(customer, q="*:*", fl="c_custkey,c_name"), '
         'hashed=search(orders, q="*:*", fl="o_orderkey,o_custkey"), on="c_custkey=o_custkey")',
     ).to_pandas()
+    import pandas as pd
+
     key = ["c_custkey", "o_orderkey"]
-    assert (
-        inner.sort_values(key).reset_index(drop=True).equals(
-            hashed[inner.columns].sort_values(key).reset_index(drop=True)
-        )
+    pd.testing.assert_frame_equal(
+        inner.sort_values(key).reset_index(drop=True),
+        hashed[inner.columns].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
     )
     assert len(inner) > 0
 
