@@ -89,6 +89,19 @@ _expr(
 )
 
 _expr(
+    "stream_complement_expr",
+    """complement(search(events, q="event_type:view", fl="event_id,user_id"),
+                  search(events, q="value:[300 TO *]", fl="user_id"),
+                  on="user_id")""",
+    """
+    SELECT event_id, user_id FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.value >= 300 AND p.user_id = v.user_id)
+    """,
+)
+
+_expr(
     "stream_having_expr",
     """having(rollup(search(events, q="*:*", fl="user_id,value"),
                      over="user_id", count(*)),

@@ -596,6 +596,48 @@ def _op_fetch(node: Node, sf_dir: str):
     return _broadcast_join_stream(ds, right, lk, rk, "left"), sort
 
 
+def _op_set(node: Node, sf_dir: str, keep: bool):
+    """IntersectStream / ComplementStream: keep left tuples whose on= key
+    does (intersect) / does not (complement) appear in the right stream.
+    The right side reduces to its DISTINCT keys before leaving the cluster
+    (one groupby), then broadcasts under the same size guard as hashJoin —
+    the reference reads both streams on one node too."""
+    import ray
+
+    if len(node.args) < 2 or not isinstance(node.args[0], Node) or not isinstance(node.args[1], Node):
+        raise StreamExprError(f"{node.name}(left, right, on=...) expected")
+    lds, sort = _compile(node.args[0], sf_dir)
+    rds, _ = _compile(node.args[1], sf_dir)
+    lk, rk = _join_keys(node)
+    if len(lk) != 1:
+        raise StreamExprError(f"{node.name}() supports a single on= key")
+    keys_tbl = (
+        rds.groupby(rk[0]).count().to_pandas()
+    )  # distinct keys only — bounded by key cardinality
+    if len(keys_tbl) > HASHED_SIDE_MAX:
+        raise StreamExprError(
+            f"{node.name}() right side has {len(keys_tbl)} distinct keys "
+            f"(> {HASHED_SIDE_MAX}); pre-filter it"
+        )
+    ref = ray.put(set(keys_tbl[rk[0]].tolist()))
+
+    def flt(t: pa.Table, _k=lk[0], _keep=keep) -> pa.Table:
+        kset = ray.get(ref)
+        vals = t.column(_k).to_pylist()
+        mask = np.fromiter((v in kset for v in vals), dtype=bool, count=len(vals))
+        return t.filter(pa.array(mask if _keep else ~mask))
+
+    return lds.map_batches(flt, batch_format="pyarrow"), sort
+
+
+def _op_intersect(node: Node, sf_dir: str):
+    return _op_set(node, sf_dir, keep=True)
+
+
+def _op_complement(node: Node, sf_dir: str):
+    return _op_set(node, sf_dir, keep=False)
+
+
 _OPS = {
     "search": _op_search,
     "select": _op_select,
@@ -609,6 +651,8 @@ _OPS = {
     "sort": _op_sort,
     "merge": _op_merge,
     "fetch": _op_fetch,
+    "intersect": _op_intersect,
+    "complement": _op_complement,
 }
 
 
