@@ -887,34 +887,53 @@ def doc_unigram_logprob(sf_dir: str):
     partial-aggregated groupby, the per-token logprob attaches via a
     term-hash cogroup (grouped_map over the tagged union), and the per-doc
     mean is a (sum, n) partial + one doc groupby. Only the scalar total
-    token count crosses the driver."""
+    token count crosses the driver. Shuffle-volume controls: tokens are
+    PRE-AGGREGATED per (doc, term) inside each batch (rows shrink by the
+    within-doc tf) and the term itself ships as a 64-bit hash, not a
+    string — identical math (ln p weighted by the per-doc count), ~5×
+    fewer shuffle bytes."""
     from ray.data.aggregate import Sum
 
-    from apache___solr_ray.pipelines.common import grouped_map, partial_sum_count
+    from apache___solr_ray.pipelines.common import grouped_map
+    from apache___solr_ray.stages.dedup import _hash_strings
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def toks(t: pa.Table) -> pa.Table:
-        out_d, out_t = [], []
+    def doc_term_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter as _C
+
+        out_d, out_h, out_k = [], [], []
         for did, txt in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
-            tt = simple_tokenize(txt or "")
-            out_d.extend([did] * len(tt))
-            out_t.extend(tt)
+            cnt = _C(simple_tokenize(txt or ""))
+            if not cnt:
+                continue
+            # signed view of the 64-bit hash: same bits, but pandas/Arrow
+            # round-trips stay int64 (uint64 > 2^63 becomes a Python int
+            # that overflows the pandas->Arrow conversion)
+            hs = _hash_strings(np.asarray(list(cnt.keys()), dtype=object)).view(np.int64)
+            out_d.extend([did] * len(cnt))
+            out_h.extend(hs.tolist())
+            out_k.extend(cnt.values())
         return pa.table(
-            {"doc_id": pa.array(out_d, pa.int64()), "term": pa.array(out_t, pa.string())}
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "th": pa.array(np.array(out_h, dtype=np.int64)),
+                "k": pa.array(out_k, pa.int64()),
+            }
         )
 
-    token_rows = ds.map_batches(toks, batch_format="pyarrow").materialize()
-    n_total = float(token_rows.count())
-    tf = partial_sum_count(token_rows, "term", [], count_alias="c")
+    dtc = ds.map_batches(doc_term_counts, batch_format="pyarrow").materialize()
+    n_total = float(dtc.sum("k"))
+    tf = dtc.groupby("th").aggregate(Sum("k", alias_name="c"))
 
     def tag_tf(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "term": t.column("term"),
+                "th": t.column("th"),
                 "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                "k": pa.nulls(t.num_rows, pa.int64()),
                 "c": t.column("c").cast(pa.int64()),
             }
         )
@@ -922,26 +941,28 @@ def doc_unigram_logprob(sf_dir: str):
     def tag_tok(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "term": t.column("term"),
+                "th": t.column("th"),
                 "doc_id": t.column("doc_id"),
+                "k": t.column("k"),
                 "c": pa.nulls(t.num_rows, pa.int64()),
             }
         )
 
     both = tf.map_batches(tag_tf, batch_format="pyarrow").union(
-        token_rows.map_batches(tag_tok, batch_format="pyarrow")
+        dtc.map_batches(tag_tok, batch_format="pyarrow")
     )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        cmap = df.loc[df["doc_id"].isna(), ["term", "c"]]
-        rows = df[df["doc_id"].notna()][["doc_id", "term"]]
-        m = rows.merge(cmap, on="term", how="left")
-        m["lp"] = np.log(m["c"].to_numpy(dtype=np.float64) / n_total)
+        cmap = df.loc[df["doc_id"].isna(), ["th", "c"]]
+        rows = df[df["doc_id"].notna()][["doc_id", "th", "k"]]
+        m = rows.merge(cmap, on="th", how="left")
+        kk = m["k"].to_numpy(dtype=np.float64)
+        m["lp"] = kk * np.log(m["c"].to_numpy(dtype=np.float64) / n_total)
         g = m.groupby("doc_id", sort=False)
-        out = pd.DataFrame({"s": g["lp"].sum(), "k": g.size()}).reset_index()
-        return out
+        out = pd.DataFrame({"s": g["lp"].sum(), "k": g["k"].sum()}).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    parts = grouped_map(both, "term", attach)
+    parts = grouped_map(both, "th", attach)
     agg = parts.groupby("doc_id").aggregate(
         Sum("s", alias_name="s"), Sum("k", alias_name="k")
     )
