@@ -102,6 +102,45 @@ _expr(
 )
 
 _expr(
+    "stream_facet_expr",
+    """facet(events, q="*:*", buckets="event_type",
+             bucketSorts="count(*) desc, event_type asc", bucketSizeLimit=3,
+             count(*), sum(user_id))""",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS "count(*)",
+           CAST(sum(user_id) AS BIGINT) AS "sum(user_id)"
+    FROM events GROUP BY event_type
+    ORDER BY count(*) DESC, event_type ASC LIMIT 3
+    """,
+)
+
+_expr(
+    "stream_stats_expr",
+    """stats(events, q="event_type:click", count(*), min(value), max(value), sum(user_id))""",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS "count(*)",
+           min(value) AS "min(value)",
+           max(value) AS "max(value)",
+           CAST(sum(user_id) AS BIGINT) AS "sum(user_id)"
+    FROM events WHERE event_type = 'click'
+    """,
+)
+
+_expr(
+    "stream_timeseries_expr",
+    """timeseries(events, q="*:*", field="ts", gap="+1DAY",
+                  count(*), sum(user_id))""",
+    """
+    SELECT date_trunc('day', ts) AS ts,
+           CAST(count(*) AS BIGINT) AS "count(*)",
+           CAST(sum(user_id) AS BIGINT) AS "sum(user_id)"
+    FROM events GROUP BY date_trunc('day', ts)
+    ORDER BY ts
+    """,
+)
+
+_expr(
     "stream_having_expr",
     """having(rollup(search(events, q="*:*", fl="user_id,value"),
                      over="user_id", count(*)),

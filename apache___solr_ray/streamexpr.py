@@ -630,6 +630,133 @@ def _op_set(node: Node, sf_dir: str, keep: bool):
     return lds.map_batches(flt, batch_format="pyarrow"), sort
 
 
+def _metric_nodes(node: Node):
+    ms = [a for a in node.args if isinstance(a, Node) and a.name in _ROLLUP_AGGS]
+    if not ms:
+        raise StreamExprError(f"{node.name}() needs at least one metric")
+    return ms
+
+
+def _rollup_over(ds, over: list[str], metric_nodes: list[Node]):
+    """Shared rollup core for rollup()/facet()/stats()/timeseries()."""
+    inner = Node("rollup", args=[None] + metric_nodes, params={"over": ",".join(over)})
+    # reuse _op_rollup's partial/combine/finish by stubbing the inner stream
+    _OPS["__stub__"] = lambda n, s: (ds, None)
+    try:
+        inner.args[0] = Node("__stub__")
+        out, _ = _op_rollup(inner, "")
+    finally:
+        del _OPS["__stub__"]
+    return out
+
+
+def _op_facet(node: Node, sf_dir: str):
+    """FacetStream (facet(collection, q=, buckets=, bucketSorts=,
+    bucketSizeLimit=, metrics...)): pushdown-style facet = rollup over the
+    bucket fields + bucket sort + limit. Ties in the sort break by the
+    bucket value ascending (Solr's index-order tie-break)."""
+    from apache___solr_ray.sources import load
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("facet(collection, ...) expected")
+    table = node.args[0]
+    buckets = [c.strip() for c in node.params.get("buckets", "").split(",") if c.strip()]
+    if not buckets:
+        raise StreamExprError("facet() requires buckets=")
+    metrics = _metric_nodes(node)
+    cols = set(buckets)
+    for m in metrics:
+        if m.args and m.args[0] != "*":
+            cols.add(m.args[0])
+    qs = node.params.get("q", "*:*")
+    flt, qfield = _q_filter(qs)
+    if qfield:
+        cols.add(qfield)
+    ds = load(sf_dir, table, columns=sorted(cols))
+    if flt is not None:
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+    out = _rollup_over(ds, buckets, metrics)
+    sorts = _parse_sort(node.params.get("bucketSorts", f"{buckets[0]} asc"))
+    keys = [c for c, _ in sorts] + [b for b in buckets if b not in {c for c, _ in sorts}]
+    desc = [d for _, d in sorts] + [False] * (len(keys) - len(sorts))
+    out = out.sort(keys, descending=desc)
+    lim = node.params.get("bucketSizeLimit")
+    if lim is not None:
+        out = out.limit(int(lim))
+    return out, sorts
+
+
+def _op_stats(node: Node, sf_dir: str):
+    """StatsStream: global (ungrouped) metrics over a query's matches."""
+    from apache___solr_ray.sources import load
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("stats(collection, ...) expected")
+    table = node.args[0]
+    metrics = _metric_nodes(node)
+    cols = set()
+    for m in metrics:
+        if m.args and m.args[0] != "*":
+            cols.add(m.args[0])
+    qs = node.params.get("q", "*:*")
+    flt, qfield = _q_filter(qs)
+    if qfield:
+        cols.add(qfield)
+    if not cols:
+        raise StreamExprError("stats() with only count(*) needs q= on a real field")
+    ds = load(sf_dir, table, columns=sorted(cols))
+    if flt is not None:
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+
+    def add_g(t: pa.Table) -> pa.Table:
+        return t.append_column("__g", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    out = _rollup_over(ds.map_batches(add_g, batch_format="pyarrow"), ["__g"], metrics)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__g"]), batch_format="pyarrow"
+    ), None
+
+
+_GAPS = {"+1DAY": "day", "+1HOUR": "hour", "+1MINUTE": "minute"}
+
+
+def _op_timeseries(node: Node, sf_dir: str):
+    """TimeSeriesStream: metrics per date bucket (gap subset: +1DAY /
+    +1HOUR / +1MINUTE → temporal floor), bucket column keeps the field
+    name, ordered by bucket ascending."""
+    from apache___solr_ray.sources import load
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("timeseries(collection, ...) expected")
+    table = node.args[0]
+    field = node.params.get("field")
+    gap = node.params.get("gap", "+1DAY")
+    if not field:
+        raise StreamExprError("timeseries() requires field=")
+    if gap not in _GAPS:
+        raise StreamExprError(f"unsupported gap {gap!r} (one of {sorted(_GAPS)})")
+    unit = _GAPS[gap]
+    metrics = _metric_nodes(node)
+    cols = {field}
+    for m in metrics:
+        if m.args and m.args[0] != "*":
+            cols.add(m.args[0])
+    qs = node.params.get("q", "*:*")
+    flt, qfield = _q_filter(qs)
+    if qfield:
+        cols.add(qfield)
+    ds = load(sf_dir, table, columns=sorted(cols))
+    if flt is not None:
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+
+    def trunc(t: pa.Table, _f=field, _u=unit) -> pa.Table:
+        i = t.schema.get_field_index(_f)
+        return t.set_column(i, _f, pc.floor_temporal(t.column(_f), unit=_u))
+
+    out = _rollup_over(ds.map_batches(trunc, batch_format="pyarrow"), [field], metrics)
+    return out.sort([field]), [(field, False)]
+
+
 def _op_intersect(node: Node, sf_dir: str):
     return _op_set(node, sf_dir, keep=True)
 
@@ -653,6 +780,9 @@ _OPS = {
     "fetch": _op_fetch,
     "intersect": _op_intersect,
     "complement": _op_complement,
+    "facet": _op_facet,
+    "stats": _op_stats,
+    "timeseries": _op_timeseries,
 }
 
 
