@@ -273,18 +273,24 @@ _ROLLUP_AGGS = {"sum", "min", "max", "avg", "count"}
 
 
 def _op_rollup(node: Node, sf_dir: str):
-    from ray.data.aggregate import Max, Min, Sum
-
     if not node.args or not isinstance(node.args[0], Node):
         raise StreamExprError("rollup() needs an inner stream")
     ds, _ = _compile(node.args[0], sf_dir)
     over = [c.strip() for c in node.params.get("over", "").split(",") if c.strip()]
     if not over:
         raise StreamExprError("rollup() requires over=")
+    return _rollup_core(ds, over, list(node.args[1:])), None
+
+
+def _rollup_core(ds, over: list[str], metric_args: list):
+    """RollupStream core shared by rollup()/facet()/stats()/timeseries():
+    per-batch pandas partials (Arrow blocks out) + one groupby + finish."""
+    from ray.data.aggregate import Max, Min, Sum
+
     metrics = []  # (func, col, outname)
-    for a in node.args[1:]:
+    for a in metric_args:
         if not isinstance(a, Node) or a.name not in _ROLLUP_AGGS:
-            raise StreamExprError(f"rollup() metric must be one of {_ROLLUP_AGGS}")
+            raise StreamExprError(f"rollup metric must be one of {_ROLLUP_AGGS}")
         col = a.args[0] if a.args else "*"
         out = f"{a.name}({col})"
         metrics.append((a.name, col, out))
@@ -335,7 +341,7 @@ def _op_rollup(node: Node, sf_dir: str):
                 cols[nm] = t.column(nm + "__m")
         return pa.table(cols)
 
-    return agg.map_batches(finish, batch_format="pyarrow"), None
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _join_keys(node: Node):
@@ -638,16 +644,8 @@ def _metric_nodes(node: Node):
 
 
 def _rollup_over(ds, over: list[str], metric_nodes: list[Node]):
-    """Shared rollup core for rollup()/facet()/stats()/timeseries()."""
-    inner = Node("rollup", args=[None] + metric_nodes, params={"over": ",".join(over)})
-    # reuse _op_rollup's partial/combine/finish by stubbing the inner stream
-    _OPS["__stub__"] = lambda n, s: (ds, None)
-    try:
-        inner.args[0] = Node("__stub__")
-        out, _ = _op_rollup(inner, "")
-    finally:
-        del _OPS["__stub__"]
-    return out
+    """Shared rollup entry for facet()/stats()/timeseries()."""
+    return _rollup_core(ds, over, metric_nodes)
 
 
 def _op_facet(node: Node, sf_dir: str):
