@@ -102,6 +102,19 @@ _expr(
 )
 
 _expr(
+    "stream_select_compute_expr",
+    """top(select(search(lineitem, q="*:*", fl="l_orderkey,l_linenumber,l_extendedprice,l_discount"),
+                  "l_orderkey", "l_linenumber",
+                  "mul(l_extendedprice, sub(1, l_discount)) as net"),
+           n=12, sort="net desc, l_orderkey asc, l_linenumber asc")""",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    ORDER BY net DESC, l_orderkey ASC, l_linenumber ASC LIMIT 12
+    """,
+)
+
+_expr(
     "stream_facet_expr",
     """facet(events, q="*:*", buckets="event_type",
              bucketSorts="count(*) desc, event_type asc", bucketSizeLimit=3,

@@ -247,23 +247,64 @@ def _op_search(node: Node, sf_dir: str):
     return ds, sort
 
 
+def _parse_value_expr(src: str):
+    """Parse a select() value expression string ('add(f1,f2)', nested
+    calls, numeric literals, bare fields) into the prefix-tuple form
+    ``functions.col_expr`` evaluates — SelectStream's evaluator operands
+    (reference .../io/eval/) map onto the same registered function pack."""
+    src = src.strip()
+    m = re.match(r"^([A-Za-z_][A-Za-z_0-9]*)\((.*)\)$", src)
+    if not m:
+        if re.match(r"^-?\d+(\.\d+)?$", src):
+            return float(src) if "." in src else int(src)
+        if not re.match(r"^\w+$", src):
+            raise StreamExprError(f"bad select value expression {src!r}")
+        return src  # bare field reference
+    fname, body = m.group(1), m.group(2)
+    # split top-level commas
+    args, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur))
+    return (fname, *[_parse_value_expr(a) for a in args])
+
+
 def _op_select(node: Node, sf_dir: str):
     if not node.args or not isinstance(node.args[0], Node):
         raise StreamExprError("select() needs an inner stream")
     ds, sort = _compile(node.args[0], sf_dir)
-    pairs = []
+    pairs = []  # (col_expr prefix form | plain column name, out name)
     for a in node.args[1:]:
         if not isinstance(a, str):
             raise StreamExprError("select() fields must be strings")
-        m = re.match(r"^(\w+)(?:\s+as\s+(\w+))?$", a.strip(), re.IGNORECASE)
-        if not m:
-            raise StreamExprError(f"bad select field {a!r}")
-        pairs.append((m.group(1), m.group(2) or m.group(1)))
+        m = re.match(r"^(.*?)(?:\s+as\s+(\w+))?$", a.strip(), re.IGNORECASE)
+        src = m.group(1).strip()
+        expr = _parse_value_expr(src)
+        if not isinstance(expr, str) and m.group(2) is None:
+            raise StreamExprError(f"computed select field {a!r} needs 'as <name>'")
+        pairs.append((expr, m.group(2) or src))
 
     def proj(t: pa.Table, _p=tuple(pairs)) -> pa.Table:
-        return pa.table({dst: t.column(src) for src, dst in _p})
+        from apache___solr_ray.functions import col_expr
 
-    rename = {s: d for s, d in pairs}
+        cols = {}
+        for expr, dst in _p:
+            v = t.column(expr) if isinstance(expr, str) else col_expr(t, expr)
+            if isinstance(v, pa.Scalar):
+                v = pa.array(np.full(t.num_rows, v.as_py()))
+            cols[dst] = v
+        return pa.table(cols)
+
+    rename = {s: d for s, d in pairs if isinstance(s, str)}
     if sort:
         sort = [(rename.get(c, c), d) for c, d in sort]
     return ds.map_batches(proj, batch_format="pyarrow"), sort
