@@ -153,6 +153,7 @@ def build_hnsw_index(
         and man.get("input_fingerprint") == fp
         and man.get("n_segments") == n_segments
         and man.get("M") == M
+        and man.get("ef_construction") == ef_construction
     ):
         return man
 

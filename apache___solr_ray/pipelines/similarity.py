@@ -138,8 +138,13 @@ def ann_per_label_top3(sf_dir: str):
     """,
 )
 def embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (threshold 0.4): broadcast
-    matrix + blocked matmul, no shuffle."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.4) via the
+    adaptive EXACT planner: ball-cover IVF bucketing when the plan-time
+    candidate estimate prunes (the production near-dup regime, threshold
+    >= ~0.8 on clustered data), block-pair all-pairs when geometry says no
+    metric pruning is possible (this fixture's 0.4 over quasi-random
+    vectors). Both plans are exact, so the DuckDB join oracle holds under
+    either choice; parity is pytest-asserted per plan."""
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.4)
 

@@ -709,10 +709,15 @@ def sql_query(sf_dir: str, sql: str):
             raise SqlError("OFFSET requires ORDER BY")
         if q.limit is None:
             raise SqlError("OFFSET requires LIMIT")
+        import ray
+
         page = ds.limit(q.offset + q.limit).to_pandas()
-        return pa.Table.from_pandas(
+        tbl = pa.Table.from_pandas(
             page.iloc[q.offset :].reset_index(drop=True), preserve_index=False
         )
+        # keep the documented contract: every path returns a lazy Dataset
+        # (jobs/sql_job.py calls .limit/.write_parquet on the result)
+        return ray.data.from_arrow(tbl)
     if q.limit is not None:
         ds = ds.limit(q.limit)
     return ds
@@ -788,6 +793,33 @@ def _finish_fn(aggs: list[Agg], group_by: list[str]):
     return finish
 
 
+def _identity_agg_table(aggs: list[Agg]) -> pa.Table:
+    """SQL's zero-input global aggregate row: a global aggregate (no GROUP
+    BY) over zero rows yields exactly ONE row — count()/count(DISTINCT)=0,
+    every other aggregate NULL (the DuckDB-oracle contract)."""
+    cols = {}
+    for i, a in enumerate(aggs):
+        nm = _agg_internal_name(i)
+        if a.func in ("count", "count_distinct"):
+            cols[nm] = pa.array([0], pa.int64())
+        else:
+            cols[nm] = pa.array([None], pa.float64())
+    return pa.table(cols)
+
+
+def _finish_or_identity(agg_ds, q: Query, aggs: list[Agg], synthetic_key: bool):
+    """Finish the combined partials; for the synthetic-key (global) case,
+    materialize first (the output is at most one row, so this is free) and
+    emit the identity row when WHERE filtered out every input row."""
+    if synthetic_key:
+        import ray
+
+        agg_ds = agg_ds.materialize()
+        if agg_ds.count() == 0:
+            return ray.data.from_arrow(_identity_agg_table(aggs))
+    return agg_ds.map_batches(_finish_fn(aggs, q.group_by), batch_format="pyarrow")
+
+
 def _aggregate(ds, q: Query, aggs: list[Agg]):
     dist_cols = {a.col for a in aggs if a.func == "count_distinct"}
     if len(dist_cols) > 1:
@@ -846,7 +878,7 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
 
         fns.append(Sum("__one", alias_name="__one"))
     agg_ds = parts.groupby(keys).aggregate(*fns)
-    return agg_ds.map_batches(_finish_fn(aggs, q.group_by), batch_format="pyarrow")
+    return _finish_or_identity(agg_ds, q, aggs, synthetic_key)
 
 
 def _aggregate_with_distinct(ds, q: Query, aggs: list[Agg], dcol: str):
@@ -961,4 +993,4 @@ def _aggregate_with_distinct(ds, q: Query, aggs: list[Agg], dcol: str):
         .groupby(keys)
         .aggregate(*_final_fns(aggs))
     )
-    return agg_ds.map_batches(_finish_fn(aggs, q.group_by), batch_format="pyarrow")
+    return _finish_or_identity(agg_ds, q, aggs, synthetic_key)

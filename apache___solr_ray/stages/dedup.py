@@ -650,6 +650,13 @@ def token_set_table(ds, col: str, id_col: str) -> pa.Table:
     return pa2.concat_tables([ray.get(r) for r in tables])
 
 
+#: row guards for the declared-brute baselines (mirrors streamexpr's
+#: HASHED_SIDE_MAX contract guard): above these, refuse instead of
+#: silently running a quadratic plan
+JACCARD_EXACT_MAX = 50_000
+EMBED_ALLPAIRS_MAX = 200_000
+
+
 def jaccard_pairs_exact(
     ds,
     col: str,
@@ -666,10 +673,21 @@ def jaccard_pairs_exact(
     Brute-force O(n^2) over a broadcast shingle-set table — the
     oracle-checked small-scale variant; at corpus scale
     ``lsh_verified_pairs`` prefilters and verifies candidates only.
+    Guarded: raises above ``JACCARD_EXACT_MAX`` rows (the whole text
+    column would land on the driver and the pair loop is quadratic).
     """
     import ray
 
-    rows = ds.select_columns([id_col, col]).take_all()
+    src = ds.select_columns([id_col, col]).materialize()
+    n = src.count()
+    if n > JACCARD_EXACT_MAX:
+        raise ValueError(
+            f"jaccard_pairs_exact: {n} rows > JACCARD_EXACT_MAX "
+            f"({JACCARD_EXACT_MAX}) — this is the O(n^2) oracle baseline; "
+            "use lsh_verified_pairs (MinHash banding + candidate-only "
+            "verification) for corpus-scale near-dup"
+        )
+    rows = src.take_all()
     rows.sort(key=lambda r: r[id_col])
     ids = [r[id_col] for r in rows]
     hashed = [shingle_hash_set(r[col], shingle) for r in rows]
@@ -708,16 +726,9 @@ def jaccard_pairs_exact(
 # -- embedding near-dup ------------------------------------------------------
 
 
-def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0.4):
-    """Pairs (a < b) with cosine >= threshold — distributed block-pair
-    all-pairs: the normalized embedding blocks are materialized into the
-    OBJECT STORE (spillable, never the driver heap), and one task per
-    ordered block pair (i <= j) fetches exactly its two blocks and emits
-    its threshold-crossing pairs vectorized (one matmul per task). Exact
-    by construction; compute is inherently O(n^2) — the sub-quadratic
-    alternative is the LSH/IVF bucketing in pipelines/similarity.py."""
-    import ray
-    import ray.data as rd
+def _normalized_embeddings(ds, emb_col: str, id_col: str):
+    """(id, _e) with unit-norm float64 vectors, materialized into the
+    object store (spillable; never the driver heap)."""
 
     def normalize(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy().astype(np.int64)
@@ -731,12 +742,74 @@ def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0
             }
         )
 
-    blocks = (
+    return (
         ds.select_columns([id_col, emb_col])
         .map_batches(normalize, batch_format="pyarrow")
         .materialize()
-        .to_arrow_refs()
     )
+
+
+def embedding_near_dup_pairs(
+    ds,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    mode: str = "auto",
+    n_centroids: int | None = None,
+    seed: int = 271828,
+):
+    """Pairs (a < b) with cosine >= threshold. EXACT under every mode.
+
+    ``mode``:
+    - ``"auto"`` (default): plan-time choice. A cheap pass fits k coarse
+      centroids, measures each bucket's radius, and ESTIMATES the
+      candidate-pair count of the exact ball-cover bucketing below. If
+      bucketing prunes (estimate < half of brute), run it; otherwise —
+      which happens when the threshold radius exceeds the data's cluster
+      geometry, e.g. cosine 0.4 over quasi-random vectors, where NO
+      metric pruning can work — fall back to the block-pair plan.
+    - ``"bucketed"``: force the ball-cover IVF plan (exact: a pair within
+      distance r is always co-located in the home bucket of one side,
+      because d(p, c(q)) <= d(p,q) + d(q, c(q)) <= r + R(c(q))).
+    - ``"allpairs"``: force the block-pair plan; refuses above
+      ``EMBED_ALLPAIRS_MAX`` rows (O(n^2) compute is the scale-killer —
+      use a higher threshold, where bucketing prunes, or the LSH/IVF
+      top-k paths in pipelines/similarity.py).
+
+    Partitioning assumption (bucketed plan): bucket ids are the shuffle
+    key; one bucket's home x candidate matmul must fit a worker — at
+    corpus scale grow ``n_centroids`` with n so bucket membership stays
+    bounded (the same segment-count-grows-with-corpus rule the HNSW/IVF
+    indexes use)."""
+    norm = _normalized_embeddings(ds, emb_col, id_col)
+    n = norm.count()
+    if mode not in ("auto", "bucketed", "allpairs"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "bucketed":
+        return _embedding_pairs_bucketed(norm, id_col, threshold, n, n_centroids, seed)
+    if mode == "auto" and n >= 64:
+        plan = _ball_cover_plan(norm, id_col, threshold, n, n_centroids, seed)
+        if plan is not None:
+            return _bucketed_pairs_from_plan(norm, id_col, threshold, *plan)
+    return _embedding_pairs_allpairs(norm, id_col, threshold, n)
+
+
+def _embedding_pairs_allpairs(norm, id_col: str, threshold: float, n: int):
+    """Distributed block-pair all-pairs: one task per ordered block pair
+    (i <= j) fetches exactly its two object-store blocks and emits its
+    threshold-crossing pairs vectorized (one matmul per task). Exact by
+    construction; compute is inherently O(n^2), hence the row guard."""
+    import ray
+    import ray.data as rd
+
+    if n > EMBED_ALLPAIRS_MAX:
+        raise ValueError(
+            f"embedding all-pairs: {n} rows > EMBED_ALLPAIRS_MAX "
+            f"({EMBED_ALLPAIRS_MAX}) — O(n^2) compute; raise the threshold "
+            "so the bucketed plan prunes, or use the LSH/IVF paths in "
+            "pipelines/similarity.py"
+        )
+    blocks = norm.to_arrow_refs()
     n_blocks = len(blocks)
     refs_ref = ray.put(blocks)
 
@@ -791,3 +864,214 @@ def embedding_near_dup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0
         )
 
     return pair_tasks.map_batches(compare, batch_format="pyarrow", batch_size=4)
+
+
+def _kmeans_centroids(X: np.ndarray, k: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Small deterministic Lloyd's k-means over a driver-side SAMPLE (the
+    coarse quantizer; same role as the IVF trainer in ann.py). Unit-norm
+    input and output, so nearest-by-cosine == nearest-by-distance."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), k, replace=False)].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(1e-12, np.linalg.norm(c))
+    return C
+
+
+def _ball_cover_plan(norm, id_col, threshold, n, n_centroids, seed):
+    """Plan-time ball-cover statistics. Returns (centroids_ref, radii) if
+    the bucketed plan's ESTIMATED candidate-pair count beats half of
+    brute, else None (no metric pruning possible at this threshold on
+    this data — the planner falls back to block-pair).
+
+    Cost: one k-means over a bounded sample + two linear passes emitting
+    k-sized partials (k = O(sqrt n) centroids) — no shuffle."""
+    import ray
+
+    k = n_centroids or max(4, min(4096, int(np.sqrt(n))))
+    r = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    samp = norm.limit(max(2048, 8 * k)).to_pandas()
+    X = np.stack(samp["_e"].to_numpy())
+    C = _kmeans_centroids(X, k, seed)
+    k = len(C)
+    cref = ray.put(C)
+
+    # pass 1: per-centroid home counts + home radius R(c) (k-sized partials)
+    def radius_partial(t: pa.Table, _c=cref) -> pa.Table:
+        Cl = ray.get(_c)
+        E = np.array(t.column("_e").to_pylist(), dtype=np.float64)
+        if not len(E):
+            z = np.zeros(len(Cl))
+            return pa.table({"c": pa.array(np.arange(len(Cl))), "rmax": pa.array(z), "nh": pa.array(np.zeros(len(Cl), np.int64))})
+        D = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * (E @ Cl.T)))
+        home = np.argmin(D, axis=1)
+        hd = D[np.arange(len(E)), home]
+        rmax = np.zeros(len(Cl))
+        nh = np.zeros(len(Cl), np.int64)
+        np.maximum.at(rmax, home, hd)
+        np.add.at(nh, home, 1)
+        return pa.table({"c": pa.array(np.arange(len(Cl))), "rmax": pa.array(rmax), "nh": pa.array(nh)})
+
+    p1 = norm.map_batches(radius_partial, batch_format="pyarrow").to_pandas()
+    g = p1.groupby("c").agg(rmax=("rmax", "max"), nh=("nh", "sum"))
+    R = g["rmax"].to_numpy()
+    home_n = g["nh"].to_numpy()
+
+    # pass 2: per-centroid candidate counts under the exact cover rule
+    # d(p, c) <= r + R(c)
+    rr = ray.put(R)
+
+    def cand_partial(t: pa.Table, _c=cref, _r=rr) -> pa.Table:
+        Cl, Rl = ray.get(_c), ray.get(_r)
+        E = np.array(t.column("_e").to_pylist(), dtype=np.float64)
+        if not len(E):
+            nc = np.zeros(len(Cl), np.int64)
+        else:
+            D = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * (E @ Cl.T)))
+            nc = (D <= (r + Rl[None, :])).sum(axis=0).astype(np.int64)
+        return pa.table({"c": pa.array(np.arange(len(Cl))), "nc": pa.array(nc)})
+
+    p2 = norm.map_batches(cand_partial, batch_format="pyarrow").to_pandas()
+    cand_n = p2.groupby("c")["nc"].sum().to_numpy()
+
+    est_pairs = float((home_n * cand_n).sum())
+    brute_pairs = n * (n - 1) / 2.0
+    if est_pairs >= 0.5 * brute_pairs:
+        return None
+    return cref, rr, r
+
+
+def _bucketed_pairs_from_plan(norm, id_col, threshold, cref, rref, r):
+    """Execute the exact ball-cover plan: explode each point into its home
+    bucket (flagged) plus every bucket whose ball it could pair into;
+    hash-partition by bucket id; one home x all matmul per bucket; global
+    (a, b) dedup groupby (a pair can surface in both sides' home buckets)."""
+    import ray
+
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    def explode(t: pa.Table, _c=cref, _r=rref) -> pa.Table:
+        Cl, Rl = ray.get(_c), ray.get(_r)
+        ids = t.column(id_col).to_numpy()
+        E = np.array(t.column("_e").to_pylist(), dtype=np.float64)
+        if not len(E):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "_h": pa.array([], pa.bool_()),
+                    id_col: pa.array([], pa.int64()),
+                    "_e": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        D = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * (E @ Cl.T)))
+        home = np.argmin(D, axis=1)
+        cand = D <= (r + Rl[None, :])
+        rows_i, buckets = np.nonzero(cand)
+        is_home = home[rows_i] == buckets
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.astype(np.int64)),
+                "_h": pa.array(is_home),
+                id_col: pa.array(ids[rows_i].astype(np.int64)),
+                "_e": pa.array([E[i].tolist() for i in rows_i], pa.list_(pa.float64())),
+            }
+        )
+
+    exploded = norm.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, gdf in df.groupby("bucket", sort=False):
+            hm = gdf["_h"].to_numpy(dtype=bool)
+            if not hm.any():
+                continue
+            ids = gdf[id_col].to_numpy()
+            E = np.stack(gdf["_e"].to_numpy())
+            S = E[hm] @ E.T
+            ri, ci = np.nonzero(S >= threshold)
+            ia, ib = ids[hm][ri], ids[ci]
+            keep = ia != ib
+            a = np.minimum(ia[keep], ib[keep])
+            b = np.maximum(ia[keep], ib[keep])
+            outs.append(
+                pd.DataFrame(
+                    {"a": a, "b": b, "cosine": np.round(S[ri, ci][keep], 6)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped_map(exploded, "bucket", bucket_pairs)
+    from ray.data.aggregate import Max
+
+    out = pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def fin(t: pa.Table, _e=empty) -> pa.Table:
+        # empty groupby output loses its schema (Ray 2.49) — re-type it
+        return _e if t.num_rows == 0 else t.select(["a", "b", "cosine"])
+
+    import ray
+
+    # the union guarantees the output schema even when zero blocks flow
+    return out.map_batches(fin, batch_format="pyarrow").union(
+        ray.data.from_arrow(empty)
+    )
+
+
+def _embedding_pairs_bucketed(norm, id_col, threshold, n, n_centroids, seed):
+    plan = _ball_cover_plan(norm, id_col, threshold, n, n_centroids, seed)
+    if plan is None:
+        # caller forced the bucketed plan; run it even though the planner
+        # estimates no pruning (still exact, used by the parity tests)
+        import ray
+
+        k = n_centroids or max(4, min(4096, int(np.sqrt(n))))
+        r = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+        samp = norm.limit(max(2048, 8 * k)).to_pandas()
+        C = _kmeans_centroids(np.stack(samp["_e"].to_numpy()), k, seed)
+        cref = ray.put(C)
+        p1 = norm.map_batches(
+            _radius_partial_fn(cref), batch_format="pyarrow"
+        ).to_pandas()
+        R = p1.groupby("c")["rmax"].max().to_numpy()
+        plan = (cref, ray.put(R), r)
+    return _bucketed_pairs_from_plan(norm, id_col, threshold, *plan)
+
+
+def _radius_partial_fn(cref):
+    import ray
+
+    def radius_partial(t: pa.Table) -> pa.Table:
+        Cl = ray.get(cref)
+        E = np.array(t.column("_e").to_pylist(), dtype=np.float64)
+        if not len(E):
+            return pa.table(
+                {"c": pa.array(np.arange(len(Cl))), "rmax": pa.array(np.zeros(len(Cl)))}
+            )
+        D = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * (E @ Cl.T)))
+        home = np.argmin(D, axis=1)
+        hd = D[np.arange(len(E)), home]
+        rmax = np.zeros(len(Cl))
+        np.maximum.at(rmax, home, hd)
+        return pa.table({"c": pa.array(np.arange(len(Cl))), "rmax": pa.array(rmax)})
+
+    return radius_partial

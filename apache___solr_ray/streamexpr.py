@@ -477,12 +477,17 @@ def _broadcast_join_stream(lds, rds, lk, rk, how: str):
     use innerJoin/leftOuterJoin (the distributed cogroup) instead."""
     import ray
 
-    rt = rds.to_pandas()
-    if len(rt) > HASHED_SIDE_MAX:
+    # size-check BEFORE collecting to the driver: materialize keeps the
+    # blocks in the object store, count() then reads metadata only, and
+    # to_pandas() runs only on a side that already passed the guard
+    rds = rds.materialize()
+    n = rds.count()
+    if n > HASHED_SIDE_MAX:
         raise StreamExprError(
-            f"hashed/fetch side has {len(rt)} rows (> {HASHED_SIDE_MAX}); "
+            f"hashed/fetch side has {n} rows (> {HASHED_SIDE_MAX}); "
             "use innerJoin/leftOuterJoin for big-big joins"
         )
+    rt = rds.to_pandas()
     ref = ray.put(rt)
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
@@ -649,8 +654,6 @@ def _op_set(node: Node, sf_dir: str, keep: bool):
     The right side reduces to its DISTINCT keys before leaving the cluster
     (one groupby), then broadcasts under the same size guard as hashJoin —
     the reference reads both streams on one node too."""
-    import ray
-
     if len(node.args) < 2 or not isinstance(node.args[0], Node) or not isinstance(node.args[1], Node):
         raise StreamExprError(f"{node.name}(left, right, on=...) expected")
     lds, sort = _compile(node.args[0], sf_dir)
@@ -658,23 +661,20 @@ def _op_set(node: Node, sf_dir: str, keep: bool):
     lk, rk = _join_keys(node)
     if len(lk) != 1:
         raise StreamExprError(f"{node.name}() supports a single on= key")
-    keys_tbl = (
-        rds.groupby(rk[0]).count().to_pandas()
-    )  # distinct keys only — bounded by key cardinality
-    if len(keys_tbl) > HASHED_SIDE_MAX:
+    # distinct keys only — bounded by key cardinality; size-check via
+    # metadata BEFORE pulling the key table onto the driver
+    keys_ds = rds.groupby(rk[0]).count().materialize()
+    n = keys_ds.count()
+    if n > HASHED_SIDE_MAX:
         raise StreamExprError(
-            f"{node.name}() right side has {len(keys_tbl)} distinct keys "
+            f"{node.name}() right side has {n} distinct keys "
             f"(> {HASHED_SIDE_MAX}); pre-filter it"
         )
-    ref = ray.put(set(keys_tbl[rk[0]].tolist()))
+    keys_tbl = keys_ds.to_pandas()
+    # vectorized membership: pc.is_in hash-probe in C (common.semi_join_filter)
+    from apache___solr_ray.pipelines.common import semi_join_filter
 
-    def flt(t: pa.Table, _k=lk[0], _keep=keep) -> pa.Table:
-        kset = ray.get(ref)
-        vals = t.column(_k).to_pylist()
-        mask = np.fromiter((v in kset for v in vals), dtype=bool, count=len(vals))
-        return t.filter(pa.array(mask if _keep else ~mask))
-
-    return lds.map_batches(flt, batch_format="pyarrow"), sort
+    return semi_join_filter(lds, lk[0], keys_tbl[rk[0]].tolist(), keep=keep), sort
 
 
 def _metric_nodes(node: Node):

@@ -73,7 +73,16 @@ def doc_versions(corpus_dir: str, urls: list[str]) -> dict[str, int]:
     new row per update (old rows are tombstoned, not rewritten), so a
     doc's version == its occurrence count across the corpus files
     (1 = original, +1 per upsert/atomic update) — monotonic per key,
-    derived from the same storage the rebuild reads (no extra sidecar)."""
+    derived from the same storage the rebuild reads (no extra sidecar).
+
+    SINGLE-WRITER ASSUMPTION: the scan is O(corpus files) per call and
+    check-then-write is not atomic across processes — two concurrent
+    version-checked updates could both read the same version and
+    double-apply. Solr serializes this per-core via the update log's
+    version bucket lock (DistributedUpdateProcessor.versionAdd); here the
+    contract is one writer per corpus_dir (the same contract the build's
+    commit manifest already requires). At scale, restrict the scan with a
+    url->file sidecar and route writes through a single committer actor."""
     import os
 
     import pyarrow.compute as pc

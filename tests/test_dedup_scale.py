@@ -100,3 +100,64 @@ def test_components_equal_union_find(ray_session, brute_pairs):
     )
     got = {r["node"]: r["label"] for r in labels.take_all()}
     assert got == want
+
+
+# -- embedding near-dup: bucketed (ball-cover IVF) plan parity + guards ------
+
+
+def _embed_df(res):
+    import pandas as pd
+
+    df = res.to_pandas()
+    if df.empty and "a" not in df.columns:  # Ray to_pandas drops schema on all-empty
+        df = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("threshold", [0.4, 0.45, 0.9])
+def test_embedding_bucketed_equals_allpairs(ray_session, threshold):
+    """The exact ball-cover bucketed plan must emit EXACTLY the brute
+    block-pair plan's pair set (it is exact by the triangle-inequality
+    cover rule, not approximately-recalled)."""
+    from apache___solr_ray.sources import load
+    from apache___solr_ray.stages.dedup import embedding_near_dup_pairs
+
+    ds = load(SF, "embeddings", columns=["vec_id", "embedding"])
+    brute = _embed_df(
+        embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold, mode="allpairs")
+    )
+    bucketed = _embed_df(
+        embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold, mode="bucketed")
+    )
+    auto = _embed_df(embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold))
+    assert bucketed.equals(brute)
+    assert auto.equals(brute)
+
+
+def test_embedding_allpairs_guard(ray_session, monkeypatch):
+    """Forcing the O(n^2) plan above the row guard must refuse, not run."""
+    import apache___solr_ray.stages.dedup as dd
+    from apache___solr_ray.sources import load
+
+    ds = load(SF, "embeddings", columns=["vec_id", "embedding"])
+    monkeypatch.setattr(dd, "EMBED_ALLPAIRS_MAX", 10)
+    with pytest.raises(ValueError, match="EMBED_ALLPAIRS_MAX"):
+        dd.embedding_near_dup_pairs(ds, "embedding", "vec_id", 0.4, mode="allpairs")
+
+
+def test_jaccard_exact_guard(ray_session, monkeypatch):
+    """jaccard_pairs_exact refuses above JACCARD_EXACT_MAX and points to
+    the LSH scale path."""
+    import apache___solr_ray.stages.dedup as dd
+    from apache___solr_ray.sources import load
+
+    ds = load(SF, "documents", columns=["doc_id", "text"])
+    monkeypatch.setattr(dd, "JACCARD_EXACT_MAX", 5)
+    with pytest.raises(ValueError, match="lsh_verified_pairs"):
+        dd.jaccard_pairs_exact(ds, "text", "doc_id", 9, 10, shingle=3)

@@ -64,6 +64,11 @@ EQUIV = [
     "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS kinds, floor(max(value) * 100 + 0.5)/100 AS mx FROM events GROUP BY user_id HAVING count(DISTINCT event_type) >= 4 ORDER BY user_id LIMIT 25",
     # table alias + qualified refs + LIMIT OFFSET paging
     "SELECT o.o_orderkey, o.o_totalprice FROM orders AS o WHERE o.o_orderstatus = 'F' ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 15",
+    # global aggregate over ZERO matching rows: exactly one identity row
+    # (count=0, sum/avg/min/max NULL) — the SQL zero-input contract
+    "SELECT CAST(count(*) AS BIGINT) AS n, sum(value) AS s, avg(value) AS a, min(value) AS lo, max(value) AS hi FROM events WHERE value > 99999999",
+    # identity row with count(DISTINCT) (two-level rewrite path)
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS uu, CAST(count(*) AS BIGINT) AS n FROM events WHERE value > 99999999",
 ]
 
 
@@ -80,6 +85,17 @@ def test_sql_empty_result(ray_session):
     # of a fully-empty Dataset (documented Ray Data behavior)
     df = _mine("SELECT o_orderkey FROM orders WHERE o_totalprice < 0 ORDER BY o_orderkey")
     assert len(df) == 0
+
+
+def test_offset_returns_lazy_dataset(ray_session):
+    """Every sql_query path returns a Ray Dataset (jobs/sql_job.py calls
+    .limit/.write_parquet on it) — the OFFSET page must be re-wrapped."""
+    res = sql_query(
+        SF,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 3",
+    )
+    assert hasattr(res, "to_pandas") and hasattr(res, "limit")
+    assert res.limit(2).count() == 2
 
 
 def test_parse_errors():

@@ -81,3 +81,33 @@ def test_range_query_filter(ray_session):
     ).to_pandas()
     assert len(df) > 0
     assert df["value"].between(10, 20).all()
+
+
+def test_hashed_side_guard_before_collect(ray_session, monkeypatch):
+    """An over-limit hashed side must raise from the metadata-count check
+    BEFORE any to_pandas() driver collection (ADVICE r4: the old order
+    could OOM the driver before the guard fired)."""
+    import apache___solr_ray.streamexpr as se
+
+    monkeypatch.setattr(se, "HASHED_SIDE_MAX", 3)
+    with pytest.raises(StreamExprError, match="HASHED_SIDE_MAX|rows"):
+        stream_expr(
+            SF,
+            'hashJoin(search(events, q="*:*", fl="user_id,event_id"), '
+            'hashed=search(customer, q="*:*", fl="c_custkey,c_name"), '
+            'on="user_id=c_custkey")',
+        )
+
+
+def test_set_op_guard_before_collect(ray_session, monkeypatch):
+    """intersect()/complement() size-check the distinct-key table via
+    count() before collecting it."""
+    import apache___solr_ray.streamexpr as se
+
+    monkeypatch.setattr(se, "HASHED_SIDE_MAX", 2)
+    with pytest.raises(StreamExprError, match="distinct keys"):
+        stream_expr(
+            SF,
+            'intersect(search(events, q="*:*", fl="user_id,event_id"), '
+            'search(customer, q="*:*", fl="c_custkey"), on="user_id=c_custkey")',
+        )
