@@ -133,3 +133,39 @@ _sql(
     ORDER BY event_type ASC
     """,
 )
+
+_sql(
+    "sql_join_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment ASC
+    """,
+)
+
+_sql(
+    "sql_left_join_nulls",
+    """
+    SELECT c_custkey, o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c_custkey <= 25
+    ORDER BY c_custkey ASC, o_orderkey ASC
+    LIMIT 80
+    """,
+)
+
+_sql(
+    "sql_join_where_both_sides",
+    """
+    SELECT l_orderkey,
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net,
+           o_orderpriority
+    FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o_orderstatus = 'F' AND l_quantity > 49
+    ORDER BY net DESC, l_orderkey ASC
+    LIMIT 15
+    """,
+)

@@ -21,7 +21,13 @@ blocks the rest of this engine uses:
 
 Dialect (documented subset — everything else raises ``SqlError``):
   SELECT [DISTINCT] item [, item...]   item := expr [AS alias]
-  FROM <single table> [[AS] alias]
+  FROM table [[AS] alias]
+       [[INNER | LEFT [OUTER]] JOIN table [[AS] alias]
+        ON a.x = b.y [AND a.p = b.q ...]]   -- equality join; the planner
+        broadcasts build sides <= SQL_BROADCAST_MAX parquet-metadata rows
+        (ray.put + per-batch pandas merge, no shuffle) and runs bigger
+        sides as Ray Data's distributed hash join. Scalar references must
+        resolve to exactly one side (qualify only in ON).
   [WHERE expr] [GROUP BY col, ...] [HAVING expr]
   [ORDER BY name [ASC|DESC], ...] [LIMIT n [OFFSET m]]
   expr: column, 'string', number, + - * / ( ), comparison (= <> != < <= > >=),
@@ -140,6 +146,14 @@ class Item:
     alias: str | None
 
 
+@dataclass(frozen=True)
+class Join:
+    table: str
+    alias: str | None
+    kind: str  # inner | left
+    on: tuple  # ((qual|None, name), (qual|None, name)) pairs
+
+
 @dataclass
 class Query:
     items: list
@@ -151,6 +165,8 @@ class Query:
     order_by: list  # [(name, desc)]
     limit: int | None
     offset: int = 0
+    table_alias: str | None = None
+    join: Join | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +185,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having", "order",
     "limit", "as", "and", "or", "not", "in", "like", "is", "null", "between",
-    "cast", "asc", "desc",
+    "cast", "asc", "desc", "join", "inner", "left", "outer", "on",
 }
 
 
@@ -276,11 +292,8 @@ class _Parser:
             items.append(self.select_item())
         self.expect_kw("from")
         table = self.ident()
-        # optional table alias (qualified refs strip qualifiers anyway)
-        if self.eat_kw("as"):
-            self.ident()
-        elif self.peek()[0] == "id":
-            self.ident()
+        table_alias = self.table_alias()
+        join = self.join_clause()
         where = self.expr() if self.eat_kw("where") else None
         group_by: list[str] = []
         if self.eat_kw("group"):
@@ -319,8 +332,90 @@ class _Parser:
         if self.peek() != (None, None):
             raise SqlError(f"unexpected trailing tokens: {self.peek()}")
         return Query(
-            items, distinct, table, where, group_by, having, order_by, limit, offset
+            items, distinct, table, where, group_by, having, order_by, limit,
+            offset, table_alias, join,
         )
+
+    def table_alias(self) -> str | None:
+        """Optional [AS] alias after a table name (scalar refs strip
+        qualifiers; the alias matters only for resolving JOIN ON sides)."""
+        if self.eat_kw("as"):
+            typ, v = self.next()
+            if typ != "id":
+                raise SqlError("expected alias identifier after AS")
+            return v
+        if self.peek()[0] == "id":
+            return self.next()[1]
+        return None
+
+    def join_clause(self) -> Join | None:
+        """[INNER | LEFT [OUTER]] JOIN table [[AS] alias] ON a.x = b.y
+        [AND ...] — single equality join (the engine's broadcast /
+        distributed hash-join planner picks the physical plan)."""
+        kind = None
+        if self.eat_kw("inner"):
+            kind = "inner"
+        elif self.eat_kw("left"):
+            self.eat_kw("outer")
+            kind = "left"
+        if not self.eat_kw("join"):
+            if kind is not None:
+                raise SqlError("expected JOIN after INNER/LEFT")
+            return None
+        kind = kind or "inner"
+        table = self.ident_raw()
+        alias = self.table_alias()
+        self.expect_kw("on")
+        pairs = [self.on_equality()]
+        while self.at_kw("and") and self.is_on_equality_ahead():
+            self.expect_kw("and")
+            pairs.append(self.on_equality())
+        return Join(table, alias, kind, tuple(pairs))
+
+    def ident_raw(self) -> str:
+        typ, v = self.next()
+        if typ != "id":
+            raise SqlError(f"expected identifier, got {typ} {v!r}")
+        return v
+
+    def qual_ident(self) -> tuple:
+        """(qualifier | None, name) — qualifiers are meaningful in ON."""
+        name = self.ident_raw()
+        if self.at_op("."):
+            self.i += 1
+            return (name, self.ident_raw())
+        return (None, name)
+
+    def on_equality(self) -> tuple:
+        l = self.qual_ident()
+        self.expect_op("=")
+        r = self.qual_ident()
+        return (l, r)
+
+    def is_on_equality_ahead(self) -> bool:
+        """Lookahead distinguishing `ON a=b AND c=d` from a following WHERE
+        predicate: an ON conjunct is ident[.ident] = ident[.ident]."""
+        j = self.i + 1  # past AND
+        def is_id(p):
+            return p < len(self.toks) and self.toks[p][0] == "id"
+        if not is_id(j):
+            return False
+        j += 1
+        if j < len(self.toks) and self.toks[j] == ("op", "."):
+            j += 1
+            if not is_id(j):
+                return False
+            j += 1
+        if j >= len(self.toks) or self.toks[j] != ("op", "="):
+            return False
+        j += 1
+        if not is_id(j):
+            return False
+        j += 1
+        if j < len(self.toks) and self.toks[j] == ("op", "."):
+            j += 1
+            return is_id(j)
+        return True
 
     def select_item(self) -> Item:
         e = self.expr()
@@ -607,6 +702,143 @@ def _item_name(item: Item) -> str:
     raise SqlError("computed select items require an AS alias (oracle naming)")
 
 
+#: build sides at or below this parquet-metadata row count broadcast
+#: (ray.put once + per-batch pandas merge, no shuffle); above it the join
+#: runs as Ray Data's distributed hash join
+SQL_BROADCAST_MAX = 2_000_000
+
+
+def _table_schema_names(sf_dir: str, table: str) -> list[str]:
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).schema_arrow.names
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
+
+
+def _compile_join(sf_dir: str, q: Query, cols: set):
+    """FROM t1 JOIN t2 ON ... — the size-adaptive physical plan the rest of
+    the engine uses (reference join surface: JoinQParserPlugin /
+    HashJoinStream vs the distributed InnerJoinStream): a build side whose
+    parquet metadata says <= SQL_BROADCAST_MAX rows is collected once,
+    ``ray.put``, and probed with a vectorized pandas merge per batch — no
+    shuffle; bigger sides use ``Dataset.join`` (both sides hash-partitioned
+    on the key). Scalar column references must resolve to exactly one side
+    (TPC-H-style disjoint names; qualify only in ON)."""
+    from apache___solr_ray.sources import load
+
+    j = q.join
+    lnames = set(_table_schema_names(sf_dir, q.table))
+    rnames = set(_table_schema_names(sf_dir, j.table))
+    laliases = {q.table, q.table_alias}
+    raliases = {j.table, j.alias}
+
+    def side_of(qual, name) -> str:
+        if qual is not None:
+            if qual in laliases:
+                return "l"
+            if qual in raliases:
+                return "r"
+            raise SqlError(f"unknown table qualifier {qual!r}")
+        in_l, in_r = name in lnames, name in rnames
+        if in_l and in_r:
+            raise SqlError(f"ambiguous ON column {name!r}: qualify it")
+        if in_l:
+            return "l"
+        if in_r:
+            return "r"
+        raise SqlError(f"ON column {name!r} not found in either table")
+
+    lkeys, rkeys = [], []
+    for (aq, an), (bq, bn) in j.on:
+        sa, sb = side_of(aq, an), side_of(bq, bn)
+        if sa == sb:
+            raise SqlError("each ON equality must reference both tables")
+        if sa == "l":
+            lkeys.append(an)
+            rkeys.append(bn)
+        else:
+            lkeys.append(bn)
+            rkeys.append(an)
+    for k in lkeys:
+        if k not in lnames:
+            raise SqlError(f"ON column {k!r} not in table {q.table!r}")
+    for k in rkeys:
+        if k not in rnames:
+            raise SqlError(f"ON column {k!r} not in table {j.table!r}")
+
+    lcols, rcols = set(lkeys), set(rkeys)
+    for c in cols:
+        in_l, in_r = c in lnames, c in rnames
+        if in_l and in_r:
+            raise SqlError(
+                f"column {c!r} exists in both tables — JOIN queries need "
+                "disjoint referenced column names (qualify only in ON)"
+            )
+        if in_l:
+            lcols.add(c)
+        elif in_r:
+            rcols.add(c)
+        else:
+            raise SqlError(f"column {c!r} not found in either table")
+
+    lds = load(sf_dir, q.table, columns=sorted(lcols))
+    n_right = _table_rows(sf_dir, j.table)
+    drop_rkeys = [k for k in rkeys if k not in cols]
+
+    if n_right <= SQL_BROADCAST_MAX:
+        import ray
+
+        from apache___solr_ray.sources import load_arrow
+
+        rt = load_arrow(sf_dir, j.table, columns=sorted(rcols)).to_pandas()
+        ref = ray.put(rt)
+        state: dict = {}
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            if "r" not in state:
+                state["r"] = ray.get(ref)
+            out = df.merge(
+                state["r"],
+                left_on=lkeys,
+                right_on=rkeys,
+                how=("left" if j.kind == "left" else "inner"),
+            )
+            d = [k for k in drop_rkeys if k in out.columns]
+            return out.drop(columns=d) if d else out
+
+        return lds.map_batches(probe, batch_format="pandas")
+
+    # big build side: distributed hash join, partitions sized to CPUs/4
+    # (aggregator-actor count must not wedge small sessions)
+    from apache___solr_ray.stages.dedup import _default_join_partitions
+
+    rds = load(sf_dir, j.table, columns=sorted(rcols))
+    joined = lds.join(
+        rds,
+        join_type=("left_outer" if j.kind == "left" else "inner"),
+        num_partitions=_default_join_partitions(),
+        on=tuple(lkeys),
+        right_on=tuple(rkeys),
+    )
+    if drop_rkeys:
+        joined = joined.map_batches(
+            lambda t, _d=tuple(drop_rkeys): t.drop_columns(
+                [c for c in _d if c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return joined
+
+
 def sql_query(sf_dir: str, sql: str):
     """Parse + compile ``sql`` and return the lazy Ray ``Dataset``.
 
@@ -629,7 +861,10 @@ def sql_query(sf_dir: str, sql: str):
         cols.add(g)
     if not cols:
         raise SqlError("query references no columns")
-    ds = load(sf_dir, q.table, columns=sorted(cols))
+    if q.join is not None:
+        ds = _compile_join(sf_dir, q, cols)
+    else:
+        ds = load(sf_dir, q.table, columns=sorted(cols))
 
     # -- WHERE (SolrFilter push-down): one vectorized mask per batch ---------
     if q.where is not None:

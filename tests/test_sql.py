@@ -69,6 +69,14 @@ EQUIV = [
     "SELECT CAST(count(*) AS BIGINT) AS n, sum(value) AS s, avg(value) AS a, min(value) AS lo, max(value) AS hi FROM events WHERE value > 99999999",
     # identity row with count(DISTINCT) (two-level rewrite path)
     "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS uu, CAST(count(*) AS BIGINT) AS n FROM events WHERE value > 99999999",
+    # INNER JOIN (broadcast build side) + GROUP BY across both tables
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, floor(sum(o_totalprice)*100+0.5)/100 AS rev FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    # LEFT JOIN: unmatched left rows carry right-side NULLs
+    "SELECT c_custkey, o_orderkey FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey WHERE c_custkey <= 20 ORDER BY c_custkey, o_orderkey LIMIT 60",
+    # unqualified ON columns resolved by schema membership
+    "SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey WHERE o_totalprice > 290000 ORDER BY c_custkey LIMIT 10",
+    # join + WHERE touching both sides + computed projection
+    "SELECT l_orderkey, floor(l_extendedprice*(1-l_discount)*100+0.5)/100 AS net, o_orderpriority FROM lineitem l INNER JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o_orderstatus = 'F' AND l_quantity > 49 ORDER BY net DESC, l_orderkey LIMIT 15",
 ]
 
 
@@ -85,6 +93,42 @@ def test_sql_empty_result(ray_session):
     # of a fully-empty Dataset (documented Ray Data behavior)
     df = _mine("SELECT o_orderkey FROM orders WHERE o_totalprice < 0 ORDER BY o_orderkey")
     assert len(df) == 0
+
+
+def test_join_distributed_plan_matches(ray_session, monkeypatch):
+    """Forcing the Dataset.join (big-big) physical plan must give the same
+    rows as the broadcast plan / DuckDB for both join kinds."""
+    import apache___solr_ray.sql as S
+
+    monkeypatch.setattr(S, "SQL_BROADCAST_MAX", 0)
+    for sql in (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+        "SELECT c_custkey, o_orderkey FROM customer c LEFT JOIN orders o "
+        "ON c.c_custkey = o.o_custkey WHERE c_custkey <= 12 "
+        "ORDER BY c_custkey, o_orderkey LIMIT 40",
+    ):
+        mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+        pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
+
+
+def test_join_errors(ray_session):
+    # ambiguous unqualified ON column (both tables have doc_id? use a col in both)
+    with pytest.raises(SqlError, match="not found in either"):
+        sql_query(SF, "SELECT c_custkey FROM customer JOIN orders ON nope = c_custkey")
+    # ON equality must span both tables
+    with pytest.raises(SqlError, match="both tables"):
+        sql_query(
+            SF,
+            "SELECT c_custkey FROM customer c JOIN orders o ON c.c_custkey = c.c_nationkey",
+        )
+    # unknown qualifier
+    with pytest.raises(SqlError, match="qualifier"):
+        sql_query(
+            SF,
+            "SELECT c_custkey FROM customer c JOIN orders o ON x.c_custkey = o.o_custkey",
+        )
 
 
 def test_offset_returns_lazy_dataset(ray_session):
