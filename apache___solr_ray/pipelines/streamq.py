@@ -163,3 +163,90 @@ _expr(
     FROM events GROUP BY user_id HAVING count(*) > 30
     """,
 )
+
+_expr(
+    "stream_cartesian_expr",
+    """cartesianProduct(search(embeddings, q="*:*", fl="vec_id,embedding"),
+                        "embedding as v")""",
+    """
+    SELECT vec_id, UNNEST(embedding) AS v FROM embeddings
+    """,
+)
+
+_expr(
+    "stream_parallel_rollup_expr",
+    """parallel(rollup(search(events, q="*:*", fl="event_type,user_id"),
+                       over="event_type", count(*), sum(user_id)),
+                workers=4, sort="event_type asc")""",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS "count(*)",
+           CAST(sum(user_id) AS BIGINT) AS "sum(user_id)"
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+
+_expr(
+    "stream_let_corr_expr",
+    """let(a=col(search(events, q="*:*", fl="value"), "value"),
+           b=col(search(events, q="*:*", fl="user_id"), "user_id"),
+           round(corr(a, b), 6))""",
+    """
+    SELECT floor(corr(value, user_id) * 1000000 + 0.5) / 1000000 AS result
+    FROM events
+    """,
+)
+
+_expr(
+    "stream_let_regress_expr",
+    """let(a=col(search(events, q="*:*", fl="value"), "value"),
+           b=col(search(events, q="*:*", fl="user_id"), "user_id"),
+           precision(regress(a, b), 6))""",
+    """
+    SELECT floor(regr_slope(user_id, value)     * 1000000 + 0.5) / 1000000 AS slope,
+           floor(regr_intercept(user_id, value) * 1000000 + 0.5) / 1000000 AS intercept,
+           floor(regr_r2(user_id, value)        * 1000000 + 0.5) / 1000000 AS rsquared
+    FROM events
+    """,
+)
+
+_expr(
+    "stream_let_movingavg_expr",
+    """let(a=col(search(events, q="event_type:click", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           precision(movingAvg(a, 7), 6))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'click'),
+         w AS (SELECT rn, avg(value) OVER (ORDER BY rn
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mv
+               FROM s)
+    SELECT CAST(rn - 7 AS BIGINT) AS i,
+           floor(mv * 1000000 + 0.5) / 1000000 AS value
+    FROM w WHERE rn >= 7
+    """,
+)
+
+_expr(
+    "stream_let_describe_expr",
+    """let(a=col(search(events, q="*:*", fl="value"), "value"),
+           precision(describe(a), 4))""",
+    """
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           floor(avg(value)    * 10000 + 0.5) / 10000 AS mean,
+           floor(min(value)    * 10000 + 0.5) / 10000 AS min,
+           floor(max(value)    * 10000 + 0.5) / 10000 AS max,
+           floor(stddev(value) * 10000 + 0.5) / 10000 AS stddev
+    FROM events
+    """,
+)
+
+_expr(
+    "stream_let_percentile_expr",
+    """let(a=col(search(events, q="*:*", fl="value"), "value"),
+           precision(percentile(a, 90), 4))""",
+    """
+    SELECT floor(quantile_cont(value, 0.90) * 10000 + 0.5) / 10000 AS result
+    FROM events
+    """,
+)

@@ -23,7 +23,17 @@ Supported decorators (each cites its reference stream):
 - ``top(stream, n=5, sort="a desc")`` — RankStream: distributed
   sort+limit;
 - ``having(stream, eq|gt|lt|gteq|lteq|and|or|not(...))`` — HavingStream:
-  boolean predicate over tuples.
+  boolean predicate over tuples;
+- ``cartesianProduct(stream, "field [as name]")`` — CartesianProductStream:
+  explode a multivalued field, one tuple per element (vectorized unnest);
+- ``parallel(stream, workers=N, sort=...)`` — ParallelStream: Ray's
+  executor already runs the compiled inner pipeline data-parallel, so
+  workers maps to the output partition count + the declared merge sort;
+- ``let(x=col(stream, "f"), ..., expr)`` — LetStream + the ``io/eval/``
+  math-evaluator pack (corr, regress, predict, movingAvg/Median,
+  percentile, describe, hist, precision, zscores, ebe*/dot/cosine, ...)
+  via ``apache___solr_ray.mathexpr``; col() vectors are guarded
+  driver-side state, everything upstream stays distributed.
 
 Scale notes: the only shuffles are rollup's groupby-over-partials, the
 join's single co-location and top's sort — the decorators compose without
@@ -804,6 +814,107 @@ def _op_complement(node: Node, sf_dir: str):
     return _op_set(node, sf_dir, keep=False)
 
 
+def _op_cartesian(node: Node, sf_dir: str):
+    """CartesianProductStream (reference ``CartesianProductStream.java``):
+    one output tuple per element of a multivalued (list) field, all other
+    fields repeated — the explode/unnest shape, fully vectorized (list
+    lengths -> np.repeat take indices; the flattened child array is the
+    new column, zero-copy from the Arrow list buffer)."""
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("cartesianProduct() needs an inner stream")
+    if len(node.args) < 2 or not isinstance(node.args[1], str):
+        raise StreamExprError('cartesianProduct(stream, "field [as name]") expected')
+    ds, _ = _compile(node.args[0], sf_dir)
+    m = re.match(r"^(\w+)(?:\s+as\s+(\w+))?$", node.args[1].strip(), re.IGNORECASE)
+    if not m:
+        raise StreamExprError(f"bad cartesianProduct field {node.args[1]!r}")
+    fld, out = m.group(1), m.group(2) or m.group(1)
+
+    def explode(t: pa.Table, _f=fld, _o=out) -> pa.Table:
+        if _f not in t.column_names:
+            raise StreamExprError(f"cartesianProduct: no field {_f!r}")
+        col = t.column(_f).combine_chunks()
+        if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+            raise StreamExprError(f"cartesianProduct: {_f!r} is not multivalued")
+        lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lengths = np.where(np.isnan(lengths.astype(np.float64)), 0, lengths).astype(np.int64)
+        idx = pa.array(np.repeat(np.arange(t.num_rows), lengths))
+        cols = {n: t.column(n).take(idx) for n in t.column_names if n != _f}
+        cols[_o] = col.flatten()
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow"), None
+
+
+def _op_parallel(node: Node, sf_dir: str):
+    """ParallelStream (reference ``ParallelStream.java:39-46``): Solr ships
+    the inner expression to N workers, each reading its hash partition.
+    Ray Data's streaming executor ALREADY executes every stage of the
+    compiled inner pipeline data-parallel (the scan partitions into blocks;
+    map_batches fans out; wide ops shuffle), so ``workers=N`` maps to the
+    output partition count (``repartition(N)``) and the expression is
+    otherwise structural. ``sort=`` declares the merge order exactly like
+    the reference's worker-merge."""
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("parallel() needs an inner stream")
+    ds, sort = _compile(node.args[0], sf_dir)
+    workers = int(node.params.get("workers", "0") or 0)
+    if workers > 0:
+        ds = ds.repartition(workers)
+    if "sort" in node.params:
+        sort = _parse_sort(node.params["sort"])
+        ds = ds.sort([c for c, _ in sort], descending=[d for _, d in sort])
+    return ds, sort
+
+
+#: let() vectors are bounded driver-side state (the reference evaluates
+#: math expressions on one worker the same way) — col() refuses beyond this
+LET_VECTOR_MAX = 10_000_000
+
+
+def _op_let(node: Node, sf_dir: str):
+    """Math expressions (reference ``LetStream.java`` + the ``io/eval/``
+    evaluator pack; guide ``math-expressions.adoc``): bind variables in
+    declared order — ``col(stream, field)`` collects ONE column of a
+    compiled (distributed) stream under LET_VECTOR_MAX — then evaluate the
+    final expression via apache___solr_ray.mathexpr and emit the result as
+    a tuple stream."""
+    import ray
+
+    from apache___solr_ray import mathexpr
+
+    def col_fn(cnode: Node):
+        if len(cnode.args) < 2 or not isinstance(cnode.args[0], Node) or not isinstance(cnode.args[1], str):
+            raise StreamExprError('col(stream, "field") expected')
+        cds, csort = _compile(cnode.args[0], sf_dir)
+        if csort:
+            cds = cds.sort([c for c, _ in csort], descending=[d for _, d in csort])
+        fldname = cnode.args[1]
+        cds = cds.select_columns([fldname]).materialize()
+        n = cds.count()
+        if n > LET_VECTOR_MAX:
+            raise StreamExprError(
+                f"col() vector has {n} rows (> LET_VECTOR_MAX={LET_VECTOR_MAX}); "
+                "let() vectors are bounded in-memory state — aggregate upstream"
+            )
+        return cds.to_pandas()[fldname].to_numpy(dtype=np.float64)
+
+    env: dict = {}
+    for k, v in node.params.items():
+        if isinstance(v, Node):
+            env[k] = mathexpr.eval_node(v, env, col_fn)
+        else:
+            env[k] = float(v) if "." in str(v) else int(v)
+    exprs = [a for a in node.args if isinstance(a, Node)]
+    if len(exprs) != 1:
+        raise StreamExprError("let() needs exactly one final expression")
+    try:
+        res = mathexpr.eval_node(exprs[0], env, col_fn)
+    except mathexpr.MathExprError as e:
+        raise StreamExprError(str(e)) from None
+    return ray.data.from_arrow(mathexpr.result_to_table(res)), None
+
+
 _OPS = {
     "search": _op_search,
     "select": _op_select,
@@ -822,6 +933,9 @@ _OPS = {
     "facet": _op_facet,
     "stats": _op_stats,
     "timeseries": _op_timeseries,
+    "cartesianProduct": _op_cartesian,
+    "parallel": _op_parallel,
+    "let": _op_let,
 }
 
 

@@ -111,3 +111,79 @@ def test_set_op_guard_before_collect(ray_session, monkeypatch):
             'intersect(search(events, q="*:*", fl="user_id,event_id"), '
             'search(customer, q="*:*", fl="c_custkey"), on="user_id=c_custkey")',
         )
+
+
+# -- math expressions (let / evaluators), cartesianProduct, parallel ---------
+
+
+def test_mathexpr_evaluator_invariants():
+    """Pure-numpy evaluator identities (no Ray needed)."""
+    import numpy as np
+
+    from apache___solr_ray.mathexpr import EVALS
+
+    a = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    b = np.array([2.0, 4.0, 6.0, 8.0, 10.0])
+    assert EVALS["corr"](a, b) == pytest.approx(1.0)
+    model = EVALS["regress"](a, b)
+    assert model["slope"] == pytest.approx(2.0)
+    assert model["intercept"] == pytest.approx(0.0)
+    assert model["rsquared"] == pytest.approx(1.0)
+    assert EVALS["predict"](model, 7.0) == pytest.approx(14.0)
+    assert list(EVALS["movingAvg"](a, 2)) == [1.5, 2.5, 3.5, 4.5]
+    assert list(EVALS["diff"](a)) == [1.0, 1.0, 1.0, 1.0]
+    assert list(EVALS["cumulativeSum"](a)) == [1.0, 3.0, 6.0, 10.0, 15.0]
+    assert EVALS["dotProduct"](a, b) == pytest.approx(float(a @ b))
+    assert EVALS["cosineSimilarity"](a, b) == pytest.approx(1.0)
+    assert EVALS["percentile"](a, 50) == pytest.approx(3.0)
+    z = EVALS["zscores"](a)
+    assert z.mean() == pytest.approx(0.0)
+    assert z.std(ddof=1) == pytest.approx(1.0)
+    bins = EVALS["hist"](a, 2)
+    assert [r["n"] for r in bins] == [2.0, 3.0]
+    # precision uses the oracle's floor(x*K+0.5)/K half-up convention
+    assert EVALS["precision"](0.00005, 4) == 0.0001
+    assert EVALS["precision"](-0.00005, 4) == pytest.approx(0.0)
+
+
+def test_let_unbound_variable(ray_session):
+    with pytest.raises(StreamExprError, match="unbound"):
+        stream_expr(SF, 'let(a=col(search(events, q="*:*", fl="value"), "value"), corr(a, zz))')
+
+
+def test_let_vector_guard(ray_session, monkeypatch):
+    import apache___solr_ray.streamexpr as se
+
+    monkeypatch.setattr(se, "LET_VECTOR_MAX", 3)
+    with pytest.raises(StreamExprError, match="LET_VECTOR_MAX"):
+        stream_expr(SF, 'let(a=col(search(events, q="*:*", fl="value"), "value"), mean(a))')
+
+
+def test_cartesian_requires_list_column(ray_session):
+    with pytest.raises(Exception, match="not multivalued"):
+        stream_expr(
+            SF,
+            'cartesianProduct(search(events, q="*:*", fl="event_id,value"), "value")',
+        ).to_pandas()
+
+
+def test_cartesian_explodes_lists(ray_session):
+    import pyarrow.parquet as pq
+
+    res = stream_expr(
+        SF,
+        'cartesianProduct(search(embeddings, q="*:*", fl="vec_id,embedding"), "embedding as v")',
+    ).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    total = sum(len(x) for x in t.column("embedding").to_pylist())
+    assert len(res) == total
+    assert list(res.columns) == ["vec_id", "v"]
+
+
+def test_parallel_repartitions_and_sorts(ray_session):
+    ds = stream_expr(
+        SF,
+        'parallel(search(events, q="*:*", fl="event_id,value"), workers=3, sort="event_id asc")',
+    )
+    df = ds.to_pandas()
+    assert list(df["event_id"]) == sorted(df["event_id"])
