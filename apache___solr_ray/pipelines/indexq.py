@@ -1808,6 +1808,211 @@ def index_edismax_pf_topk(sf_dir: str):
     )
 
 
+# -- edismax pf2/pf3 (bigram/trigram phrase boosts) + bq/bf --------------------
+
+_PF23_TERMS = ["merge", "join", "data"]
+_PF2_WEIGHT = 1.5
+_PF3_WEIGHT = 3.0
+_BQBF_TERMS = ["merge", "join"]
+_BQ_TERM, _BQ_WEIGHT = "fast", 0.8
+_BF_WEIGHT = 0.3  # bf=0.3*ln(1+n_chars), an additive function boost
+
+
+def _phrase_boost_sql_parts(grams: list[tuple[list[str], float, str]]) -> tuple[str, str]:
+    """CTEs + additive expression for a set of (terms, weight, tag) phrase
+    boosts — each gram mirrors the codec-v2 position self-join and Lucene
+    PhraseWeight scoring (tf = exact-phrase freq, idf = summed clause
+    idfs) the engine computes from phrase_freqs()."""
+    ctes, adds = [], []
+    for terms, weight, tag in grams:
+        pj = "".join(
+            f" JOIN toks {tag}{i} ON {tag}{i}.doc_id = {tag}0.doc_id AND {tag}{i}.pos = {tag}0.pos + {i}"
+            for i in range(1, len(terms))
+        )
+        cond = " AND ".join(f"{tag}{i}.term = '{t}'" for i, t in enumerate(terms))
+        in_list = ", ".join(repr(t) for t in terms)
+        ctes.append(
+            f"""pfreq_{tag} AS (SELECT {tag}0.doc_id, count(*) AS ptf
+              FROM (SELECT * FROM toks) {tag}0{pj} WHERE {cond} GROUP BY {tag}0.doc_id),
+    pidf_{tag} AS (SELECT sum(ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))) AS v
+             FROM (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE term IN ({in_list}) GROUP BY term) df CROSS JOIN st),
+    ps_{tag} AS (SELECT pfreq_{tag}.doc_id,
+                  pidf_{tag}.v * pfreq_{tag}.ptf
+                    / (pfreq_{tag}.ptf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS p
+           FROM pfreq_{tag} JOIN qd ON qd.doc_id = pfreq_{tag}.doc_id
+           CROSS JOIN st CROSS JOIN pidf_{tag})"""
+        )
+        adds.append(
+            f"{weight}*COALESCE((SELECT p FROM ps_{tag} WHERE ps_{tag}.doc_id = pd.doc_id), 0)"
+        )
+    return ",\n    ".join(ctes), " + ".join(adds)
+
+
+def _edismax_base_sql(main_terms: list[str], extra_terms: list[str] = ()) -> tuple[str, str]:
+    """The shared tokenize/df/BM25 CTE prefix (same quantized-length f64
+    BM25 the pf oracle uses) + the main-score sum expression."""
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    all_terms = list(dict.fromkeys([*main_terms, *extra_terms]))
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    in_list = ", ".join(repr(t) for t in all_terms)
+    case_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN s END), 0) AS s_{t}"
+        for t in all_terms
+    )
+    prefix = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term,
+             unnest(range(len({_TOKS}))) AS pos
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({in_list}) GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id)"""
+    main_sum = " + ".join(f"s_{t}" for t in main_terms)
+    return prefix, main_sum
+
+
+def _edismax_pf23_oracle_sql() -> str:
+    grams: list[tuple[list[str], float, str]] = []
+    for i in range(len(_PF23_TERMS) - 1):
+        grams.append((_PF23_TERMS[i : i + 2], _PF2_WEIGHT, f"b{i}"))
+    grams.append((list(_PF23_TERMS), _PF3_WEIGHT, "tri"))
+    prefix, main_sum = _edismax_base_sql(_PF23_TERMS)
+    ctes, adds = _phrase_boost_sql_parts(grams)
+    return f"""{prefix},
+    {ctes},
+    fin AS (SELECT pd.doc_id, {main_sum} + {adds} AS b
+            FROM pd WHERE {main_sum} > 0)
+    SELECT CAST(row_number() OVER (ORDER BY b DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(b*10000 + 0.5)/10000.0 AS score
+    FROM fin ORDER BY b DESC, doc_id LIMIT 10
+    """
+
+
+def _phrase_boost_scores(r, idmap, ids, terms: list[str]) -> np.ndarray:
+    """Lucene PhraseWeight BM25 for one gram, aligned to ``ids``."""
+    import math
+
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    out = np.zeros(len(ids), np.float64)
+    if any(r.term_postings(t) is None for t in terms):
+        return out
+    pdocs, pfreqs, pnorms = r.phrase_freqs(" ".join(terms))
+    if not len(pdocs):
+        return out
+    avgdl = r.sum_total_tf / r.doc_count
+    idf = sum(
+        math.log(1 + (r.doc_count - r.term_postings(t).df + 0.5) / (r.term_postings(t).df + 0.5))
+        for t in terms
+    )
+    qdl = LENGTH_TABLE[pnorms.astype(np.uint8)].astype(np.float64)
+    ptf = pfreqs.astype(np.float64)
+    p = idf * ptf / (ptf + 1.2 * (0.25 + 0.75 * qdl / avgdl))
+    mapped = np.array([idmap[int(d)] for d in pdocs], dtype=np.int64)
+    pos = np.searchsorted(ids, mapped)
+    ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == mapped)
+    np.add.at(out, pos[ok], p[ok])
+    return out
+
+
+def _rank_table(ids: np.ndarray, s: np.ndarray, cand: np.ndarray, k: int = 10) -> pa.Table:
+    ids_c, s_c = ids[cand], s[cand]
+    final = np.lexsort((ids_c, -s_c))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids_c[final], pa.int64()),
+            "score": pa.array(
+                np.floor(s_c[final] * 10000 + 0.5) / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
+@q("index_edismax_pf23_topk", _edismax_pf23_oracle_sql())
+def index_edismax_pf23_topk(sf_dir: str):
+    """edismax ``pf2``/``pf3`` (reference ExtendedDismaxQParser.java:
+    ``addShingledPhraseQueries`` — the analyzed query's adjacent BIGRAMS
+    are each run as phrase queries boosted by pf2, its TRIGRAMS by pf3,
+    all adding to the main score). Query 'merge join data': final =
+    Σ term BM25 + 1.5×(phrase('merge join') + phrase('join data'))
+    + 3.0×phrase('merge join data'); phrase scores from codec-v2
+    positions exactly like index_edismax_pf_topk."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, _PF23_TERMS)
+    s = cols[_PF23_TERMS[0]].copy()
+    for t in _PF23_TERMS[1:]:
+        s = s + cols[t]
+    cand = s > 0
+    for i in range(len(_PF23_TERMS) - 1):
+        s = s + _PF2_WEIGHT * _phrase_boost_scores(r, idmap, ids, _PF23_TERMS[i : i + 2])
+    s = s + _PF3_WEIGHT * _phrase_boost_scores(r, idmap, ids, _PF23_TERMS)
+    return _rank_table(ids, s, cand)
+
+
+def _edismax_bq_bf_oracle_sql() -> str:
+    prefix, main_sum = _edismax_base_sql(_BQBF_TERMS, [_BQ_TERM])
+    return f"""{prefix},
+    fin AS (SELECT pd.doc_id,
+                   {main_sum} + {_BQ_WEIGHT}*s_{_BQ_TERM}
+                   + {_BF_WEIGHT}*ln(1 + d.n_chars) AS b
+            FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+            WHERE {main_sum} > 0)
+    SELECT CAST(row_number() OVER (ORDER BY b DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(b*10000 + 0.5)/10000.0 AS score
+    FROM fin ORDER BY b DESC, doc_id LIMIT 10
+    """
+
+
+@q("index_edismax_bq_bf_topk", _edismax_bq_bf_oracle_sql())
+def index_edismax_bq_bf_topk(sf_dir: str):
+    """edismax ``bq`` (additive boost query) + ``bf`` (additive boost
+    function) — reference ExtendedDismaxQParser.java ``getBoostQueries``/
+    ``getBoostFunctions``: boost queries/functions score-ADD to every
+    matching main-query doc (unlike multiplicative ``boost``). Query
+    'merge join', bq='fast'^0.8 (its BM25 adds where it matches), bf =
+    0.3·ln(1+n_chars) (a numeric doc-value function, the recency-boost
+    shape). Candidates remain main-query matches."""
+    from apache___solr_ray.query import IndexReader
+    from apache___solr_ray.sources import load_arrow
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, [*_BQBF_TERMS, _BQ_TERM])
+    s = cols[_BQBF_TERMS[0]].copy()
+    for t in _BQBF_TERMS[1:]:
+        s = s + cols[t]
+    cand = s > 0
+    s = s + _BQ_WEIGHT * cols[_BQ_TERM]
+    # bf: align documents.n_chars to the sorted ids
+    dt = load_arrow(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    did = dt.column("doc_id").to_numpy()
+    nch = dt.column("n_chars").to_numpy().astype(np.float64)
+    order = np.argsort(did, kind="stable")
+    pos = np.searchsorted(did[order], ids)
+    s = s + _BF_WEIGHT * np.log1p(nch[order][pos])
+    return _rank_table(ids, s, cand)
+
+
 @q(
     "suggest_prefix_context",
     f"""
