@@ -329,3 +329,41 @@ def test_index_fingerprint_peersync(ray_session, tmp_path_factory):
     write_pages(d, 384, seed=42, rows_per_file=128)  # append a partition
     build_index(d, idx_b, cfg)
     assert index_fingerprint(idx_b) != fp_b  # append diverges
+
+
+def test_unapplied_tombstones_surface_in_build_stats(ray_session, tmp_path_factory):
+    """Purge-ledger partitions whose input fingerprint is NOT in the
+    current layout (stale fp or the unknown-partition sentinel) must
+    surface as metrics.tombstones_unapplied in the commit manifest — a
+    loud count, not just a warning (round-4 advice)."""
+    import json
+    import os
+    import warnings
+
+    from apache___solr_ray.deletes import PURGED_FILE, delete_by_url
+    from apache___solr_ray.merge import merge_segments
+
+    d = str(tmp_path_factory.mktemp("pages_ua"))
+    write_pages(d, 256, seed=7, rows_per_file=128)
+    idx = str(tmp_path_factory.mktemp("index_ua"))
+    cfg = IndexConfig(term_partitions=2, target_docs_per_part=128, max_postings_per_segment=5000)
+    build_index(d, idx, cfg)
+
+    r0 = IndexReader(idx)
+    d0, _ = r0.topk("the fast data", 10)
+    assert delete_by_url(idx, r0.urls_for(d0[:2])) == 2
+    merge_segments(idx, purge_deletes=True)
+
+    # tamper: add a stale-fingerprint partition and sentinel rows
+    p = os.path.join(idx, PURGED_FILE)
+    led = json.load(open(p))
+    led["by_fp"]["deadbeef-not-a-current-partition"] = [0, 1, 2]
+    led["by_fp"]["__unknown_partition__"] = [999]
+    json.dump(led, open(p, "w"))
+
+    write_pages(d, 384, seed=7, rows_per_file=128)  # force a real rebuild
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        man = build_index(d, idx, cfg)
+    assert man["metrics"].get("tombstones_reapplied") == 2
+    assert man["metrics"].get("tombstones_unapplied") == 4  # 3 stale + 1 sentinel
