@@ -375,6 +375,99 @@ def multimodal_frame_sample(sf_dir: str):
     )
 
 
+# -- REAL image decode: BMP/PPM/PNG pixels from actual bytes ------------------
+
+_IMG_CORPUS = "/tmp/apache___solr_ray_cache/imgcorpus_v1/images.parquet"
+_IMG_N = 240
+
+
+def ensure_image_corpus() -> str:
+    """Deterministic mixed-format image corpus (fixed path so the static
+    oracle SQL can read the same file): 240 seeded random images cycling
+    BMP / PPM / PNG(filter 0/1/2) with PNG color types gray/RGB/RGBA/
+    gray+alpha. Truth columns (width/height/channels/mean, the mean
+    rounded with the repo's floor(x*1e4+0.5)/1e4 convention) are computed
+    from the PRE-encode pixels; the engine must recover them from the
+    encoded bytes alone — a genuine end-to-end decode check."""
+    import os
+
+    import numpy as np2
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.stages.imagecodec import encode_bmp, encode_png, encode_ppm
+
+    if os.path.exists(_IMG_CORPUS):
+        return _IMG_CORPUS
+    os.makedirs(os.path.dirname(_IMG_CORPUS), exist_ok=True)
+    rng = np2.random.Generator(np2.random.PCG64(20260818))
+    rows = {k: [] for k in ("img_id", "fmt", "payload", "width_true", "height_true", "channels_true", "mean_true")}
+    png_ctypes = [1, 3, 4, 2]  # gray, RGB, RGBA, gray+alpha channel counts
+    for i in range(_IMG_N):
+        w = int(rng.integers(8, 49))
+        h = int(rng.integers(8, 49))
+        kind = i % 5
+        if kind == 0:
+            c = 3
+            img = rng.integers(0, 256, size=(h, w, c), dtype=np2.uint8)
+            payload, fmt = encode_bmp(img), "bmp"
+        elif kind == 1:
+            c = 3
+            img = rng.integers(0, 256, size=(h, w, c), dtype=np2.uint8)
+            payload, fmt = encode_ppm(img), "ppm"
+        else:
+            c = png_ctypes[i % 4]
+            img = rng.integers(0, 256, size=(h, w, c), dtype=np2.uint8)
+            payload, fmt = encode_png(img, filter_type=kind - 2), f"png{kind - 2}"
+        rows["img_id"].append(i)
+        rows["fmt"].append(fmt)
+        rows["payload"].append(payload)
+        rows["width_true"].append(w)
+        rows["height_true"].append(h)
+        rows["channels_true"].append(c)
+        rows["mean_true"].append(float(np2.floor(img.mean() * 10000 + 0.5) / 10000))
+    tbl = pa.table(
+        {
+            "img_id": pa.array(rows["img_id"], pa.int64()),
+            "fmt": pa.array(rows["fmt"], pa.string()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "width_true": pa.array(rows["width_true"], pa.int32()),
+            "height_true": pa.array(rows["height_true"], pa.int32()),
+            "channels_true": pa.array(rows["channels_true"], pa.int32()),
+            "mean_true": pa.array(rows["mean_true"], pa.float64()),
+        }
+    )
+    tmp = _IMG_CORPUS + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _IMG_CORPUS)
+    return _IMG_CORPUS
+
+
+@q(
+    "multimodal_decode_real",
+    f"""
+    SELECT img_id, width_true AS width, height_true AS height,
+           channels_true AS channels, mean_true AS mean_px
+    FROM read_parquet('{_IMG_CORPUS}')
+    """,
+)
+def multimodal_decode_real(sf_dir: str):
+    """REAL multimodal decode (no fake): BMP/PPM/PNG payload bytes through
+    the RealImageDecoder actor pool (stages/imagecodec.py — pure-stdlib
+    codecs incl. zlib PNG with all five scanline filters); the oracle is
+    the corpus's pre-encode ground truth, so a single wrong pixel mean,
+    dimension or channel count fails the hash. Reference role:
+    SolrContentHandler's media->fields extraction."""
+    import ray.data as rd
+
+    from apache___solr_ray.stages.multimodal import RealImageDecoder
+
+    path = ensure_image_corpus()
+    ds = rd.read_parquet(path, columns=["img_id", "payload"])
+    return ds.map_batches(
+        RealImageDecoder, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )
+
+
 # -- second wave: unnest / significant terms / more-like-this ----------------
 
 
@@ -1810,3 +1903,12 @@ def mlt_interesting_terms(sf_dir: str):
             "score": pa.array([x[3] for x in out], pa.float64()),
         }
     )
+
+
+# the image corpus must exist before the DRIVER's oracle SQL (which reads
+# the fixed parquet path) regardless of query/oracle execution order —
+# building it is idempotent, atomic and sub-second
+try:
+    ensure_image_corpus()
+except OSError:  # read-only /tmp etc. — the entry itself will retry
+    pass

@@ -27,17 +27,46 @@ import numpy as np
 import pyarrow as pa
 
 
-def decode_image(payload: bytes):
-    """STUB: real image decode (PIL/opencv) is unavailable in this container.
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for the containers a pure-stdlib codec can cover:
+    BMP (24/32-bit uncompressed), PPM/PGM, and 8-bit non-interlaced PNG
+    (all five scanline filters, zlib IDAT) — see ``stages/imagecodec.py``.
+    Returns an (H, W, C) uint8 array. JPEG/WebP/etc. still need a codec
+    library this container doesn't ship and raise ``ImageDecodeError``;
+    every pipeline goes through the same (payload: binary) -> pixels
+    contract either way."""
+    from apache___solr_ray.stages.imagecodec import decode_image as _dec
 
-    Swap in a real decoder by replacing this function; every pipeline that
-    uses it goes through the same (payload: binary) -> (h, w, features)
-    contract the fake implements.
-    """
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "container; use FakeImageDecoder for plumbing tests"
-    )
+    return _dec(payload)
+
+
+class RealImageDecoder:
+    """Actor-pool decode stage over REAL bytes (BMP/PPM/PNG): maps a batch
+    of binary payloads to (width, height, channels, mean_px). Same shape
+    as FakeImageDecoder — setup once per actor, small batch_size because
+    payload rows are wide — but the pixels are genuinely decoded."""
+
+    def __init__(self, payload_col: str = "payload"):
+        from apache___solr_ray.stages.imagecodec import decode_image as dec
+
+        self.col = payload_col
+        self.dec = dec
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, cs, means = [], [], [], []
+        for b in t.column(self.col).to_pylist():
+            arr = self.dec(b)
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            cs.append(arr.shape[2])
+            means.append(float(np.floor(arr.mean() * 10000 + 0.5) / 10000))
+        return (
+            t.drop_columns([self.col])
+            .append_column("width", pa.array(ws, pa.int32()))
+            .append_column("height", pa.array(hs, pa.int32()))
+            .append_column("channels", pa.array(cs, pa.int32()))
+            .append_column("mean_px", pa.array(means, pa.float64()))
+        )
 
 
 class FakeImageDecoder:
