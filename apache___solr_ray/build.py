@@ -146,7 +146,7 @@ class IndexConfig:
             f"T={self.term_partitions};salt={self.salt_threshold};"
             f"part={self.target_docs_per_part};stop={sorted(self.stopwords)};"
             f"html={self.text_from_html};pos={int(self.store_positions)};"
-            f"flds=[{';'.join(f.key() for f in self.fields)}];fmt=6"
+            f"flds=[{';'.join(f.key() for f in self.fields)}];fmt=7"
             + (f";sort={self.sort_field}:{int(self.sort_desc)}" if self.sort_field else "")
         )
 
@@ -286,18 +286,27 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
 
     post_path = os.path.join(index_dir, "postings_raw", f"part-{part_id:06d}.parquet")
     os.makedirs(os.path.dirname(post_path), exist_ok=True)
-    # Narrow shuffle payload: doc ids are stored as the 4-byte local row
-    # (doc_id = part_id << 32 | row is reconstructed by the reduce side) and
-    # the constant ``part`` column RLE-compresses to nothing on disk. Terms
-    # stay plain strings — Parquet dictionary-encodes them on disk anyway,
-    # and Arrow-level dictionary columns proved slower (per-row-group
-    # dictionary pages + unification on concat). tkey is precomputed here so
-    # the phase-B shuffle never hashes a term string.
+    # Narrow shuffle payload (the phase-B byte diet — phase B is memory/
+    # disk-bandwidth-bound, so shuffle bytes ARE reduce-side wall time):
+    # - doc ids are stored as the 4-byte local row (doc_id = part_id << 32
+    #   | row is reconstructed by the reduce side); the constant ``part``
+    #   column RLE-compresses to nothing;
+    # - terms stay dictionary-coded strings: measured against both a
+    #   part-local int-code + vocab-sidecar layout (1.14 B codes + 0.53 B
+    #   vocab) and a (term, row)-sorted delta layout (0.18 B codes but row
+    #   gaps inflate to 1.23 B), Parquet's per-row-group dictionary pages
+    #   + RLE indices are the SMALLEST encoding of the (term, doc)
+    #   identity (1.41 B/posting ≈ its entropy on this corpus) — the
+    #   information just moves between columns in the alternatives;
+    # - ``norm`` is NOT shipped per posting (0.77 B/posting saved): it is
+    #   a per-(field, doc) value, so the reduce side derives it from the
+    #   docs sidecar (norm columns, n_docs rows ≪ n_postings) via
+    #   norms[field_of(term), row];
+    # - tkey is precomputed so the phase-B shuffle never hashes a term.
     post_fields = [
         ("term", pa.string()),
         ("row", pa.int32()),
         ("tf", pa.int32()),
-        ("norm", pa.uint8()),
         ("tkey", pa.int32()),
         ("part", pa.int32()),
     ]
@@ -319,6 +328,8 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     row_base = 0
     n_postings = 0
     svals: list[np.ndarray] = []
+    # per-named-field doc lengths (per-field norms ride the docs sidecar)
+    flen_acc: dict[str, list[np.ndarray]] = {fs.name: [] for fs in cfg.fields}
 
     def _batches():
         it = pf.iter_batches(
@@ -364,8 +375,8 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
                 terms = pc.binary_join_element_wise(pa.scalar(fname + ":"), terms, "")
                 f_sum_len[fname] += int(doc_len.sum())
                 f_doc_count[fname] += int((doc_len > 0).sum())
+                flen_acc[fname].append(doc_len.copy())
             total_len += doc_len
-            norms_per_doc = int_to_byte4_array(doc_len)
             # hash each *distinct* term once (dictionary), fan out via codes
             denc = pc.dictionary_encode(terms)
             codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -375,7 +386,6 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
                 "term": terms,
                 "row": pa.array((row_base + doc_idx).astype(np.int32)),
                 "tf": pa.array(tf.astype(np.int32)),
-                "norm": pa.array(norms_per_doc[doc_idx]),
                 "tkey": pa.array(tkey_vocab[codes]),
                 "part": pa.array(np.full(len(codes), part_id, dtype=np.int32)),
             }
@@ -431,14 +441,16 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
     # not) keeps the reduce side compute-bound. Byte diet: `row` ascends in
     # runs (batch-major within each tkey run), so DELTA_BINARY_PACKED cuts
     # it ~5×; tkey/part are constants per run — delta packs them to ~0.
-    # Dictionary stays ON only where it wins (terms/tf/norm); the binary
-    # pos stream dict-encodes badly and zstd-plain is smaller.
+    # Dictionary stays ON only where it wins (terms/tf); the binary pos
+    # stream dict-encodes badly and zstd-plain is smaller (zstd-7 on pos
+    # was measured: ~0.15 B/posting saved for a 20% phase-A CPU hit —
+    # VInt gap streams are near-incompressible, keep level 1).
     writer = pq.ParquetWriter(
         tmp_post,
         post_schema,
         compression="zstd",
         compression_level=1,
-        use_dictionary=["term", "tf", "norm"],
+        use_dictionary=["term", "tf"],
         column_encoding={
             "row": "DELTA_BINARY_PACKED",
             "tkey": "DELTA_BINARY_PACKED",
@@ -467,6 +479,13 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
         if langs
         else pa.array([], pa.string()),
     }
+    # per-named-field norms (per-(field, doc) quantized lengths): the
+    # reduce side derives each posting's norm from these via the vocab's
+    # field prefix instead of shipping a byte per posting
+    for fs in cfg.fields:
+        fl = flen_acc.get(fs.name) or []
+        fl_all = np.concatenate(fl) if fl else np.zeros(row_base, np.int64)
+        docs_cols[f"norm_f_{fs.name}"] = pa.array(int_to_byte4_array(fl_all))
     sort_all = np.concatenate(svals) if svals else None
     if cfg.sort_field:
         # the sort docvalue rides in the sidecar, in (sorted) row order —
@@ -520,7 +539,13 @@ def _process_partition(desc: dict, index_dir: str, cfg: IndexConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _make_skey_fn(heads_ref, n_term_parts: int, n_doc_parts: int):
+def _make_skey_fn(
+    heads_ref,
+    n_term_parts: int,
+    n_doc_parts: int,
+    index_dir: str,
+    field_names: tuple[str, ...] = (),
+):
     import ray
 
     state: dict = {}
@@ -530,30 +555,48 @@ def _make_skey_fn(heads_ref, n_term_parts: int, n_doc_parts: int):
 
         tkey = tbl.column("tkey").combine_chunks().to_numpy().astype(np.int64)
         part = tbl.column("part").combine_chunks().to_numpy().astype(np.int64)
+        rows_np = tbl.column("row").combine_chunks().to_numpy()
+        term_col = tbl.column("term").combine_chunks()
+        denc = (
+            term_col
+            if pa.types.is_dictionary(term_col.type)
+            else pc.dictionary_encode(term_col)
+        )
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         if heads_ref is None:
             skey = tkey * (n_doc_parts + 1)
         else:
             if "heads" not in state:
                 state["heads"] = pa.array(sorted(ray.get(heads_ref)), pa.string())
             # membership test on the batch's *dictionary*, fanned out by codes
-            term_col = tbl.column("term").combine_chunks()
-            denc = (
-                term_col
-                if pa.types.is_dictionary(term_col.type)
-                else pc.dictionary_encode(term_col)
-            )
-            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             salted_vocab = pc.is_in(denc.dictionary, value_set=state["heads"]).to_numpy(
                 zero_copy_only=False
             )
             salt = np.where(salted_vocab[codes], part + 1, 0)
             skey = tkey * (n_doc_parts + 1) + salt
-        doc_id = (part << 32) + tbl.column("row").combine_chunks().to_numpy().astype(np.int64)
+        # norm is derived from the docs sidecar per part (cached), field
+        # resolved on the dictionary (distinct terms only)
+        fid = (
+            _field_ids_of_dictionary(denc.dictionary, field_names)
+            if field_names
+            else None
+        )
+        norm_np = np.empty(len(rows_np), dtype=np.uint8)
+        for p in np.unique(part):
+            pid = int(p)
+            if ("n", pid) not in state:
+                state[("n", pid)] = _load_part_norms(index_dir, pid, field_names)
+            m = part == p
+            if fid is None:
+                norm_np[m] = state[("n", pid)][0, rows_np[m]]
+            else:
+                norm_np[m] = state[("n", pid)][fid[codes[m]], rows_np[m]]
+        doc_id = (part << 32) + rows_np.astype(np.int64)
         cols = {
             "term": tbl.column("term"),
             "doc_id": pa.array(doc_id),
             "tf": tbl.column("tf"),
-            "norm": tbl.column("norm"),
+            "norm": pa.array(norm_np),
             "skey": pa.array(skey, pa.int64()),
         }
         if "pos" in tbl.column_names:
@@ -632,8 +675,53 @@ def _plan_storage_segments(
     return tasks
 
 
-def _make_storage_segment_fn(index_dir: str, n_doc_parts: int, store_positions: bool = False):
-    read_cols = ["term", "row", "tf", "norm"] + (["pos"] if store_positions else [])
+def _field_ids_of_dictionary(vocab, field_names: tuple[str, ...]) -> np.ndarray:
+    """Field-id per dictionary entry: 0 = default field, i+1 =
+    field_names[i] (terms are '<field>:<term>'-prefixed). Runs over the
+    DISTINCT terms of a row group only, never per posting."""
+    fid = np.zeros(len(vocab), dtype=np.int8)
+    for i, fname in enumerate(field_names):
+        m = pc.starts_with(vocab, fname + ":").to_numpy(zero_copy_only=False)
+        fid[m] = i + 1
+    return fid
+
+
+def _load_part_norms(index_dir: str, part_id: int, field_names: tuple[str, ...]):
+    """(1 + n_fields, n_docs) uint8 norm matrix from the docs sidecar."""
+    cols = ["norm"] + [f"norm_f_{f}" for f in field_names]
+    dt = pq.read_table(
+        os.path.join(index_dir, "docs", f"part-{part_id:06d}.parquet"), columns=cols
+    )
+    return np.stack([dt.column(c).to_numpy() for c in cols])
+
+
+def _make_storage_segment_fn(
+    index_dir: str,
+    n_doc_parts: int,
+    store_positions: bool = False,
+    field_names: tuple[str, ...] = (),
+    norm_refs: dict | None = None,
+):
+    read_cols = ["term", "row", "tf"] + (["pos"] if store_positions else [])
+    # norm matrices are n_docs bytes TOTAL — when the driver shipped them
+    # as per-part object-store refs (norm_refs), a task fetches only its
+    # parts from local shared memory instead of re-opening the docs
+    # sidecars from disk per task (map_batches re-deserializes the fn per
+    # task, so an in-closure disk cache never survives). The disk path
+    # stays as the fallback for part counts past the ref-map threshold.
+    norm_cache: dict[int, np.ndarray] = {}
+
+    def _norms(part_id: int):
+        if part_id not in norm_cache:
+            if len(norm_cache) > 512:
+                norm_cache.clear()
+            if norm_refs is not None and part_id in norm_refs:
+                import ray
+
+                norm_cache[part_id] = ray.get(norm_refs[part_id])
+            else:
+                norm_cache[part_id] = _load_part_norms(index_dir, part_id, field_names)
+        return norm_cache[part_id]
 
     def build_one(batch: pa.Table) -> pa.Table:
         _limit_threads()
@@ -662,14 +750,24 @@ def _make_storage_segment_fn(index_dir: str, n_doc_parts: int, store_positions: 
                         [rg], columns=read_cols
                     )
                     part_id = int(os.path.basename(p)[len("part-") : -len(".parquet")])
-                    doc = (part_id << 32) + t.column("row").combine_chunks().to_numpy().astype(
-                        np.int64
-                    )
+                    rows_np = t.column("row").combine_chunks().to_numpy()
+                    doc = (part_id << 32) + rows_np.astype(np.int64)
+                    # norm is derived, not shipped: per-(field, doc) value
+                    # from the docs sidecar, field resolved on the row
+                    # group's DICTIONARY (distinct terms), fanned out by code
+                    term = t.column("term").combine_chunks()
+                    norms2d = _norms(part_id)
+                    if field_names:
+                        fid = _field_ids_of_dictionary(term.dictionary, field_names)
+                        codes = term.indices.to_numpy(zero_copy_only=False)
+                        norm = norms2d[fid[codes], rows_np]
+                    else:
+                        norm = norms2d[0, rows_np]
                     cols = {
-                        "term": t.column("term"),
+                        "term": term,
                         "doc_id": pa.array(doc),
                         "tf": t.column("tf"),
-                        "norm": t.column("norm"),
+                        "norm": pa.array(norm),
                     }
                     if store_positions:
                         cols["pos"] = t.column("pos")
@@ -846,10 +944,28 @@ def build_index(
         # handled uniformly by doc-range bucket splitting in the plan ----
         heads_sec = time.time() - t_start - phase_a_sec
         seg_tasks = _plan_storage_segments(index_dir, cfg, parts)
+        # ship the per-part norm matrices once via the object store (n_docs
+        # bytes total); past 4096 parts the driver must not hold them all —
+        # tasks fall back to reading the docs sidecars directly
+        fields_t = tuple(f.name for f in cfg.fields)
+        norm_refs = None
+        if n_doc_parts <= 4096:
+            norm_refs = {
+                int(p["part_id"]): ray.put(
+                    _load_part_norms(index_dir, int(p["part_id"]), fields_t)
+                )
+                for p in parts
+            }
         seg_summaries = (
             rd.from_items(seg_tasks)
             .map_batches(
-                _make_storage_segment_fn(index_dir, n_doc_parts, cfg.store_positions),
+                _make_storage_segment_fn(
+                    index_dir,
+                    n_doc_parts,
+                    cfg.store_positions,
+                    fields_t,
+                    norm_refs,
+                ),
                 batch_format="pyarrow",
                 batch_size=1,
             )
@@ -892,7 +1008,13 @@ def build_index(
             os.path.join(index_dir, "postings_raw"), override_num_blocks=n_doc_parts
         )
         post = post.map_batches(
-            _make_skey_fn(heads_ref, cfg.term_partitions, n_doc_parts),
+            _make_skey_fn(
+                heads_ref,
+                cfg.term_partitions,
+                n_doc_parts,
+                index_dir,
+                tuple(f.name for f in cfg.fields),
+            ),
             batch_format="pyarrow",
         )
         seg_summaries = (

@@ -1717,6 +1717,65 @@ def geo_bbox_filter(sf_dir: str):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+#: CCW convex pentagon in (lon, lat) — WKT order, JTS planar semantics
+_POLY_WKT = "POLYGON ((-30 -10, 40 -20, 70 30, 10 60, -50 25))"
+
+
+def _poly_halfplane_sql() -> str:
+    """The convex polygon as an AND of strict half-plane sign tests — the
+    SQL-expressible exact form (same f64 expression the engine's
+    convex mask evaluates, so the filter compares IEEE-op-for-op)."""
+    from apache___solr_ray.geo import parse_wkt_polygon
+
+    poly = parse_wkt_polygon(_POLY_WKT)
+    conds = []
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        conds.append(
+            f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) > 0"
+        )
+    return " AND ".join(conds)
+
+
+@q(
+    "geo_polygon_filter",
+    f"""
+    WITH pts AS (SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)
+    SELECT c_custkey, lat, lon FROM pts
+    WHERE {{conds}}
+    """.replace("{conds}", _poly_halfplane_sql()),
+)
+def geo_polygon_filter(sf_dir: str):
+    """Polygon/WKT spatial filter (reference
+    ``SpatialRecursivePrefixTreeFieldType`` / LatLonPointSpatialField with
+    JTS WKT: ``fq={{!field f=loc}}Intersects(POLYGON((...)))``): parse the
+    WKT, filter points per batch with the vectorized even-odd ray-casting
+    test in ``apache___solr_ray.geo`` — one numpy pass per polygon edge,
+    no shuffle. The fixture polygon is convex, so the oracle states the
+    exact filter as an AND of half-plane sign tests; ray casting ==
+    half-plane equality (and concave behavior) is pytest-asserted."""
+    from apache___solr_ray.geo import parse_wkt_polygon, points_in_polygon
+
+    poly = parse_wkt_polygon(_POLY_WKT)
+    ds = load(sf_dir, "customer", columns=["c_custkey"])
+
+    def flt(t: pa.Table, _p=poly) -> pa.Table:
+        k = t.column("c_custkey").to_numpy()
+        lat, lon = _latlon(k)
+        keep = points_in_polygon(lon, lat, _p)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k[keep], pa.int64()),
+                "lat": pa.array(lat[keep], pa.float64()),
+                "lon": pa.array(lon[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 @q(
     "geo_dist_top20",
     f"""
