@@ -915,6 +915,66 @@ def _op_let(node: Node, sf_dir: str):
     return ray.data.from_arrow(mathexpr.result_to_table(res)), None
 
 
+def _op_cat(node: Node, sf_dir: str):
+    """CatStream (reference ``solr/core/.../handler/CatStream.java``): read
+    local text files under a chroot as tuples (file, line_number, line).
+    The reference roots paths at $SOLR_HOME/userfiles; here the chroot
+    defaults to ``sf_dir`` and may be overridden with chroot= (tests point
+    it at a tmp dir). Reading is Ray Data's parallel read_text; the file
+    name and 1-based line number are attached per block."""
+    import os
+
+    import ray.data as rd
+
+    if not node.args or not isinstance(node.args[0], str):
+        raise StreamExprError('cat("rel/path[,rel/path...]") expected')
+    chroot = node.params.get("chroot", sf_dir)
+    max_lines = int(node.params.get("maxLines", "0") or 0)
+    paths = []
+    for rel in node.args[0].split(","):
+        p = os.path.normpath(os.path.join(chroot, rel.strip()))
+        if not p.startswith(os.path.normpath(chroot)):
+            raise StreamExprError(f"cat(): path {rel!r} escapes the chroot")
+        if not os.path.exists(p):
+            raise StreamExprError(f"cat(): no such file {rel!r}")
+        paths.append(p)
+
+    parts = []
+    for p in paths:
+        ds = rd.read_text(p)
+        rel = os.path.relpath(p, chroot)
+
+        def attach(t: pa.Table, _f=rel) -> pa.Table:
+            return pa.table(
+                {
+                    "file": pa.array([_f] * t.num_rows, pa.string()),
+                    "line": t.column("text"),
+                }
+            )
+
+        parts.append(ds.map_batches(attach, batch_format="pyarrow"))
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.union(more)
+    if max_lines > 0:
+        out = out.limit(max_lines)
+    return out, None
+
+
+def _op_daemon(node: Node, sf_dir: str):
+    """DaemonStream (reference ``DaemonStream.java``): Solr wraps an inner
+    stream and re-executes it on ``runInterval`` inside the /stream
+    handler, queueing tuples. Scheduling is a DRIVER concern in a batch
+    engine (cron / Ray Serve / the jobs CLI re-submit); the expression
+    parses with the reference's required id= and compiles to ONE iteration
+    of the inner stream — exactly what each daemon tick executes."""
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("daemon() needs an inner stream")
+    if "id" not in node.params:
+        raise StreamExprError("daemon() requires id= (reference contract)")
+    return _compile(node.args[0], sf_dir)
+
+
 _OPS = {
     "search": _op_search,
     "select": _op_select,
@@ -936,6 +996,8 @@ _OPS = {
     "cartesianProduct": _op_cartesian,
     "parallel": _op_parallel,
     "let": _op_let,
+    "cat": _op_cat,
+    "daemon": _op_daemon,
 }
 
 

@@ -187,3 +187,30 @@ def test_parallel_repartitions_and_sorts(ray_session):
     )
     df = ds.to_pandas()
     assert list(df["event_id"]) == sorted(df["event_id"])
+
+
+def test_cat_stream_reads_files(ray_session, tmp_path):
+    (tmp_path / "a.txt").write_text("one\ntwo\n")
+    (tmp_path / "b.txt").write_text("three\n")
+    df = stream_expr(
+        "/root/testdata/sf0.001",
+        f'cat("a.txt,b.txt", chroot="{tmp_path}")',
+    ).to_pandas()
+    assert sorted(df["line"]) == ["one", "three", "two"]
+    assert set(df["file"]) == {"a.txt", "b.txt"}
+    df2 = stream_expr(
+        "/root/testdata/sf0.001", f'cat("a.txt", chroot="{tmp_path}", maxLines=1)'
+    ).to_pandas()
+    assert len(df2) == 1
+    with pytest.raises(StreamExprError, match="escapes|no such"):
+        stream_expr("/root/testdata/sf0.001", f'cat("../etc/passwd", chroot="{tmp_path}")')
+
+
+def test_daemon_wraps_inner(ray_session):
+    ds = stream_expr(
+        SF,
+        'daemon(search(events, q="event_type:click", fl="event_id"), id="d1", runInterval=1000)',
+    )
+    assert ds.count() > 0
+    with pytest.raises(StreamExprError, match="id="):
+        stream_expr(SF, 'daemon(search(events, q="*:*", fl="event_id"))')
