@@ -53,6 +53,51 @@ def semi_join_filter(ds, key_col: str, keys, keep: bool = True):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+#: partial-aggregate rows are (groups × blocks) — bounded combine state,
+#: not data. Under this bound the driver combines them in one pandas
+#: groupby; above it (true high-cardinality GROUP BY) the distributed
+#: hash aggregate takes over.
+PARTIAL_DRIVER_COMBINE_MAX = 2_000_000
+
+
+def combine_partials(parts, keys, ray_fns, sum_cols=(), min_cols=(), max_cols=()):
+    """Combine per-batch partial-aggregate blocks into final group rows.
+
+    Fast path rationale (measured): Ray's sort-based Aggregate took 15 s
+    / 180 s task-CPU to combine 90k partial rows across 64 blocks — a
+    per-reduce fixed cost, not data cost. The partials are the classic
+    combiner output (groups × blocks rows), so when their count is small
+    a single driver-side pandas groupby (C kernels, ~ms) is the right
+    plan; the distributed aggregate remains the fallback for partial
+    sets that are themselves big. ``sum(min_count=1)`` keeps all-null
+    sums NULL (pa.Table.from_pandas maps NaN back to null), matching the
+    distributed Sum's ignore_nulls semantics.
+    """
+    import ray
+
+    parts = parts.materialize()
+    n = parts.count()
+    if n == 0:
+        # zero input rows: no partials, no groups (callers' zero-input
+        # semantics — e.g. SQL's global identity row — apply downstream)
+        return parts
+    if n <= PARTIAL_DRIVER_COMBINE_MAX:
+        pdf = parts.to_pandas()
+        gb = pdf.groupby(list(keys), dropna=False, sort=False)
+        outs = []
+        if sum_cols:
+            outs.append(gb[list(sum_cols)].sum(min_count=1))
+        if min_cols:
+            outs.append(gb[list(min_cols)].min())
+        if max_cols:
+            outs.append(gb[list(max_cols)].max())
+        combined = pd.concat(outs, axis=1).reset_index()
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(combined, preserve_index=False)
+        )
+    return parts.groupby(list(keys)).aggregate(*ray_fns)
+
+
 _GM_HASH_KEY = "0123456789abcdef"
 
 

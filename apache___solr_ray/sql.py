@@ -970,28 +970,39 @@ def _agg_internal_name(i: int) -> str:
 
 
 def _final_fns(aggs: list[Agg]):
-    """ray.data aggregate fns combining the partial layout post-shuffle."""
+    """ray.data aggregate fns combining the partial layout post-shuffle,
+    plus the equivalent pandas combine spec (sum/min/max column lists)
+    for the driver-side fast path."""
     from ray.data.aggregate import Max, Min, Sum
 
     fns = []
+    sum_cols: list[str] = []
+    min_cols: list[str] = []
+    max_cols: list[str] = []
     for i, a in enumerate(aggs):
         nm = _agg_internal_name(i)
         if a.func in ("count", "count_distinct"):
             fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+            sum_cols.append(nm + "_n")
         elif a.func == "sum":
             fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            sum_cols.append(nm + "_s")
         elif a.func == "avg":
             fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
             fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+            sum_cols += [nm + "_s", nm + "_n"]
         elif a.func in ("stddev", "variance"):
             fns.append(Sum(nm + "_s", alias_name=nm + "_s"))
             fns.append(Sum(nm + "_q", alias_name=nm + "_q"))
             fns.append(Sum(nm + "_n", alias_name=nm + "_n"))
+            sum_cols += [nm + "_s", nm + "_q", nm + "_n"]
         elif a.func == "min":
             fns.append(Min(nm + "_m", alias_name=nm + "_m"))
+            min_cols.append(nm + "_m")
         else:
             fns.append(Max(nm + "_m", alias_name=nm + "_m"))
-    return fns
+            max_cols.append(nm + "_m")
+    return fns, (sum_cols, min_cols, max_cols)
 
 
 def _finish_fn(aggs: list[Agg], group_by: list[str]):
@@ -1107,12 +1118,15 @@ def _aggregate(ds, q: Query, aggs: list[Agg]):
         )
 
     parts = ds.map_batches(partial, batch_format="pandas")
-    fns = _final_fns(aggs)
+    fns, (sum_cols, min_cols, max_cols) = _final_fns(aggs)
     if not fns:
         from ray.data.aggregate import Sum
 
         fns.append(Sum("__one", alias_name="__one"))
-    agg_ds = parts.groupby(keys).aggregate(*fns)
+        sum_cols = ["__one"]
+    from apache___solr_ray.pipelines.common import combine_partials
+
+    agg_ds = combine_partials(parts, keys, fns, sum_cols, min_cols, max_cols)
     return _finish_or_identity(agg_ds, q, aggs, synthetic_key)
 
 
@@ -1168,31 +1182,41 @@ def _aggregate_with_distinct(ds, q: Query, aggs: list[Agg], dcol: str):
 
     # level-1 combine fns, keyed by each agg's TRUE index (not 0-based)
     fns1 = []
+    s1: list[str] = []
+    m1: list[str] = []
+    x1: list[str] = []
     from ray.data.aggregate import Max, Min, Sum
 
     for i, a in reg:
         nm = _agg_internal_name(i)
         if a.func == "count":
             fns1.append(Sum(nm + "_n", alias_name=nm + "_n"))
+            s1.append(nm + "_n")
         elif a.func == "sum":
             fns1.append(Sum(nm + "_s", alias_name=nm + "_s"))
+            s1.append(nm + "_s")
         elif a.func == "avg":
             fns1.append(Sum(nm + "_s", alias_name=nm + "_s"))
             fns1.append(Sum(nm + "_n", alias_name=nm + "_n"))
+            s1 += [nm + "_s", nm + "_n"]
         elif a.func in ("stddev", "variance"):
             fns1.append(Sum(nm + "_s", alias_name=nm + "_s"))
             fns1.append(Sum(nm + "_q", alias_name=nm + "_q"))
             fns1.append(Sum(nm + "_n", alias_name=nm + "_n"))
+            s1 += [nm + "_s", nm + "_q", nm + "_n"]
         elif a.func == "min":
             fns1.append(Min(nm + "_m", alias_name=nm + "_m"))
+            m1.append(nm + "_m")
         else:
             fns1.append(Max(nm + "_m", alias_name=nm + "_m"))
+            x1.append(nm + "_m")
     if not fns1:
         fns1.append(Sum("__one", alias_name="__one"))
-    level1 = (
-        ds.map_batches(partial1, batch_format="pandas")
-        .groupby(keys + [dcol])
-        .aggregate(*fns1)
+        s1 = ["__one"]
+    from apache___solr_ray.pipelines.common import combine_partials
+
+    level1 = combine_partials(
+        ds.map_batches(partial1, batch_format="pandas"), keys + [dcol], fns1, s1, m1, x1
     )
 
     def partial2(df: pd.DataFrame) -> pd.DataFrame:
@@ -1223,9 +1247,8 @@ def _aggregate_with_distinct(ds, q: Query, aggs: list[Agg], dcol: str):
             pd.DataFrame(out).reset_index(), preserve_index=False
         )
 
-    agg_ds = (
-        level1.map_batches(partial2, batch_format="pandas")
-        .groupby(keys)
-        .aggregate(*_final_fns(aggs))
+    fns2, (s2, m2, x2) = _final_fns(aggs)
+    agg_ds = combine_partials(
+        level1.map_batches(partial2, batch_format="pandas"), keys, fns2, s2, m2, x2
     )
     return _finish_or_identity(agg_ds, q, aggs, synthetic_key)

@@ -362,19 +362,32 @@ def _rollup_core(ds, over: list[str], metric_args: list):
         return pa.Table.from_pandas(pd.DataFrame(out).reset_index(), preserve_index=False)
 
     fns = []
+    sum_cols: list[str] = []
+    min_cols: list[str] = []
+    max_cols: list[str] = []
     for func, col, nm in metrics:
         if func == "count":
             fns.append(Sum(nm + "__n", alias_name=nm + "__n"))
+            sum_cols.append(nm + "__n")
         elif func == "avg":
             fns.append(Sum(nm + "__s", alias_name=nm + "__s"))
             fns.append(Sum(nm + "__n", alias_name=nm + "__n"))
+            sum_cols += [nm + "__s", nm + "__n"]
         elif func == "sum":
             fns.append(Sum(nm + "__s", alias_name=nm + "__s"))
+            sum_cols.append(nm + "__s")
         elif func == "min":
             fns.append(Min(nm + "__m", alias_name=nm + "__m"))
+            min_cols.append(nm + "__m")
         else:
             fns.append(Max(nm + "__m", alias_name=nm + "__m"))
-    agg = ds.map_batches(partial, batch_format="pandas").groupby(over).aggregate(*fns)
+            max_cols.append(nm + "__m")
+    from apache___solr_ray.pipelines.common import combine_partials
+
+    agg = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        over, fns, sum_cols, min_cols, max_cols,
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         cols = {k: t.column(k) for k in over}

@@ -189,3 +189,19 @@ def test_parser_shapes():
     # string escaping
     q2 = parse_sql("SELECT a FROM t WHERE b = 'it''s'")
     assert q2.where.r.val == "it's"
+
+
+def test_distributed_combine_fallback_matches(ray_session, monkeypatch):
+    """Forcing the distributed hash-aggregate fallback (as if the partial
+    set exceeded PARTIAL_DRIVER_COMBINE_MAX) must give the same rows as
+    the driver-combine fast path / DuckDB."""
+    import apache___solr_ray.pipelines.common as cm
+
+    monkeypatch.setattr(cm, "PARTIAL_DRIVER_COMBINE_MAX", 0)
+    sql = (
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS uu, "
+        "CAST(count(*) AS BIGINT) AS n, floor(sum(value)*100+0.5)/100 AS sv "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+    pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
