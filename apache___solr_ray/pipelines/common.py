@@ -246,10 +246,11 @@ def partial_sum_count(ds, keys, sum_cols, count_alias=None):
         return pa.table(cols)
 
     aliases = [a for _, a in sum_cols] + ([count_alias] if count_alias else [])
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys[0] if len(keys) == 1 else keys)
-        .aggregate(*[Sum(a, alias_name=a) for a in aliases])
+    out = combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        [Sum(a, alias_name=a) for a in aliases],
+        sum_cols=aliases,
     )
 
     def fix_types(t: pa.Table) -> pa.Table:
