@@ -250,3 +250,49 @@ _expr(
     FROM events
     """,
 )
+
+_expr(
+    "stream_let_predict_expr",
+    """let(a=col(search(events, q="*:*", fl="event_id,value", sort="event_id asc"), "value"),
+           b=col(search(events, q="*:*", fl="event_id,user_id", sort="event_id asc"), "user_id"),
+           m=regress(a, b),
+           precision(predict(m, a), 4))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) - 1 AS i FROM events),
+         m AS (SELECT regr_slope(user_id, value) AS sl, regr_intercept(user_id, value) AS ic FROM events)
+    SELECT CAST(s.i AS BIGINT) AS i,
+           floor((m.sl * s.value + m.ic) * 10000 + 0.5) / 10000 AS value
+    FROM s CROSS JOIN m
+    """,
+)
+
+_expr(
+    "stream_let_zscores_expr",
+    """let(a=col(search(events, q="*:*", fl="event_id,value", sort="event_id asc"), "value"),
+           precision(zscores(a), 4))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) - 1 AS i FROM events),
+         m AS (SELECT avg(value) AS mu, stddev(value) AS sd FROM events)
+    SELECT CAST(s.i AS BIGINT) AS i,
+           floor((s.value - m.mu) / m.sd * 10000 + 0.5) / 10000 AS value
+    FROM s CROSS JOIN m
+    """,
+)
+
+_expr(
+    "stream_let_hist_expr",
+    """let(a=col(search(events, q="*:*", fl="value"), "value"),
+           precision(hist(a, 8), 6))""",
+    """
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+         b AS (SELECT LEAST(CAST(floor((value - mm.lo) / ((mm.hi - mm.lo) / 8.0)) AS BIGINT), 7) AS bin
+               FROM events CROSS JOIN mm),
+         counts AS (SELECT bin, CAST(count(*) AS DOUBLE) AS n FROM b GROUP BY bin)
+    SELECT CAST(i AS DOUBLE) AS bin,
+           floor((mm.lo + i * (mm.hi - mm.lo) / 8.0) * 1000000 + 0.5) / 1000000 AS lo,
+           floor((mm.lo + (i + 1) * (mm.hi - mm.lo) / 8.0) * 1000000 + 0.5) / 1000000 AS hi,
+           COALESCE(counts.n, 0) AS n
+    FROM range(8) t(i) CROSS JOIN mm LEFT JOIN counts ON counts.bin = i
+    ORDER BY i
+    """,
+)
