@@ -1019,7 +1019,19 @@ def doc_unigram_logprob(sf_dir: str):
 
     dtc = ds.map_batches(doc_term_counts, batch_format="pyarrow").materialize()
     n_total = float(dtc.sum("k"))
-    tf = dtc.groupby("th").aggregate(Sum("k", alias_name="c"))
+
+    from apache___solr_ray.pipelines.common import combine_partials
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("th").aggregate([("k", "sum")])
+        return pa.table({"th": g.column("th"), "c": g.column("k_sum")})
+
+    tf = combine_partials(
+        dtc.map_batches(tf_partial, batch_format="pyarrow"),
+        ["th"],
+        [Sum("c", alias_name="c")],
+        sum_cols=["c"],
+    )
 
     def tag_tf(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1056,8 +1068,11 @@ def doc_unigram_logprob(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = grouped_map(both, "th", attach)
-    agg = parts.groupby("doc_id").aggregate(
-        Sum("s", alias_name="s"), Sum("k", alias_name="k")
+    agg = combine_partials(
+        parts,
+        ["doc_id"],
+        [Sum("s", alias_name="s"), Sum("k", alias_name="k")],
+        sum_cols=["s", "k"],
     )
 
     def finish(t: pa.Table) -> pa.Table:
