@@ -65,17 +65,28 @@ def _hop(edge_ds, key_col: str, out_col: str, frontier_ds):
             on=(key_col,),
             right_on=("node",),
         )
-    return (
-        reached.select_columns([out_col])
-        .groupby(out_col)
-        .count()
-        .map_batches(
-            lambda t, _c=out_col: pa.table(
-                {"node": t.column(_c).cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
+    # distinct next-frontier nodes: per-batch unique + the partial-combine
+    # fast path (Ray's sort aggregate has a per-reduce fixed cost far above
+    # the data cost at frontier scale)
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines.common import combine_partials
+
+    def uniq(t: pa.Table, _c=out_col) -> pa.Table:
+        u = pc.unique(t.column(_c).combine_chunks())
+        return pa.table(
+            {
+                "node": u.cast(pa.int64()),
+                "one": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
         )
-    )
+
+    return combine_partials(
+        reached.select_columns([out_col]).map_batches(uniq, batch_format="pyarrow"),
+        ["node"],
+        [Sum("one", alias_name="one")],
+        sum_cols=["one"],
+    ).select_columns(["node"])
 
 
 def gather_nodes_ds(sf_dir: str):
@@ -158,9 +169,19 @@ def _bfs_rounds_distributed(edges, visited_ds, frontier_ds, start_depth: int, ma
         tagged = reached.map_batches(
             lambda t: tag(t, 1), batch_format="pyarrow"
         ).union(visited_ds.map_batches(lambda t: tag(t, 0), batch_format="pyarrow"))
+        from apache___solr_ray.pipelines.common import combine_partials
+
+        def min_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("node").aggregate([("is_new", "min")])
+            return pa.table({"node": g.column("node"), "nw": g.column("is_new_min")})
+
         fresh = (
-            tagged.groupby("node")
-            .aggregate(Min("is_new", alias_name="nw"))
+            combine_partials(
+                tagged.map_batches(min_partial, batch_format="pyarrow"),
+                ["node"],
+                [Min("nw", alias_name="nw")],
+                min_cols=["nw"],
+            )
             .map_batches(
                 lambda t: pa.table(
                     {"node": t.filter(pc.equal(t.column("nw"), 1)).column("node")}
