@@ -468,6 +468,89 @@ def multimodal_decode_real(sf_dir: str):
     )
 
 
+# -- REAL audio decode: PCM WAV samples from actual bytes ---------------------
+
+_AUDIO_CORPUS = "/tmp/apache___solr_ray_cache/audiocorpus_v1/clips.parquet"
+_AUDIO_N = 160
+
+
+def ensure_audio_corpus() -> str:
+    """Deterministic PCM-WAV corpus (fixed path for the static oracle):
+    160 seeded clips — sine + noise mixes, mono/stereo, 8/16 kHz, varied
+    duration — with ground-truth columns computed from the PRE-encode
+    samples (encode is lossless int16, so the engine must recover them
+    from the bytes alone)."""
+    import os
+
+    import numpy as np2
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.stages.audiocodec import encode_wav, wav_features
+
+    if os.path.exists(_AUDIO_CORPUS):
+        return _AUDIO_CORPUS
+    os.makedirs(os.path.dirname(_AUDIO_CORPUS), exist_ok=True)
+    rng = np2.random.Generator(np2.random.PCG64(20260819))
+    rows = {k: [] for k in ("clip_id", "payload", "duration_true", "rms_true", "channels_true", "rate_true")}
+    for i in range(_AUDIO_N):
+        rate = 8000 if i % 2 == 0 else 16000
+        nch = 1 if i % 3 else 2
+        n = int(rng.integers(rate // 10, rate))  # 0.1–1.0 s
+        t = np2.arange(n) / rate
+        f = float(rng.uniform(100, 2000))
+        x = 0.5 * np2.sin(2 * np2.pi * f * t) + 0.1 * rng.normal(size=n)
+        x = np2.clip(x, -1, 1)
+        samples = (x * 32000).astype(np2.int16)
+        if nch == 2:
+            samples = np2.stack([samples, (samples * 0.5).astype(np2.int16)], axis=1)
+        payload = encode_wav(samples, rate)
+        truth = wav_features(payload)
+        rows["clip_id"].append(i)
+        rows["payload"].append(payload)
+        rows["duration_true"].append(truth["duration_sec"])
+        rows["rms_true"].append(truth["rms"])
+        rows["channels_true"].append(truth["channels"])
+        rows["rate_true"].append(truth["rate"])
+    tbl = pa.table(
+        {
+            "clip_id": pa.array(rows["clip_id"], pa.int64()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "duration_true": pa.array(rows["duration_true"], pa.float64()),
+            "rms_true": pa.array(rows["rms_true"], pa.float64()),
+            "channels_true": pa.array(rows["channels_true"], pa.int32()),
+            "rate_true": pa.array(rows["rate_true"], pa.int32()),
+        }
+    )
+    tmp = _AUDIO_CORPUS + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _AUDIO_CORPUS)
+    return _AUDIO_CORPUS
+
+
+@q(
+    "multimodal_audio_real",
+    f"""
+    SELECT clip_id, duration_true AS duration_sec, rms_true AS rms,
+           channels_true AS channels, rate_true AS rate
+    FROM read_parquet('{_AUDIO_CORPUS}')
+    """,
+)
+def multimodal_audio_real(sf_dir: str):
+    """REAL audio decode (no fake): PCM-WAV payload bytes through the
+    RealAudioFeaturizer actor pool (stages/audiocodec.py, stdlib wave);
+    duration/RMS/channels/rate must match the corpus's pre-encode ground
+    truth — a single wrong sample fails the RMS hash."""
+    import ray.data as rd
+
+    from apache___solr_ray.stages.multimodal import RealAudioFeaturizer
+
+    path = ensure_audio_corpus()
+    ds = rd.read_parquet(path, columns=["clip_id", "payload"])
+    return ds.map_batches(
+        RealAudioFeaturizer, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    ).select_columns(["clip_id", "duration_sec", "rms", "channels", "rate"])
+
+
 # -- second wave: unnest / significant terms / more-like-this ----------------
 
 
@@ -1925,5 +2008,6 @@ def mlt_interesting_terms(sf_dir: str):
 # building it is idempotent, atomic and sub-second
 try:
     ensure_image_corpus()
+    ensure_audio_corpus()
 except OSError:  # read-only /tmp etc. — the entry itself will retry
     pass

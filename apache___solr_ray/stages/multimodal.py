@@ -104,6 +104,32 @@ class FakeImageDecoder:
         )
 
 
+class RealAudioFeaturizer:
+    """Actor-pool audio-feature stage over REAL bytes (PCM WAV via the
+    stdlib ``wave`` module — ``stages/audiocodec.py``): duration, channel
+    count, sample rate, RMS, peak from decoded samples."""
+
+    def __init__(self, payload_col: str = "payload"):
+        from apache___solr_ray.stages.audiocodec import wav_features
+
+        self.col = payload_col
+        self.feat = wav_features
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = [self.feat(b) for b in t.column(self.col).to_pylist()]
+        out = t.drop_columns([self.col])
+        for name, typ in (
+            ("n_frames", pa.int64()),
+            ("channels", pa.int32()),
+            ("rate", pa.int32()),
+            ("duration_sec", pa.float64()),
+            ("rms", pa.float64()),
+            ("peak", pa.int64()),
+        ):
+            out = out.append_column(name, pa.array([r[name] for r in rows], typ))
+        return out
+
+
 class FakeAudioFeaturizer:
     """Deterministic audio featurizer stand-in (same contract pattern)."""
 

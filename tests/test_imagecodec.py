@@ -148,3 +148,49 @@ def test_image_corpus_truth_recoverable():
         arr = decode_image(r["payload"])
         assert arr.shape == (r["height_true"], r["width_true"], r["channels_true"])
         assert float(np.floor(arr.mean() * 10000 + 0.5) / 10000) == r["mean_true"]
+
+
+# -- audio (PCM WAV via stdlib wave) ------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from apache___solr_ray.stages.audiocodec import decode_wav, encode_wav
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    mono = rng.integers(-32000, 32000, 800, dtype=np.int16)
+    arr, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and arr.shape == (800, 1)
+    assert np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-32000, 32000, (300, 2), dtype=np.int16)
+    arr2, rate2 = decode_wav(encode_wav(stereo, 16000))
+    assert rate2 == 16000 and arr2.shape == (300, 2)
+    assert np.array_equal(arr2, stereo)
+
+
+def test_wav_features_and_errors():
+    import numpy as np
+    import pytest as _pt
+
+    from apache___solr_ray.stages.audiocodec import AudioDecodeError, encode_wav, wav_features
+
+    x = (np.ones(8000) * 1000).astype(np.int16)
+    f = wav_features(encode_wav(x, 8000))
+    assert f["duration_sec"] == 1.0 and f["rms"] == 1000.0 and f["peak"] == 1000
+    with _pt.raises(AudioDecodeError):
+        wav_features(b"\xff\xd8not a wav")
+
+
+def test_audio_corpus_truth_recoverable():
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.pipelines.text import ensure_audio_corpus
+    from apache___solr_ray.stages.audiocodec import wav_features
+
+    t = pq.read_table(ensure_audio_corpus())
+    for r in t.to_pylist()[:40]:
+        f = wav_features(r["payload"])
+        assert f["duration_sec"] == r["duration_true"]
+        assert f["rms"] == r["rms_true"]
+        assert f["channels"] == r["channels_true"]
