@@ -138,6 +138,19 @@ def _hist(v, bins):
     ]
 
 
+def _ttest(a, b):
+    """TTestEvaluator (Welch's unequal-variance two-sample t): returns
+    {t, df} — the statistic and Welch–Satterthwaite degrees of freedom
+    (the p-value needs a t-distribution CDF; the reference delegates to
+    commons-math, out of stdlib scope and stated so)."""
+    va, vb = _vec(a, "ttest"), _vec(b, "ttest")
+    n1, n2 = len(va), len(vb)
+    v1, v2 = va.var(ddof=1) / n1, vb.var(ddof=1) / n2
+    t = (va.mean() - vb.mean()) / np.sqrt(v1 + v2)
+    df = (v1 + v2) ** 2 / (v1**2 / (n1 - 1) + v2**2 / (n2 - 1))
+    return {"t": float(t), "df": float(df)}
+
+
 def _precision(x, nd):
     """PrecisionEvaluator: round number / vector / dict / bin list with the
     oracle's floor(x*10^nd + 0.5)/10^nd convention."""
@@ -215,6 +228,7 @@ EVALS: dict = {
     "regress": _regress,
     "predict": _predict,
     "describe": _describe,
+    "ttest": _ttest,
     "hist": _hist,
     "precision": _precision,
     # series / array utilities

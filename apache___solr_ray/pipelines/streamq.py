@@ -296,3 +296,47 @@ _expr(
     ORDER BY i
     """,
 )
+
+_expr(
+    "stream_let_ttest_expr",
+    """let(a=col(search(events, q="event_type:click", fl="value"), "value"),
+           b=col(search(events, q="event_type:view", fl="value"), "value"),
+           precision(ttest(a, b), 6))""",
+    """
+    WITH g1 AS (SELECT avg(value) m, var_samp(value) v, count(*) n FROM events WHERE event_type = 'click'),
+         g2 AS (SELECT avg(value) m, var_samp(value) v, count(*) n FROM events WHERE event_type = 'view')
+    SELECT floor((g1.m - g2.m) / sqrt(g1.v/g1.n + g2.v/g2.n) * 1000000 + 0.5) / 1000000 AS t,
+           floor(pow(g1.v/g1.n + g2.v/g2.n, 2)
+                 / (pow(g1.v/g1.n, 2)/(g1.n - 1) + pow(g2.v/g2.n, 2)/(g2.n - 1))
+                 * 1000000 + 0.5) / 1000000 AS df
+    FROM g1 CROSS JOIN g2
+    """,
+)
+
+_expr(
+    "stream_let_diff_expr",
+    """let(a=col(search(events, q="event_type:click", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           precision(diff(a), 6))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'click')
+    SELECT CAST(rn - 2 AS BIGINT) AS i,
+           floor((value - lag(value) OVER (ORDER BY rn)) * 1000000 + 0.5) / 1000000 AS value
+    FROM s QUALIFY rn >= 2
+    """,
+)
+
+_expr(
+    "stream_let_cumsum_expr",
+    """let(a=col(search(events, q="event_type:error", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           precision(cumulativeSum(a), 4))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'error')
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           floor(sum(value) OVER (ORDER BY rn) * 10000 + 0.5) / 10000 AS value
+    FROM s
+    """,
+)
