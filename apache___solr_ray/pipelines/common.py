@@ -147,6 +147,22 @@ def grouped_map(ds, keys: list[str] | str, fn, num_parts: int | None = None):
     )
 
 
+def materialize_with_retry(ds_factory, attempts: int = 3):
+    """Execute a Dataset-producing thunk with retries — guard for Ray
+    2.49's Dataset.join empty-partition race (a hash-join partition that
+    receives no block for one side builds a schema-less table and Acero
+    raises ArrowInvalid; rare and nondeterministic). Retrying re-plans
+    the join; the race class must not be able to fail a correctness-gate
+    entry."""
+    last = None
+    for _ in range(attempts):
+        try:
+            return ds_factory().materialize()
+        except Exception as e:  # noqa: BLE001 - surfaces after retries
+            last = e
+    raise last
+
+
 def round_cols(ds, spec: dict[str, int]):
     """Round float columns (both the Ray side and the oracle SQL round, so
     value hashes agree despite summation-order ulp drift)."""

@@ -1354,8 +1354,13 @@ def full_outer_join_customers_events(sf_dir: str):
         .aggregate(Count(alias_name="n_events"))
     )
     cust = load(sf_dir, "customer", columns=["c_custkey"])
-    joined = cust.join(
-        ev, "full_outer", 8, on=("c_custkey",), right_on=("user_id",)
+    from apache___solr_ray.pipelines.common import materialize_with_retry
+
+    ev = ev.materialize()
+    joined = materialize_with_retry(
+        lambda: cust.join(
+            ev, "full_outer", 8, on=("c_custkey",), right_on=("user_id",)
+        )
     )
 
     def proj(t: pa.Table) -> pa.Table:
