@@ -111,6 +111,49 @@ def term_df(sf_dir: str):
     return out.map_batches(lambda t: t.filter(pc.greater_equal(t.column("df"), 5)), batch_format="pyarrow")
 
 
+#: GPT-2-style pre-tokenizer, ASCII-simplified so Arrow's RE2 and
+#: DuckDB's RE2 compile the IDENTICAL pattern: contractions, space-glued
+#: letter runs, digit runs, punctuation runs, whitespace
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@q(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws
+    FROM documents
+    """,
+)
+def token_count_bpe(sf_dir: str):
+    """LLM-pipeline token counting (task brief: "whitespace + a BPE-ish
+    regex"): per-doc token counts under a GPT-2-style pre-tokenizer regex
+    plus the whitespace tokenization, both fully vectorized —
+    ``pc.count_substring_regex`` runs RE2 in C over the whole batch, the
+    same engine DuckDB's ``regexp_extract_all`` uses, so counts agree
+    exactly. The BPE-merge step itself is vocabulary-dependent (ships
+    with a model, not an engine); the pre-tokenizer count is the
+    corpus-statistics number training pipelines budget with."""
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        n_bpe = pc.count_substring_regex(txt, _BPE_RE)
+        n_ws = pa.array(
+            [len(simple_tokenize(x or "")) for x in txt.to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bpe": pc.cast(n_bpe, pa.int64()),
+                "n_ws": n_ws,
+            }
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 @q(
     "token_stats_per_doc",
     f"""
