@@ -169,3 +169,16 @@ _sql(
     LIMIT 15
     """,
 )
+
+_sql(
+    "sql_case_conditional_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS hot,
+           CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN count(*) > 2200 THEN 'big' ELSE 'small' END AS bucket
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)

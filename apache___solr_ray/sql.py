@@ -33,11 +33,14 @@ Dialect (documented subset — everything else raises ``SqlError``):
   expr: column, 'string', number, + - * / ( ), comparison (= <> != < <= > >=),
         AND OR NOT, IN (...), [NOT] LIKE, IS [NOT] NULL, BETWEEN lo AND hi,
         CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR), floor(x), abs(x),
+        CASE WHEN cond THEN expr [WHEN ...] [ELSE expr] END,
         aggregates count(*) | count(col) | count(DISTINCT col) | sum | avg
                    | min | max | stddev | variance (sample). stddev/variance
                    ride (sum, sumsq, n) partials; count(DISTINCT) compiles
                    to the two-level (keys, col) -> keys rewrite (one
-                   distinct column per query)
+                   distinct column per query); sum/avg/min/max/count also
+                   take computed expressions (sum(CASE WHEN ...)) via a
+                   once-per-batch derived column
   ``/`` is double division (DuckDB semantics). Computed select items
   require an alias so output names match the oracle exactly.
 
@@ -129,6 +132,12 @@ class CastOp:
 
 
 @dataclass(frozen=True)
+class CaseOp:
+    whens: tuple  # ((cond, value), ...)
+    default: object | None
+
+
+@dataclass(frozen=True)
 class Func:
     name: str  # floor | abs
     e: object
@@ -138,6 +147,7 @@ class Func:
 class Agg:
     func: str  # count | sum | avg | min | max
     col: str | None  # None = count(*)
+    expr: object = None  # non-None: aggregate over a computed expression
 
 
 @dataclass
@@ -186,6 +196,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having", "order",
     "limit", "as", "and", "or", "not", "in", "like", "is", "null", "between",
     "cast", "asc", "desc", "join", "inner", "left", "outer", "on",
+    "case", "when", "then", "else", "end",
 }
 
 
@@ -521,6 +532,18 @@ class _Parser:
         if typ == "kw" and v.lower() == "null":
             self.i += 1
             return Lit(None)
+        if typ == "kw" and v.lower() == "case":
+            self.i += 1
+            whens = []
+            while self.eat_kw("when"):
+                c = self.expr()
+                self.expect_kw("then")
+                whens.append((c, self.expr()))
+            if not whens:
+                raise SqlError("CASE needs at least one WHEN")
+            default = self.expr() if self.eat_kw("else") else None
+            self.expect_kw("end")
+            return CaseOp(tuple(whens), default)
         if typ == "kw" and v.lower() == "cast":
             self.i += 1
             self.expect_op("(")
@@ -545,9 +568,13 @@ class _Parser:
                     col = self.ident()
                     self.expect_op(")")
                     return Agg("count_distinct", col)
-                col = self.ident()
+                e = self.expr()
                 self.expect_op(")")
-                return Agg(fname, col)
+                if isinstance(e, Col):
+                    return Agg(fname, e.name)
+                # aggregate over a computed expression: evaluated into a
+                # derived column before the partial stage
+                return Agg(fname, None, e)
             if fname in _SCALAR_FUNCS:
                 e = self.expr()
                 self.expect_op(")")
@@ -585,6 +612,11 @@ def _walk(node, out_cols: set, out_aggs: list):
     elif isinstance(node, Agg):
         if node.col is not None:
             out_cols.add(node.col)
+        if node.expr is not None:
+            inner: list = []
+            _walk(node.expr, out_cols, inner)
+            if inner:
+                raise SqlError("aggregates cannot nest")
         if node not in out_aggs:
             out_aggs.append(node)
     elif isinstance(node, Bin) or isinstance(node, Cmp):
@@ -595,6 +627,12 @@ def _walk(node, out_cols: set, out_aggs: list):
             _walk(it, out_cols, out_aggs)
     elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
         _walk(node.e, out_cols, out_aggs)
+    elif isinstance(node, CaseOp):
+        for c, v in node.whens:
+            _walk(c, out_cols, out_aggs)
+            _walk(v, out_cols, out_aggs)
+        if node.default is not None:
+            _walk(node.default, out_cols, out_aggs)
     elif isinstance(node, Lit) or node is None:
         pass
     else:  # pragma: no cover
@@ -615,6 +653,12 @@ def _bare_cols(node, out: set):
             _bare_cols(it, out)
     elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
         _bare_cols(node.e, out)
+    elif isinstance(node, CaseOp):
+        for c, v in node.whens:
+            _bare_cols(c, out)
+            _bare_cols(v, out)
+        if node.default is not None:
+            _bare_cols(node.default, out)
 
 
 def _eval(node, t: pa.Table, agg_name=None):
@@ -679,6 +723,18 @@ def _eval(node, t: pa.Table, agg_name=None):
                 pc.round(v, round_mode="half_towards_infinity"), target, safe=False
             )
         return pc.cast(v, target)
+    if isinstance(node, CaseOp):
+        vals = [_eval(v, t, agg_name) for _, v in node.whens]
+        conds = [_eval(c, t, agg_name) for c, _ in node.whens]
+        if node.default is not None:
+            out = _eval(node.default, t, agg_name)
+        else:
+            # untyped NULL default: null of the first branch's type
+            vt = vals[0].type
+            out = pa.scalar(None, vt)
+        for c, v in zip(reversed(conds), reversed(vals)):
+            out = pc.if_else(c, v, out)
+        return out
     if isinstance(node, Func):
         v = _eval(node.e, t, agg_name)
         if node.name == "floor":
@@ -892,7 +948,23 @@ def sql_query(sf_dir: str, sql: str):
             _bare_cols(q.having, bare)
             if bare - gset:
                 raise SqlError(f"HAVING references non-grouped column(s) {sorted(bare - gset)}")
-        ds = _aggregate(ds, q, aggs)
+        # computed-expression aggregates (sum(CASE WHEN ...), avg(a*b)):
+        # evaluate each expression ONCE per batch into a derived column so
+        # the partial stage aggregates plain columns
+        expr_aggs = [(i, a) for i, a in enumerate(aggs) if a.expr is not None]
+        aggs_exec = list(aggs)
+        if expr_aggs:
+            pairs = tuple((f"__ax{i}", a.expr) for i, a in expr_aggs)
+
+            def derive(t: pa.Table, _p=pairs) -> pa.Table:
+                for nm, e in _p:
+                    t = t.append_column(nm, _as_array(_eval(e, t), t.num_rows))
+                return t
+
+            ds = ds.map_batches(derive, batch_format="pyarrow")
+            for i, a in expr_aggs:
+                aggs_exec[i] = Agg(a.func, f"__ax{i}")
+        ds = _aggregate(ds, q, aggs_exec)
         agg_name = {a: _agg_internal_name(i) for i, a in enumerate(aggs)}
     else:
         agg_name = None

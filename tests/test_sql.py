@@ -205,3 +205,24 @@ def test_distributed_combine_fallback_matches(ray_session, monkeypatch):
     )
     mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
     pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
+
+
+def test_case_when(ray_session):
+    """CASE WHEN ... THEN ... ELSE ... END in projection and WHERE."""
+    for sql in (
+        "SELECT event_id, CASE WHEN value >= 100 THEN 'hot' WHEN value >= 50 "
+        "THEN 'warm' ELSE 'cold' END AS band FROM events ORDER BY event_id LIMIT 40",
+        # CASE without ELSE -> NULL default
+        "SELECT event_id, CASE WHEN value > 200 THEN 1 END AS flag "
+        "FROM events ORDER BY event_id LIMIT 30",
+        # CASE inside an aggregate (conditional sum)
+        "SELECT event_type, CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS hot "
+        "FROM events GROUP BY event_type ORDER BY event_type",
+        # CASE in WHERE
+        "SELECT event_id FROM events WHERE CASE WHEN event_type = 'click' "
+        "THEN value > 90 ELSE value > 300 END ORDER BY event_id LIMIT 25",
+    ):
+        mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+        pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
+    with pytest.raises(SqlError):
+        parse_sql("SELECT CASE END FROM events")
