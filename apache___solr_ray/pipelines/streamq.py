@@ -188,8 +188,8 @@ _expr(
 
 _expr(
     "stream_let_corr_expr",
-    """let(a=col(search(events, q="*:*", fl="value"), "value"),
-           b=col(search(events, q="*:*", fl="user_id"), "user_id"),
+    """let(a=col(search(events, q="*:*", fl="event_id,value", sort="event_id asc"), "value"),
+           b=col(search(events, q="*:*", fl="event_id,user_id", sort="event_id asc"), "user_id"),
            round(corr(a, b), 6))""",
     """
     SELECT floor(corr(value, user_id) * 1000000 + 0.5) / 1000000 AS result
@@ -199,8 +199,8 @@ _expr(
 
 _expr(
     "stream_let_regress_expr",
-    """let(a=col(search(events, q="*:*", fl="value"), "value"),
-           b=col(search(events, q="*:*", fl="user_id"), "user_id"),
+    """let(a=col(search(events, q="*:*", fl="event_id,value", sort="event_id asc"), "value"),
+           b=col(search(events, q="*:*", fl="event_id,user_id", sort="event_id asc"), "user_id"),
            precision(regress(a, b), 6))""",
     """
     SELECT floor(regr_slope(user_id, value)     * 1000000 + 0.5) / 1000000 AS slope,
@@ -338,5 +338,33 @@ _expr(
     SELECT CAST(rn - 1 AS BIGINT) AS i,
            floor(sum(value) OVER (ORDER BY rn) * 10000 + 0.5) / 10000 AS value
     FROM s
+    """,
+)
+
+_expr(
+    "stream_let_movingmedian_expr",
+    """let(a=col(search(events, q="event_type:view", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           precision(movingMedian(a, 7), 6))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'view'),
+         w AS (SELECT rn, median(value) OVER (ORDER BY rn
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mv
+               FROM s)
+    SELECT CAST(rn - 7 AS BIGINT) AS i,
+           floor(mv * 1000000 + 0.5) / 1000000 AS value
+    FROM w WHERE rn >= 7
+    """,
+)
+
+_expr(
+    "stream_let_cov_expr",
+    """let(a=col(search(events, q="*:*", fl="event_id,value", sort="event_id asc"), "value"),
+           b=col(search(events, q="*:*", fl="event_id,user_id", sort="event_id asc"), "user_id"),
+           round(cov(a, b), 6))""",
+    """
+    SELECT floor(covar_samp(value, user_id) * 1000000 + 0.5) / 1000000 AS result
+    FROM events
     """,
 )

@@ -33,7 +33,7 @@ Dialect (documented subset — everything else raises ``SqlError``):
   expr: column, 'string', number, + - * / ( ), comparison (= <> != < <= > >=),
         AND OR NOT, IN (...), [NOT] LIKE, IS [NOT] NULL, BETWEEN lo AND hi,
         CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR), floor(x), abs(x),
-        CASE WHEN cond THEN expr [WHEN ...] [ELSE expr] END,
+        CASE WHEN cond THEN expr [WHEN ...] [ELSE expr] END, coalesce(a, b, ...),
         aggregates count(*) | count(col) | count(DISTINCT col) | sum | avg
                    | min | max | stddev | variance (sample). stddev/variance
                    ride (sum, sumsq, n) partials; count(DISTINCT) compiles
@@ -129,6 +129,11 @@ class IsNullOp:
 class CastOp:
     e: object
     typ: str
+
+
+@dataclass(frozen=True)
+class CoalesceOp:
+    items: tuple
 
 
 @dataclass(frozen=True)
@@ -579,6 +584,12 @@ class _Parser:
                 e = self.expr()
                 self.expect_op(")")
                 return Func(fname, e)
+            if fname == "coalesce":
+                items = [self.expr()]
+                while self.eat_op(","):
+                    items.append(self.expr())
+                self.expect_op(")")
+                return CoalesceOp(tuple(items))
             raise SqlError(f"unsupported function {v!r}")
         if typ == "id":
             self.i += 1
@@ -633,6 +644,9 @@ def _walk(node, out_cols: set, out_aggs: list):
             _walk(v, out_cols, out_aggs)
         if node.default is not None:
             _walk(node.default, out_cols, out_aggs)
+    elif isinstance(node, CoalesceOp):
+        for e in node.items:
+            _walk(e, out_cols, out_aggs)
     elif isinstance(node, Lit) or node is None:
         pass
     else:  # pragma: no cover
@@ -659,6 +673,9 @@ def _bare_cols(node, out: set):
             _bare_cols(v, out)
         if node.default is not None:
             _bare_cols(node.default, out)
+    elif isinstance(node, CoalesceOp):
+        for e in node.items:
+            _bare_cols(e, out)
 
 
 def _eval(node, t: pa.Table, agg_name=None):
@@ -723,6 +740,9 @@ def _eval(node, t: pa.Table, agg_name=None):
                 pc.round(v, round_mode="half_towards_infinity"), target, safe=False
             )
         return pc.cast(v, target)
+    if isinstance(node, CoalesceOp):
+        vals = [_eval(e, t, agg_name) for e in node.items]
+        return pc.coalesce(*vals)
     if isinstance(node, CaseOp):
         vals = [_eval(v, t, agg_name) for _, v in node.whens]
         conds = [_eval(c, t, agg_name) for c, _ in node.whens]

@@ -897,6 +897,13 @@ def _op_let(node: Node, sf_dir: str):
     from apache___solr_ray import mathexpr
 
     def col_fn(cnode: Node):
+        """NOTE pairing determinism: a col() WITHOUT sort= collects in the
+        executor's block-completion order, which is NOT guaranteed stable
+        across runs. Order-insensitive evaluators (mean/percentile/
+        describe/hist/ttest) are safe either way; PAIRING-sensitive ones
+        (corr/cov/regress, and any vector result indexed by i) must draw
+        every col() from a stream with a declared sort= (the reference's
+        streams always carry a sort contract for the same reason)."""
         if len(cnode.args) < 2 or not isinstance(cnode.args[0], Node) or not isinstance(cnode.args[1], str):
             raise StreamExprError('col(stream, "field") expected')
         cds, csort = _compile(cnode.args[0], sf_dir)

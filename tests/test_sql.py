@@ -226,3 +226,13 @@ def test_case_when(ray_session):
         pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
     with pytest.raises(SqlError):
         parse_sql("SELECT CASE END FROM events")
+
+
+def test_coalesce(ray_session):
+    sql = (
+        "SELECT c_custkey, coalesce(o_orderkey, 0 - 1) AS ok FROM customer c "
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "WHERE c_custkey <= 15 ORDER BY c_custkey, ok LIMIT 50"
+    )
+    mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+    pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
