@@ -182,3 +182,18 @@ _sql(
     ORDER BY event_type ASC
     """,
 )
+
+_sql(
+    "sql_join_chain_region_revenue",
+    """
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name ASC
+    """,
+)

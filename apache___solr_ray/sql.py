@@ -23,7 +23,9 @@ Dialect (documented subset — everything else raises ``SqlError``):
   SELECT [DISTINCT] item [, item...]   item := expr [AS alias]
   FROM table [[AS] alias]
        [[INNER | LEFT [OUTER]] JOIN table [[AS] alias]
-        ON a.x = b.y [AND a.p = b.q ...]]   -- equality join; the planner
+        ON a.x = b.y [AND a.p = b.q ...]] ...  -- left-deep equality join
+        CHAIN (each ON joins the new table against any earlier table);
+        per-join the planner
         broadcasts build sides <= SQL_BROADCAST_MAX parquet-metadata rows
         (ray.put + per-batch pandas merge, no shuffle) and runs bigger
         sides as Ray Data's distributed hash join. Scalar references must
@@ -181,7 +183,7 @@ class Query:
     limit: int | None
     offset: int = 0
     table_alias: str | None = None
-    join: Join | None = None
+    joins: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +311,12 @@ class _Parser:
         self.expect_kw("from")
         table = self.ident()
         table_alias = self.table_alias()
-        join = self.join_clause()
+        joins = []
+        while True:
+            j = self.join_clause()
+            if j is None:
+                break
+            joins.append(j)
         where = self.expr() if self.eat_kw("where") else None
         group_by: list[str] = []
         if self.eat_kw("group"):
@@ -349,7 +356,7 @@ class _Parser:
             raise SqlError(f"unexpected trailing tokens: {self.peek()}")
         return Query(
             items, distinct, table, where, group_by, having, order_by, limit,
-            offset, table_alias, join,
+            offset, table_alias, tuple(joins),
         )
 
     def table_alias(self) -> str | None:
@@ -801,118 +808,126 @@ def _table_rows(sf_dir: str, table: str) -> int:
 
 
 def _compile_join(sf_dir: str, q: Query, cols: set):
-    """FROM t1 JOIN t2 ON ... — the size-adaptive physical plan the rest of
-    the engine uses (reference join surface: JoinQParserPlugin /
-    HashJoinStream vs the distributed InnerJoinStream): a build side whose
-    parquet metadata says <= SQL_BROADCAST_MAX rows is collected once,
-    ``ray.put``, and probed with a vectorized pandas merge per batch — no
-    shuffle; bigger sides use ``Dataset.join`` (both sides hash-partitioned
-    on the key). Scalar column references must resolve to exactly one side
-    (TPC-H-style disjoint names; qualify only in ON)."""
+    """FROM t1 JOIN t2 ON ... [JOIN t3 ON ...] — a left-deep join chain
+    with the size-adaptive physical plan the rest of the engine uses
+    (reference join surface: JoinQParserPlugin / HashJoinStream vs the
+    distributed InnerJoinStream): each build side whose parquet metadata
+    says <= SQL_BROADCAST_MAX rows is collected once, ``ray.put``, and
+    probed with a vectorized pandas merge per batch — no shuffle; bigger
+    sides use ``Dataset.join`` (both sides hash-partitioned on the key).
+    Every ON equality joins the NEW table against the accumulated
+    relation (any earlier table). Scalar column references must resolve
+    to exactly one table (TPC-H-style disjoint names; qualify only in
+    ON)."""
     from apache___solr_ray.sources import load
 
-    j = q.join
-    lnames = set(_table_schema_names(sf_dir, q.table))
-    rnames = set(_table_schema_names(sf_dir, j.table))
-    laliases = {q.table, q.table_alias}
-    raliases = {j.table, j.alias}
+    # per-relation schema/name info: index 0 = base table, i = join i-1
+    rels = [(q.table, q.table_alias)] + [(j.table, j.alias) for j in q.joins]
+    rel_names = [set(_table_schema_names(sf_dir, t)) for t, _ in rels]
+    rel_alias = [{t, a} for t, a in rels]
 
-    def side_of(qual, name) -> str:
+    def owner_of(qual, name, upto: int) -> int:
+        """Resolve a column to one relation among rels[0..upto]."""
         if qual is not None:
-            if qual in laliases:
-                return "l"
-            if qual in raliases:
-                return "r"
+            for i in range(upto + 1):
+                if qual in rel_alias[i]:
+                    return i
             raise SqlError(f"unknown table qualifier {qual!r}")
-        in_l, in_r = name in lnames, name in rnames
-        if in_l and in_r:
+        hits = [i for i in range(upto + 1) if name in rel_names[i]]
+        if len(hits) > 1:
             raise SqlError(f"ambiguous ON column {name!r}: qualify it")
-        if in_l:
-            return "l"
-        if in_r:
-            return "r"
-        raise SqlError(f"ON column {name!r} not found in either table")
+        if not hits:
+            raise SqlError(f"ON column {name!r} not found")
+        return hits[0]
 
-    lkeys, rkeys = [], []
-    for (aq, an), (bq, bn) in j.on:
-        sa, sb = side_of(aq, an), side_of(bq, bn)
-        if sa == sb:
-            raise SqlError("each ON equality must reference both tables")
-        if sa == "l":
-            lkeys.append(an)
-            rkeys.append(bn)
-        else:
-            lkeys.append(bn)
-            rkeys.append(an)
-    for k in lkeys:
-        if k not in lnames:
-            raise SqlError(f"ON column {k!r} not in table {q.table!r}")
-    for k in rkeys:
-        if k not in rnames:
-            raise SqlError(f"ON column {k!r} not in table {j.table!r}")
+    # resolve every join's keys; the right side is relation k+1, the left
+    # side any relation 0..k
+    join_keys: list[tuple[list[str], list[str]]] = []
+    for k, j in enumerate(q.joins):
+        lkeys, rkeys = [], []
+        for (aq, an), (bq, bn) in j.on:
+            oa = owner_of(aq, an, k + 1)
+            ob = owner_of(bq, bn, k + 1)
+            if (oa == k + 1) == (ob == k + 1):
+                raise SqlError(
+                    "each ON equality must reference the joined table on "
+                    "exactly one side (and earlier tables on the other)"
+                )
+            if oa == k + 1:
+                lkeys.append(bn)
+                rkeys.append(an)
+            else:
+                lkeys.append(an)
+                rkeys.append(bn)
+        join_keys.append((lkeys, rkeys))
 
-    lcols, rcols = set(lkeys), set(rkeys)
+    # column pruning per relation: referenced cols + every key it owns
+    need = [set() for _ in rels]
     for c in cols:
-        in_l, in_r = c in lnames, c in rnames
-        if in_l and in_r:
+        hits = [i for i in range(len(rels)) if c in rel_names[i]]
+        if len(hits) > 1:
             raise SqlError(
-                f"column {c!r} exists in both tables — JOIN queries need "
-                "disjoint referenced column names (qualify only in ON)"
+                f"column {c!r} exists in multiple tables — JOIN queries "
+                "need disjoint referenced column names (qualify only in ON)"
             )
-        if in_l:
-            lcols.add(c)
-        elif in_r:
-            rcols.add(c)
-        else:
-            raise SqlError(f"column {c!r} not found in either table")
+        if not hits:
+            raise SqlError(f"column {c!r} not found in any table")
+        need[hits[0]].add(c)
+    for k, (lkeys, rkeys) in enumerate(join_keys):
+        need[k + 1].update(rkeys)
+        for lk in lkeys:
+            need[owner_of(None, lk, k)].add(lk)
 
-    lds = load(sf_dir, q.table, columns=sorted(lcols))
-    n_right = _table_rows(sf_dir, j.table)
-    drop_rkeys = [k for k in rkeys if k not in cols]
+    acc = load(sf_dir, rels[0][0], columns=sorted(need[0]))
+    for k, j in enumerate(q.joins):
+        lkeys, rkeys = join_keys[k]
+        rcols = sorted(need[k + 1])
+        drop_rkeys = [x for x in rkeys if x not in cols]
+        n_right = _table_rows(sf_dir, j.table)
+        how = "left" if j.kind == "left" else "inner"
+        if n_right <= SQL_BROADCAST_MAX:
+            import ray
 
-    if n_right <= SQL_BROADCAST_MAX:
-        import ray
+            from apache___solr_ray.sources import load_arrow
 
-        from apache___solr_ray.sources import load_arrow
+            rt = load_arrow(sf_dir, j.table, columns=rcols).to_pandas()
+            ref = ray.put(rt)
+            state: dict = {}
 
-        rt = load_arrow(sf_dir, j.table, columns=sorted(rcols)).to_pandas()
-        ref = ray.put(rt)
-        state: dict = {}
+            def probe(
+                df: pd.DataFrame, _ref=ref, _lk=tuple(lkeys), _rk=tuple(rkeys),
+                _how=how, _drop=tuple(drop_rkeys), _state=state,
+            ) -> pd.DataFrame:
+                if "r" not in _state:
+                    _state["r"] = ray.get(_ref)
+                out = df.merge(
+                    _state["r"], left_on=list(_lk), right_on=list(_rk), how=_how
+                )
+                d = [x for x in _drop if x in out.columns]
+                return out.drop(columns=d) if d else out
 
-        def probe(df: pd.DataFrame) -> pd.DataFrame:
-            if "r" not in state:
-                state["r"] = ray.get(ref)
-            out = df.merge(
-                state["r"],
-                left_on=lkeys,
-                right_on=rkeys,
-                how=("left" if j.kind == "left" else "inner"),
-            )
-            d = [k for k in drop_rkeys if k in out.columns]
-            return out.drop(columns=d) if d else out
+            acc = acc.map_batches(probe, batch_format="pandas")
+            continue
+        # big build side: distributed hash join, partitions sized to CPUs/4
+        # (aggregator-actor count must not wedge small sessions)
+        from apache___solr_ray.stages.dedup import _default_join_partitions
 
-        return lds.map_batches(probe, batch_format="pandas")
-
-    # big build side: distributed hash join, partitions sized to CPUs/4
-    # (aggregator-actor count must not wedge small sessions)
-    from apache___solr_ray.stages.dedup import _default_join_partitions
-
-    rds = load(sf_dir, j.table, columns=sorted(rcols))
-    joined = lds.join(
-        rds,
-        join_type=("left_outer" if j.kind == "left" else "inner"),
-        num_partitions=_default_join_partitions(),
-        on=tuple(lkeys),
-        right_on=tuple(rkeys),
-    )
-    if drop_rkeys:
-        joined = joined.map_batches(
-            lambda t, _d=tuple(drop_rkeys): t.drop_columns(
-                [c for c in _d if c in t.column_names]
-            ),
-            batch_format="pyarrow",
+        rds = load(sf_dir, j.table, columns=rcols)
+        acc = acc.join(
+            rds,
+            join_type=("left_outer" if j.kind == "left" else "inner"),
+            num_partitions=_default_join_partitions(),
+            on=tuple(lkeys),
+            right_on=tuple(rkeys),
         )
-    return joined
+        if drop_rkeys:
+            acc = acc.map_batches(
+                lambda t, _d=tuple(drop_rkeys): t.drop_columns(
+                    [c for c in _d if c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+    return acc
 
 
 def sql_query(sf_dir: str, sql: str):
@@ -937,7 +952,7 @@ def sql_query(sf_dir: str, sql: str):
         cols.add(g)
     if not cols:
         raise SqlError("query references no columns")
-    if q.join is not None:
+    if q.joins:
         ds = _compile_join(sf_dir, q, cols)
     else:
         ds = load(sf_dir, q.table, columns=sorted(cols))
