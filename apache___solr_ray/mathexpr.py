@@ -6,8 +6,11 @@ Reference surface: the solrj-streaming math-expressions layer —
 ``RegressionEvaluator.java``, ``MovingAverageEvaluator.java``,
 ``PercentileEvaluator.java``, ``DescribeEvaluator.java``,
 ``HistogramEvaluator.java``; user guide ``math-expressions.adoc``). This
-module implements the statistical/array core of that surface (~35
-evaluators) over numpy.
+module implements the statistical/array/matrix/signal/distribution core
+of that surface (~150 evaluators) over numpy + stdlib math. p-values the
+reference gets from commons-math distributions are computed here with the
+classic regularized incomplete beta/gamma continued-fraction and series
+forms (Abramowitz & Stegun 6.5/26.5; public-domain algorithms).
 
 Memory model — same as the reference, stated plainly: Solr evaluates a
 ``let()`` on ONE worker over in-memory vectors (``col()`` reads a stream
@@ -23,10 +26,16 @@ Result mapping back to the tuple stream:
 - dict (regress,
   describe)         -> one row, keys as columns
 - list of dicts
-  (hist)            -> one row per bin
+  (hist, freqTable) -> one row per bin
+- matrix (2-D)      -> long rows      {"i", "j", "value"}
+- model dicts (lerp/spline/ols/knn/kmeans/distributions) are
+  INTERMEDIATE values — feed them to predict()/sample()/getValue();
+  emitting one directly raises with that hint.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -156,7 +165,9 @@ def _precision(x, nd):
     oracle's floor(x*10^nd + 0.5)/10^nd convention."""
     nd = int(nd)
     if isinstance(x, dict):
-        return {k: float(_round_half_up(v, nd)) for k, v in x.items()}
+        return {
+            k: (v if isinstance(v, str) else _precision(v, nd)) for k, v in x.items()
+        }
     if isinstance(x, list):
         return [_precision(e, nd) for e in x]
     if np.ndim(x) == 0:
@@ -265,7 +276,14 @@ def eval_node(node, env: dict, col_fn):
                 try:
                     args.append(float(a) if "." in a else int(a))
                 except ValueError:
-                    raise MathExprError(f"unbound variable {a!r}") from None
+                    # the parser strips quotes, so a key argument like
+                    # getValue(m, "f") arrives as a bare string; only the
+                    # whitelisted key-taking evaluators may consume one —
+                    # everywhere else an unresolved word is a typo'd variable
+                    if node.name in _LITERAL_STR_FNS:
+                        args.append(a)
+                    else:
+                        raise MathExprError(f"unbound variable {a!r}") from None
         else:
             args.append(eval_node(a, env, col_fn))
     return fn(*args)
@@ -274,6 +292,11 @@ def eval_node(node, env: dict, col_fn):
 def result_to_table(res) -> pa.Table:
     """Map an evaluator result back into a tuple stream (see module doc)."""
     if isinstance(res, dict):
+        if any(isinstance(v, str) or np.ndim(v) > 0 for v in res.values()):
+            raise MathExprError(
+                "model/distribution results are intermediate values — extract "
+                'a field with getValue(model, "key") or apply predict()/sample()'
+            )
         return pa.table({k: pa.array([float(v)]) for k, v in res.items()})
     if isinstance(res, list):  # hist bins
         if not res:
@@ -290,4 +313,1014 @@ def result_to_table(res) -> pa.Table:
                 "value": pa.array(a.astype(np.float64)),
             }
         )
+    if a.ndim == 2:
+        n, m = a.shape
+        return pa.table(
+            {
+                "i": pa.array(np.repeat(np.arange(n, dtype=np.int64), m)),
+                "j": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+                "value": pa.array(a.astype(np.float64).ravel()),
+            }
+        )
     raise MathExprError(f"cannot emit result of shape {a.shape}")
+
+
+# ---------------------------------------------------------------------------
+# Special functions — regularized incomplete beta / gamma via the classic
+# Lentz continued fraction and power series (Abramowitz & Stegun 6.5 / 26.5,
+# same functions commons-math's distribution CDFs bottom out in). These back
+# every p-value below (t, F, chi-square, normal, Kolmogorov).
+# ---------------------------------------------------------------------------
+
+_SF_EPS = 3e-15
+_SF_FPMIN = 1e-300
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < _SF_FPMIN:
+        d = _SF_FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < _SF_FPMIN:
+            d = _SF_FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < _SF_FPMIN:
+            c = _SF_FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < _SF_FPMIN:
+            d = _SF_FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < _SF_FPMIN:
+            c = _SF_FPMIN
+        d = 1.0 / d
+        delt = d * c
+        h *= delt
+        if abs(delt - 1.0) < _SF_EPS:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    front = math.exp(
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def gammainc_p(s: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(s, x)."""
+    if x < 0 or s <= 0:
+        raise MathExprError("gammainc_p domain")
+    if x == 0.0:
+        return 0.0
+    if x < s + 1.0:  # series
+        ap, total, delt = s, 1.0 / s, 1.0 / s
+        for _ in range(500):
+            ap += 1.0
+            delt *= x / ap
+            total += delt
+            if abs(delt) < abs(total) * _SF_EPS:
+                break
+        return total * math.exp(-x + s * math.log(x) - math.lgamma(s))
+    # continued fraction for Q(s, x)
+    b = x + 1.0 - s
+    c = 1.0 / _SF_FPMIN
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - s)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < _SF_FPMIN:
+            d = _SF_FPMIN
+        c = b + an / c
+        if abs(c) < _SF_FPMIN:
+            c = _SF_FPMIN
+        d = 1.0 / d
+        delt = d * c
+        h *= delt
+        if abs(delt - 1.0) < _SF_EPS:
+            break
+    q = math.exp(-x + s * math.log(x) - math.lgamma(s)) * h
+    return 1.0 - q
+
+
+def norm_cdf(x: float, mean: float = 0.0, sd: float = 1.0) -> float:
+    return 0.5 * (1.0 + math.erf((x - mean) / (sd * math.sqrt(2.0))))
+
+
+def t_cdf(t: float, df: float) -> float:
+    x = df / (df + t * t)
+    p = 0.5 * betainc(df / 2.0, 0.5, x)
+    return 1.0 - p if t > 0 else p
+
+
+def f_cdf(f: float, d1: float, d2: float) -> float:
+    if f <= 0:
+        return 0.0
+    return betainc(d1 / 2.0, d2 / 2.0, d1 * f / (d1 * f + d2))
+
+
+def chi2_cdf(x: float, k: float) -> float:
+    if x <= 0:
+        return 0.0
+    return gammainc_p(k / 2.0, x / 2.0)
+
+
+def _kolmogorov_q(lam: float) -> float:
+    """Q_KS(lambda) = 2 * sum_{j>=1} (-1)^{j-1} exp(-2 j^2 lambda^2)."""
+    if lam <= 0:
+        return 1.0
+    total = 0.0
+    for j in range(1, 101):
+        term = 2.0 * (-1.0) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+        total += term
+        if abs(term) < 1e-12:
+            break
+    return min(max(total, 0.0), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Statistics II — test statistics with p-values (AnovaEvaluator,
+# MannWhitneyUEvaluator, KolmogorovSmirnovEvaluator, PairedTTestEvaluator,
+# ChiSquareDataSetEvaluator in io/eval/); fractional ranks (RankEvaluator),
+# frequency table (FrequencyTableEvaluator), mode/means.
+# ---------------------------------------------------------------------------
+
+
+def _geometric_mean(v):
+    a = _vec(v, "geometricMean")
+    if (a <= 0).any():
+        raise MathExprError("geometricMean needs positive values")
+    return float(np.exp(np.log(a).mean()))
+
+
+def _harmonic_mean(v):
+    a = _vec(v, "harmonicMean")
+    return float(len(a) / (1.0 / a).sum())
+
+
+def _mode(v):
+    a = _vec(v, "mode")
+    vals, counts = np.unique(a, return_counts=True)
+    return float(vals[counts == counts.max()].min())
+
+
+def _freq_table(v):
+    a = _vec(v, "freqTable")
+    vals, counts = np.unique(a, return_counts=True)
+    n = float(len(a))
+    return [
+        {"value": float(val), "count": float(c), "pct": float(c / n)}
+        for val, c in zip(vals, counts)
+    ]
+
+
+def _rank(v):
+    """Fractional (mid) ranks, 1-based, ties averaged — commons-math
+    NaturalRanking(TiesStrategy.AVERAGE), the RankEvaluator default."""
+    a = _vec(v, "rank")
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a), dtype=np.float64)
+    sorted_a = a[order]
+    i = 0
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and sorted_a[j + 1] == sorted_a[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def _anova(*vs):
+    """One-way ANOVA over 2+ vectors: {f, p}."""
+    groups = [_vec(v, "anova") for v in vs]
+    if len(groups) < 2:
+        raise MathExprError("anova needs >= 2 vectors")
+    allv = np.concatenate(groups)
+    gm = allv.mean()
+    k, n = len(groups), len(allv)
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return {"f": float(f), "p": float(1.0 - f_cdf(f, k - 1, n - k))}
+
+
+def _mann_whitney(a, b):
+    """Mann-Whitney U with tie-corrected normal approximation:
+    {u, u1, z, p}. u1 = R1 - n1(n1+1)/2 (rank-sum form over sample a),
+    u = min(u1, n1*n2 - u1), p two-sided."""
+    va, vb = _vec(a, "mannWhitney"), _vec(b, "mannWhitney")
+    n1, n2 = len(va), len(vb)
+    ranks = _rank(np.concatenate([va, vb]))
+    r1 = ranks[:n1].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    u = min(u1, n1 * n2 - u1)
+    n = n1 + n2
+    _, counts = np.unique(np.concatenate([va, vb]), return_counts=True)
+    tie_term = float((counts.astype(np.float64) ** 3 - counts).sum())
+    sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+    if sigma2 <= 0:
+        raise MathExprError("mannWhitney: zero variance (all values tied)")
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(sigma2)
+    p = 2.0 * (1.0 - norm_cdf(abs(z)))
+    return {"u": float(u), "u1": float(u1), "z": float(z), "p": float(p)}
+
+
+def _ks(a, b):
+    """Two-sample Kolmogorov-Smirnov: {d, p} (asymptotic p with the
+    Stephens small-sample correction factor)."""
+    va = np.sort(_vec(a, "ks"))
+    vb = np.sort(_vec(b, "ks"))
+    n1, n2 = len(va), len(vb)
+    allv = np.concatenate([va, vb])
+    cdf1 = np.searchsorted(va, allv, side="right") / n1
+    cdf2 = np.searchsorted(vb, allv, side="right") / n2
+    d = float(np.abs(cdf1 - cdf2).max())
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    p = _kolmogorov_q((en + 0.12 + 0.11 / en) * d)
+    return {"d": d, "p": float(p)}
+
+
+def _paired_ttest(a, b):
+    va, vb = _pair(a, b, "pairedTtest")
+    diff = va - vb
+    n = len(diff)
+    t = diff.mean() / (diff.std(ddof=1) / math.sqrt(n))
+    df = n - 1
+    p = 2.0 * (1.0 - t_cdf(abs(float(t)), df))
+    return {"t": float(t), "df": float(df), "p": float(p)}
+
+
+def _chisq_dataset(a, b):
+    """Commons-math chiSquareDataSetsComparison: two observed count
+    vectors, K-normalized: {chisq, df, p}."""
+    va, vb = _pair(a, b, "chiSquareDataSet")
+    if (va < 0).any() or (vb < 0).any() or (va + vb <= 0).any():
+        raise MathExprError("chiSquareDataSet needs non-negative counts, no all-zero bin")
+    k = math.sqrt(vb.sum() / va.sum())
+    chisq = float((((k * va - vb / k) ** 2) / (va + vb)).sum())
+    df = len(va) - 1
+    return {"chisq": chisq, "df": float(df), "p": float(1.0 - chi2_cdf(chisq, df))}
+
+
+# ---------------------------------------------------------------------------
+# Vector utilities (CopyOf/CopyOfRange/ValueAt/Zeros/Ones/Natural/Primes/
+# Asc/PairSort in io/eval/), norms & scaling (L1Norm/Norm/LInfNorm/
+# NormalizeSum/MinMaxScale), distances (Manhattan/Canberra/Chebyshev/
+# EarthMovers/Distance).
+# ---------------------------------------------------------------------------
+
+
+def _copy_of(v, n=None):
+    a = _vec(v, "copyOf")
+    n = len(a) if n is None else int(n)
+    out = np.zeros(n, dtype=np.float64)  # Arrays.copyOf zero-pads
+    out[: min(n, len(a))] = a[: min(n, len(a))]
+    return out
+
+
+def _copy_of_range(v, lo, hi):
+    a = _vec(v, "copyOfRange")
+    lo, hi = int(lo), int(hi)
+    if not (0 <= lo <= hi <= len(a)):
+        raise MathExprError("copyOfRange bounds out of range")
+    return a[lo:hi].copy()
+
+
+def _value_at(x, i, j=None):
+    a = np.asarray(x, dtype=np.float64)
+    if a.ndim == 1:
+        return float(a[int(i)])
+    if a.ndim == 2:
+        if j is None:
+            raise MathExprError("valueAt(matrix, i, j) needs two indices")
+        return float(a[int(i), int(j)])
+    raise MathExprError("valueAt expects a vector or matrix")
+
+
+def _primes(n, start=0):
+    n, start = int(n), int(start)
+    out, cand = [], max(2, start)
+    while len(out) < n:
+        is_p = cand >= 2 and all(cand % d for d in range(2, int(cand**0.5) + 1))
+        if is_p:
+            out.append(float(cand))
+        cand += 1
+    return np.asarray(out)
+
+
+def _pair_sort(a, b):
+    """PairSortEvaluator: sort both vectors by the first; returns a 2-row
+    matrix [sorted_a; b reordered alongside]."""
+    va, vb = _pair(a, b, "pairSort")
+    order = np.argsort(va, kind="stable")
+    return np.vstack([va[order], vb[order]])
+
+
+def _normalize_sum(v, sum_to=1.0):
+    a = _vec(v, "normalizeSum")
+    return a * (float(sum_to) / a.sum())
+
+
+def _min_max_scale(v, lo=0.0, hi=1.0):
+    a = _vec(v, "minMaxScale")
+    amin, amax = a.min(), a.max()
+    if amax == amin:
+        return np.full(len(a), float(lo))
+    return (a - amin) / (amax - amin) * (float(hi) - float(lo)) + float(lo)
+
+
+def _earth_movers(a, b):
+    """1-D earth-mover (Wasserstein-1) over two equal-length histograms:
+    sum of |cumulative difference|."""
+    va, vb = _pair(a, b, "earthMovers")
+    return float(np.abs(np.cumsum(va - vb)).sum())
+
+
+def _distance(a, b=None):
+    if b is not None:
+        return float(np.linalg.norm(np.subtract(*_pair(a, b, "distance"))))
+    m = np.asarray(a, dtype=np.float64)
+    if m.ndim != 2:
+        raise MathExprError("distance(matrix) expects a matrix")
+    # pairwise euclidean between ROWS (reference distance(matrix) contract)
+    sq = (m * m).sum(axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (m @ m.T), 0.0)
+    return np.sqrt(d2)
+
+
+# ---------------------------------------------------------------------------
+# Matrices (Matrix/Transpose/RowAt/ColumnAt/RowCount/ColumnCount/
+# MatrixMultiply/SumRows/SumColumns/GrandSum/Scalar* in io/eval/).
+# cov()/corr() gain the reference's single-matrix-argument form
+# (columns are the variables).
+# ---------------------------------------------------------------------------
+
+
+def _matrix(*rows):
+    vs = [_vec(r, "matrix") for r in rows]
+    if not vs or len({len(v) for v in vs}) != 1:
+        raise MathExprError("matrix() needs >=1 equal-length row vectors")
+    return np.vstack(vs)
+
+
+def _as_matrix(m, name):
+    a = np.asarray(m, dtype=np.float64)
+    if a.ndim != 2:
+        raise MathExprError(f"{name} expects a matrix")
+    return a
+
+
+def _corr2(a, b=None):
+    if b is None:
+        return np.corrcoef(_as_matrix(a, "corr"), rowvar=False)
+    return _corr(a, b)
+
+
+def _cov2(a, b=None):
+    if b is None:
+        return np.cov(_as_matrix(a, "cov"), rowvar=False, ddof=1)
+    return _cov(a, b)
+
+
+def _scalar_op(op):
+    def fn(c, x):
+        return op(np.asarray(x, dtype=np.float64), float(c))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Signal / time series (ExponentialMovingAverage/MovingMAD/Lerp/Spline/
+# Derivative/Integrate/PolyFit/Convolution/FindDelay/Oscillate/FFT/IFFT).
+# Interpolators and regressors return MODEL dicts consumed by predict()/
+# derivative()/integrate() — same dataflow as the reference's VectorFunction
+# wrappers.
+# ---------------------------------------------------------------------------
+
+
+def _exp_moving_avg(v, w):
+    """EMA with alpha = 2/(w+1), seeded at v[0] (commons-math / the
+    reference's expMovingAge contract); full-length output."""
+    a = _vec(v, "expMovingAvg")
+    w = int(w)
+    if w < 1:
+        raise MathExprError("expMovingAvg window must be >= 1")
+    alpha = 2.0 / (w + 1.0)
+    out = np.empty(len(a))
+    acc = a[0]
+    for i, x in enumerate(a):
+        acc = alpha * x + (1.0 - alpha) * acc if i else x
+        out[i] = acc
+    return out
+
+
+def _moving_mad(v, w):
+    """Moving MAD: median(|x - median(window)|) per trailing window."""
+    a = _vec(v, "movingMAD")
+    w = int(w)
+    if w < 1 or w > len(a):
+        raise MathExprError("movingMAD window out of range")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(a, w)
+    med = np.median(win, axis=1)
+    return np.median(np.abs(win - med[:, None]), axis=1)
+
+
+def _lerp(x, y):
+    xs, ys = _pair(x, y, "lerp")
+    order = np.argsort(xs, kind="stable")
+    return {"type": "lerp", "x": xs[order], "y": ys[order]}
+
+
+def _spline(x, y):
+    """Natural cubic spline: solves the standard tridiagonal system for the
+    second derivatives m_i (m_0 = m_n = 0)."""
+    xs, ys = _pair(x, y, "spline")
+    order = np.argsort(xs, kind="stable")
+    xs, ys = xs[order], ys[order]
+    n = len(xs)
+    if n < 3:
+        raise MathExprError("spline needs >= 3 points")
+    h = np.diff(xs)
+    if (h <= 0).any():
+        raise MathExprError("spline needs strictly increasing x")
+    # tridiagonal: sub=h[i-1], diag=2(h[i-1]+h[i]), sup=h[i], rhs=6*(slope diff)
+    diag = 2.0 * (h[:-1] + h[1:])
+    rhs = 6.0 * (np.diff(ys[1:]) / h[1:] - np.diff(ys[:-1]) / h[:-1])
+    m = np.zeros(n)
+    if n > 2:
+        # Thomas algorithm
+        cp = np.zeros(n - 2)
+        dp = np.zeros(n - 2)
+        cp[0] = h[1] / diag[0]
+        dp[0] = rhs[0] / diag[0]
+        for i in range(1, n - 2):
+            den = diag[i] - h[i] * cp[i - 1]
+            cp[i] = h[i + 1] / den if i < n - 3 else 0.0
+            dp[i] = (rhs[i] - h[i] * dp[i - 1]) / den
+        m[n - 2] = dp[-1]
+        for i in range(n - 3, 0, -1):
+            m[i] = dp[i - 1] - cp[i - 1] * m[i + 1]
+    return {"type": "spline", "x": xs, "y": ys, "m": m}
+
+
+def _spline_eval(model, xq):
+    xs, ys, m = model["x"], model["y"], model["m"]
+    xq = np.atleast_1d(np.asarray(xq, dtype=np.float64))
+    idx = np.clip(np.searchsorted(xs, xq) - 1, 0, len(xs) - 2)
+    h = xs[idx + 1] - xs[idx]
+    t = xq - xs[idx]
+    a = (xs[idx + 1] - xq) / h
+    b = t / h
+    out = (
+        a * ys[idx]
+        + b * ys[idx + 1]
+        + ((a**3 - a) * m[idx] + (b**3 - b) * m[idx + 1]) * h * h / 6.0
+    )
+    return out
+
+
+def _derivative(model):
+    if not (isinstance(model, dict) and model.get("type") in ("lerp", "spline")):
+        raise MathExprError("derivative() expects a lerp()/spline() model")
+    return {"type": "deriv", "of": model}
+
+
+def _integrate(model, lo, hi):
+    """Definite integral of an interpolator: exact trapezoid for lerp,
+    composite Simpson (513 points) for spline."""
+    lo, hi = float(lo), float(hi)
+    if not isinstance(model, dict):
+        raise MathExprError("integrate() expects an interpolator model")
+    if model.get("type") == "lerp":
+        xs, ys = model["x"], model["y"]
+        grid = np.unique(np.concatenate([[lo], xs[(xs > lo) & (xs < hi)], [hi]]))
+        vals = np.interp(grid, xs, ys)
+        return float(np.trapz(vals, grid))
+    if model.get("type") == "spline":
+        grid = np.linspace(lo, hi, 513)
+        vals = _spline_eval(model, grid)
+        h = grid[1] - grid[0]
+        return float(h / 3.0 * (vals[0] + vals[-1] + 4 * vals[1:-1:2].sum() + 2 * vals[2:-2:2].sum()))
+    raise MathExprError("integrate() supports lerp/spline models")
+
+
+def _polyfit(v, deg=3):
+    """PolyFitEvaluator: least-squares polynomial of degree `deg` fitted
+    against the natural sequence x = 0..n-1; returns the FITTED values
+    (the reference's polyfit plots the smoothed curve)."""
+    a = _vec(v, "polyfit")
+    x = np.arange(len(a), dtype=np.float64)
+    coeffs = np.polyfit(x, a, int(deg))
+    return np.polyval(coeffs, x)
+
+
+def _find_delay(a, b):
+    """FindDelayEvaluator: lag of b relative to a maximizing the
+    cross-correlation sum_t a[t] * b[t - d]."""
+    va, vb = _vec(a, "finddelay"), _vec(b, "finddelay")
+    xc = np.correlate(va, vb, mode="full")
+    return float(int(np.argmax(xc)) - (len(vb) - 1))
+
+
+def _oscillate(amp, omega, phase, n=128):
+    t = np.arange(int(n), dtype=np.float64)
+    return float(amp) * np.sin(float(omega) * t + float(phase))
+
+
+def _fft(v):
+    a = _vec(v, "fft")
+    z = np.fft.fft(a)
+    return np.vstack([z.real, z.imag])
+
+
+def _ifft(m):
+    mm = _as_matrix(m, "ifft")
+    if mm.shape[0] != 2:
+        raise MathExprError("ifft expects the 2-row [real; imag] matrix fft() emits")
+    return np.fft.ifft(mm[0] + 1j * mm[1]).real
+
+
+# ---------------------------------------------------------------------------
+# Probability distributions (NormalDistribution/UniformDistribution/
+# UniformIntegerDistribution/BinomialDistribution/PoissonDistribution/
+# TriangularDistribution/ConstantDistribution/EmpiricalDistribution/
+# EnumeratedDistribution/ZipFDistribution in io/eval/) with the operations
+# density() / probability() / cumulativeProbability() / sample().
+# sample() is SEEDED (fixed rng) so catalog entries stay deterministic —
+# the reference samples unseeded; stated divergence.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_SEED = 20260818
+
+
+def _d_normal(mean, sd):
+    return {"dist": "normal", "mean": float(mean), "sd": float(sd)}
+
+
+def _d_uniform(lo, hi):
+    return {"dist": "uniform", "lo": float(lo), "hi": float(hi)}
+
+
+def _d_uniform_int(lo, hi):
+    return {"dist": "uniformInt", "lo": int(lo), "hi": int(hi)}
+
+
+def _d_binomial(trials, p):
+    return {"dist": "binomial", "n": int(trials), "p": float(p)}
+
+
+def _d_poisson(mean):
+    return {"dist": "poisson", "lam": float(mean)}
+
+
+def _d_triangular(lo, mode, hi):
+    return {"dist": "triangular", "lo": float(lo), "mode": float(mode), "hi": float(hi)}
+
+
+def _d_constant(c):
+    return {"dist": "constant", "c": float(c)}
+
+
+def _d_empirical(v):
+    return {"dist": "empirical", "sorted": np.sort(_vec(v, "empiricalDistribution"))}
+
+
+def _d_enumerated(values, probs=None):
+    vals = _vec(values, "enumeratedDistribution")
+    if probs is None:
+        uv, counts = np.unique(vals, return_counts=True)
+        return {"dist": "enumerated", "values": uv, "probs": counts / counts.sum()}
+    pr = _vec(probs, "enumeratedDistribution")
+    if len(pr) != len(vals) or (pr < 0).any():
+        raise MathExprError("enumeratedDistribution: bad probability vector")
+    return {"dist": "enumerated", "values": vals, "probs": pr / pr.sum()}
+
+
+def _d_zipf(size, exponent):
+    n, s = int(size), float(exponent)
+    k = np.arange(1, n + 1, dtype=np.float64)
+    w = k ** (-s)
+    return {"dist": "enumerated", "values": k, "probs": w / w.sum(), "zipf": True}
+
+
+def _is_dist(d):
+    return isinstance(d, dict) and "dist" in d
+
+
+def _binom_pmf(n, p, k):
+    if k < 0 or k > n:
+        return 0.0
+    if p == 0.0:
+        return 1.0 if k == 0 else 0.0
+    if p == 1.0:
+        return 1.0 if k == n else 0.0
+    return math.exp(
+        math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+        + k * math.log(p) + (n - k) * math.log1p(-p)
+    )
+
+
+def _poisson_pmf(lam, k):
+    if k < 0:
+        return 0.0
+    return math.exp(k * math.log(lam) - lam - math.lgamma(k + 1)) if lam > 0 else float(k == 0)
+
+
+def _dist_density(d, x):
+    if not _is_dist(d):
+        raise MathExprError("density(dist, x) expects a distribution")
+    x = float(x)
+    kind = d["dist"]
+    if kind == "normal":
+        z = (x - d["mean"]) / d["sd"]
+        return math.exp(-0.5 * z * z) / (d["sd"] * math.sqrt(2 * math.pi))
+    if kind == "uniform":
+        return 1.0 / (d["hi"] - d["lo"]) if d["lo"] <= x <= d["hi"] else 0.0
+    if kind == "triangular":
+        lo, mo, hi = d["lo"], d["mode"], d["hi"]
+        if x < lo or x > hi:
+            return 0.0
+        if x < mo:
+            return 2.0 * (x - lo) / ((hi - lo) * (mo - lo))
+        if x > mo:
+            return 2.0 * (hi - x) / ((hi - lo) * (hi - mo))
+        return 2.0 / (hi - lo)
+    raise MathExprError(f"density() undefined for {kind!r} (discrete: use probability())")
+
+
+def _dist_probability(d, x, x2=None):
+    """Discrete: P(X = x). Continuous: probability(d, lo, hi) = CDF(hi)-CDF(lo)
+    (the reference's two-arg continuous form)."""
+    if not _is_dist(d):
+        raise MathExprError("probability(dist, ...) expects a distribution")
+    kind = d["dist"]
+    if kind in ("binomial", "poisson", "uniformInt", "enumerated", "constant"):
+        k = float(x)
+        if kind == "binomial":
+            return _binom_pmf(d["n"], d["p"], int(round(k))) if float(k).is_integer() else 0.0
+        if kind == "poisson":
+            return _poisson_pmf(d["lam"], int(round(k))) if float(k).is_integer() else 0.0
+        if kind == "uniformInt":
+            return 1.0 / (d["hi"] - d["lo"] + 1) if d["lo"] <= k <= d["hi"] and k.is_integer() else 0.0
+        if kind == "constant":
+            return 1.0 if k == d["c"] else 0.0
+        hit = d["values"] == k
+        return float(d["probs"][hit].sum())
+    if x2 is None:
+        raise MathExprError("probability(continuousDist, lo, hi) needs two bounds")
+    return _dist_cum(d, x2) - _dist_cum(d, x)
+
+
+def _dist_cum(d, x):
+    if not _is_dist(d):
+        raise MathExprError("cumulativeProbability(dist, x) expects a distribution")
+    x = float(x)
+    kind = d["dist"]
+    if kind == "normal":
+        return norm_cdf(x, d["mean"], d["sd"])
+    if kind == "uniform":
+        return min(max((x - d["lo"]) / (d["hi"] - d["lo"]), 0.0), 1.0)
+    if kind == "uniformInt":
+        k = math.floor(x)
+        return min(max((k - d["lo"] + 1) / (d["hi"] - d["lo"] + 1), 0.0), 1.0)
+    if kind == "binomial":
+        k = math.floor(x)
+        if k < 0:
+            return 0.0
+        if k >= d["n"]:
+            return 1.0
+        # P(X<=k) = I_{1-p}(n-k, k+1)
+        return betainc(d["n"] - k, k + 1, 1.0 - d["p"])
+    if kind == "poisson":
+        k = math.floor(x)
+        if k < 0:
+            return 0.0
+        # P(X<=k) = Q(k+1, lam) = 1 - P_reg(k+1, lam)
+        return 1.0 - gammainc_p(k + 1.0, d["lam"])
+    if kind == "triangular":
+        lo, mo, hi = d["lo"], d["mode"], d["hi"]
+        if x <= lo:
+            return 0.0
+        if x >= hi:
+            return 1.0
+        if x <= mo:
+            return (x - lo) ** 2 / ((hi - lo) * (mo - lo))
+        return 1.0 - (hi - x) ** 2 / ((hi - lo) * (hi - mo))
+    if kind == "constant":
+        return 1.0 if x >= d["c"] else 0.0
+    if kind == "empirical":
+        s = d["sorted"]
+        return float(np.searchsorted(s, x, side="right") / len(s))
+    if kind == "enumerated":
+        return float(d["probs"][d["values"] <= x].sum())
+    raise MathExprError(f"cumulativeProbability() undefined for {kind!r}")
+
+
+def _dist_sample(d, n=1):
+    if not _is_dist(d):
+        raise MathExprError("sample(dist[, n]) expects a distribution")
+    rng = np.random.default_rng(_SAMPLE_SEED)
+    n = int(n)
+    kind = d["dist"]
+    if kind == "normal":
+        out = rng.normal(d["mean"], d["sd"], n)
+    elif kind == "uniform":
+        out = rng.uniform(d["lo"], d["hi"], n)
+    elif kind == "uniformInt":
+        out = rng.integers(d["lo"], d["hi"] + 1, n).astype(np.float64)
+    elif kind == "binomial":
+        out = rng.binomial(d["n"], d["p"], n).astype(np.float64)
+    elif kind == "poisson":
+        out = rng.poisson(d["lam"], n).astype(np.float64)
+    elif kind == "triangular":
+        out = rng.triangular(d["lo"], d["mode"], d["hi"], n)
+    elif kind == "constant":
+        out = np.full(n, d["c"])
+    elif kind == "empirical":
+        out = rng.choice(d["sorted"], size=n, replace=True)
+    elif kind == "enumerated":
+        out = rng.choice(d["values"], size=n, replace=True, p=d["probs"])
+    else:
+        raise MathExprError(f"sample() undefined for {kind!r}")
+    return float(out[0]) if n == 1 else out
+
+
+# ---------------------------------------------------------------------------
+# Regression / ML models (OLSRegression/KnnRegression/Kmeans/GetCentroids/
+# GetValue in io/eval/) — model dicts consumed by predict()/getValue().
+# ---------------------------------------------------------------------------
+
+
+def _ols_regress(X, y):
+    m = _as_matrix(X, "olsRegress")
+    yv = _vec(y, "olsRegress")
+    if m.shape[0] != len(yv):
+        raise MathExprError("olsRegress: rows(X) != len(y)")
+    A = np.hstack([np.ones((m.shape[0], 1)), m])
+    beta, *_ = np.linalg.lstsq(A, yv, rcond=None)
+    resid = yv - A @ beta
+    ss_res = float((resid**2).sum())
+    ss_tot = float(((yv - yv.mean()) ** 2).sum())
+    return {
+        "type": "ols",
+        "intercept": float(beta[0]),
+        "coeffs": beta[1:],
+        "rsquared": 1.0 - ss_res / ss_tot if ss_tot else 1.0,
+    }
+
+
+def _knn_regress(x, y, k):
+    xs, ys = _pair(x, y, "knnRegress")
+    return {"type": "knn", "x": xs, "y": ys, "k": int(k)}
+
+
+def _kmeans(m, k, max_iter=25):
+    """Lloyd's k-means with kmeans++ init on a fixed rng (deterministic;
+    the reference uses commons-math KMeansPlusPlusClusterer)."""
+    X = _as_matrix(m, "kmeans")
+    k = int(k)
+    if not 1 <= k <= X.shape[0]:
+        raise MathExprError("kmeans: k out of range")
+    rng = np.random.default_rng(_SAMPLE_SEED)
+    cents = [X[rng.integers(X.shape[0])]]
+    for _ in range(k - 1):
+        d2 = np.min([((X - c) ** 2).sum(axis=1) for c in cents], axis=0)
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(len(d2), 1.0 / len(d2))
+        cents.append(X[rng.choice(X.shape[0], p=probs)])
+    C = np.vstack(cents)
+    labels = np.zeros(X.shape[0], dtype=np.int64)
+    for _ in range(int(max_iter)):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        new_labels = d2.argmin(axis=1)
+        if (new_labels == labels).all() and _ > 0:
+            break
+        labels = new_labels
+        for j in range(k):
+            pts = X[labels == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return {"type": "kmeans", "centroids": C, "labels": labels.astype(np.float64)}
+
+
+def _get_centroids(model):
+    if not (isinstance(model, dict) and model.get("type") == "kmeans"):
+        raise MathExprError("getCentroids() expects a kmeans() model")
+    return model["centroids"]
+
+
+def _get_value(model, key):
+    if not isinstance(model, dict):
+        raise MathExprError("getValue(model, key) expects a model/result dict")
+    if key not in model:
+        raise MathExprError(f"getValue: no field {key!r} (have {sorted(model)})")
+    return model[key]
+
+
+def _predict2(model, x):
+    """PredictEvaluator over every model this module produces: simple
+    regress {slope,intercept}, lerp/spline interpolators (+ derivative),
+    polyfit handled by returning fitted values directly, olsRegress
+    (vector = one observation, matrix = many), knnRegress (scalar/vector)."""
+    if not isinstance(model, dict):
+        raise MathExprError("predict() expects a model dict")
+    if "slope" in model:
+        return model["slope"] * np.asarray(x, dtype=np.float64) + model["intercept"]
+    t = model.get("type")
+    if t == "lerp":
+        return np.interp(np.asarray(x, dtype=np.float64), model["x"], model["y"])
+    if t == "spline":
+        out = _spline_eval(model, x)
+        return float(out[0]) if np.ndim(x) == 0 else out
+    if t == "deriv":
+        base = model["of"]
+        xq = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        eps = 1e-6 * max(1.0, float(np.abs(xq).max()))
+        lo = _predict2(base, xq - eps)
+        hi = _predict2(base, xq + eps)
+        out = (np.asarray(hi) - np.asarray(lo)) / (2 * eps)
+        return float(out[0]) if np.ndim(x) == 0 else out
+    if t == "ols":
+        a = np.asarray(x, dtype=np.float64)
+        if a.ndim == 1:
+            return float(model["intercept"] + a @ model["coeffs"])
+        return model["intercept"] + a @ model["coeffs"]
+    if t == "knn":
+        xq = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        out = np.empty(len(xq))
+        for i, q in enumerate(xq):
+            idx = np.argsort(np.abs(model["x"] - q), kind="stable")[: model["k"]]
+            out[i] = model["y"][idx].mean()
+        return float(out[0]) if np.ndim(x) == 0 else out
+    raise MathExprError(f"predict() does not understand model type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# Registry — evaluator-name -> callable, extending the core EVALS table.
+# Boolean/comparison evaluators return 0/1 floats (vectors elementwise);
+# if() is IfThenElseEvaluator (eager, np.where on vectors).
+# ---------------------------------------------------------------------------
+
+_LITERAL_STR_FNS = {"getValue"}
+
+
+def _truthy(x):
+    return np.asarray(x, dtype=np.float64) != 0
+
+
+EVALS.update(
+    {
+        # scalar math / trig (Sine..HyperbolicTangent, CubedRoot, Modulo,
+        # Factorial, BinomialCoefficient, Recip)
+        "sin": lambda x: np.sin(np.asarray(x, np.float64)),
+        "cos": lambda x: np.cos(np.asarray(x, np.float64)),
+        "tan": lambda x: np.tan(np.asarray(x, np.float64)),
+        "asin": lambda x: np.arcsin(np.asarray(x, np.float64)),
+        "acos": lambda x: np.arccos(np.asarray(x, np.float64)),
+        "atan": lambda x: np.arctan(np.asarray(x, np.float64)),
+        "sinh": lambda x: np.sinh(np.asarray(x, np.float64)),
+        "cosh": lambda x: np.cosh(np.asarray(x, np.float64)),
+        "tanh": lambda x: np.tanh(np.asarray(x, np.float64)),
+        "cbrt": lambda x: np.cbrt(np.asarray(x, np.float64)),
+        "mod": lambda a, b: np.mod(np.asarray(a, np.float64), np.asarray(b, np.float64)),
+        "recip": lambda x: 1.0 / np.asarray(x, np.float64),
+        "factorial": lambda n: float(math.factorial(int(n))),
+        "binomialCoefficient": lambda n, k: float(math.comb(int(n), int(k))),
+        # boolean / comparison / conditional
+        "and": lambda *xs: np.logical_and.reduce([_truthy(x) for x in xs]).astype(np.float64),
+        "or": lambda *xs: np.logical_or.reduce([_truthy(x) for x in xs]).astype(np.float64),
+        "not": lambda x: np.logical_not(_truthy(x)).astype(np.float64),
+        "eor": lambda a, b: np.logical_xor(_truthy(a), _truthy(b)).astype(np.float64),
+        "eq": lambda a, b: (np.asarray(a, np.float64) == np.asarray(b, np.float64)).astype(np.float64),
+        "gt": lambda a, b: (np.asarray(a, np.float64) > np.asarray(b, np.float64)).astype(np.float64),
+        "gte": lambda a, b: (np.asarray(a, np.float64) >= np.asarray(b, np.float64)).astype(np.float64),
+        "lt": lambda a, b: (np.asarray(a, np.float64) < np.asarray(b, np.float64)).astype(np.float64),
+        "lte": lambda a, b: (np.asarray(a, np.float64) <= np.asarray(b, np.float64)).astype(np.float64),
+        "if": lambda c, a, b: np.where(_truthy(c), np.asarray(a, np.float64), np.asarray(b, np.float64))
+        if np.ndim(c) > 0
+        else (a if float(np.asarray(c)) != 0 else b),
+        # vector utilities
+        "copyOf": _copy_of,
+        "copyOfRange": _copy_of_range,
+        "valueAt": _value_at,
+        "zeros": lambda n: np.zeros(int(n)),
+        "ones": lambda n: np.ones(int(n)),
+        "natural": lambda n: np.arange(int(n), dtype=np.float64),
+        "primes": _primes,
+        "asc": lambda v: np.sort(_vec(v, "asc"), kind="stable"),
+        "pairSort": _pair_sort,
+        "rank": _rank,
+        # norms / scaling
+        "l1norm": lambda v: float(np.abs(_vec(v, "l1norm")).sum()),
+        "norm": lambda v: float(np.linalg.norm(_vec(v, "norm"))),
+        "l2norm": lambda v: float(np.linalg.norm(_vec(v, "l2norm"))),
+        "linfnorm": lambda v: float(np.abs(_vec(v, "linfnorm")).max()),
+        "normalizeSum": _normalize_sum,
+        "minMaxScale": _min_max_scale,
+        "standardize": _zscores,
+        # distances
+        "manhattan": lambda a, b: float(np.abs(np.subtract(*_pair(a, b, "manhattan"))).sum()),
+        "canberra": lambda a, b: float(
+            np.nansum(
+                np.abs(np.subtract(*_pair(a, b, "canberra")))
+                / (np.abs(np.asarray(a, np.float64)) + np.abs(np.asarray(b, np.float64)))
+            )
+        ),
+        "chebyshev": lambda a, b: float(np.abs(np.subtract(*_pair(a, b, "chebyshev"))).max()),
+        "cosine": lambda a, b: EVALS["cosineSimilarity"](a, b),
+        "earthMovers": _earth_movers,
+        "distance": _distance,
+        # statistics II
+        "geometricMean": _geometric_mean,
+        "harmonicMean": _harmonic_mean,
+        "sumSq": lambda v: float((_vec(v, "sumSq") ** 2).sum()),
+        "mode": _mode,
+        "median": lambda v: float(np.median(_vec(v, "median"))),
+        "meanDifference": lambda a, b: float(np.subtract(*_pair(a, b, "meanDifference")).mean()),
+        "sumDifference": lambda a, b: float(np.subtract(*_pair(a, b, "sumDifference")).sum()),
+        "freqTable": _freq_table,
+        "anova": _anova,
+        "mannWhitney": _mann_whitney,
+        "ks": _ks,
+        "pairedTtest": _paired_ttest,
+        "chiSquareDataSet": _chisq_dataset,
+        # matrices
+        "matrix": _matrix,
+        "transpose": lambda m: _as_matrix(m, "transpose").T.copy(),
+        "rowAt": lambda m, i: _as_matrix(m, "rowAt")[int(i)].copy(),
+        "columnAt": lambda m, j: _as_matrix(m, "columnAt")[:, int(j)].copy(),
+        "rowCount": lambda m: float(_as_matrix(m, "rowCount").shape[0]),
+        "columnCount": lambda m: float(_as_matrix(m, "columnCount").shape[1]),
+        "matrixMult": lambda a, b: _as_matrix(a, "matrixMult") @ _as_matrix(b, "matrixMult"),
+        "sumRows": lambda m: _as_matrix(m, "sumRows").sum(axis=1),
+        "sumColumns": lambda m: _as_matrix(m, "sumColumns").sum(axis=0),
+        "grandSum": lambda m: float(_as_matrix(m, "grandSum").sum()),
+        "scalarAdd": _scalar_op(lambda x, c: x + c),
+        "scalarSubtract": _scalar_op(lambda x, c: x - c),
+        "scalarMultiply": _scalar_op(lambda x, c: x * c),
+        "scalarDivide": _scalar_op(lambda x, c: x / c),
+        # signal / time series
+        "expMovingAvg": _exp_moving_avg,
+        "movingMAD": _moving_mad,
+        "lerp": _lerp,
+        "spline": _spline,
+        "derivative": _derivative,
+        "integrate": _integrate,
+        "polyfit": _polyfit,
+        "conv": lambda a, b: np.convolve(_vec(a, "conv"), _vec(b, "conv")),
+        "finddelay": _find_delay,
+        "oscillate": _oscillate,
+        "fft": _fft,
+        "ifft": _ifft,
+        # distributions
+        "normalDistribution": _d_normal,
+        "uniformDistribution": _d_uniform,
+        "uniformIntegerDistribution": _d_uniform_int,
+        "binomialDistribution": _d_binomial,
+        "poissonDistribution": _d_poisson,
+        "triangularDistribution": _d_triangular,
+        "constantDistribution": _d_constant,
+        "empiricalDistribution": _d_empirical,
+        "enumeratedDistribution": _d_enumerated,
+        "zipFDistribution": _d_zipf,
+        "density": _dist_density,
+        "probability": _dist_probability,
+        "cumulativeProbability": _dist_cum,
+        "sample": _dist_sample,
+        # regression / ML
+        "olsRegress": _ols_regress,
+        "knnRegress": _knn_regress,
+        "kmeans": _kmeans,
+        "getCentroids": _get_centroids,
+        "getValue": _get_value,
+    }
+)
+
+# single-matrix-argument forms of corr()/cov() (reference CorrelationEvaluator
+# and CovarianceEvaluator accept a matrix whose COLUMNS are the variables)
+EVALS["corr"] = _corr2
+EVALS["cov"] = _cov2
+EVALS["predict"] = _predict2

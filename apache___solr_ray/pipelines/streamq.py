@@ -368,3 +368,180 @@ _expr(
     FROM events
     """,
 )
+
+# --- round-5 math-evaluator entries (io/eval expansion: rank, anova,
+# --- mannWhitney, ks, freqTable, minMaxScale, movingMAD, geometric/harmonic
+# --- means, getValue, distributions, matrices) ------------------------------
+
+_expr(
+    "stream_let_geomean_expr",
+    """let(a=col(search(events, q="value:[1 TO *]", fl="value"), "value"),
+           precision(geometricMean(a), 6))""",
+    """
+    SELECT floor(exp(avg(ln(value))) * 1000000 + 0.5) / 1000000 AS result
+    FROM events WHERE value >= 1
+    """,
+)
+
+_expr(
+    "stream_let_harmmean_expr",
+    """let(a=col(search(events, q="value:[1 TO *]", fl="value"), "value"),
+           precision(harmonicMean(a), 6))""",
+    """
+    SELECT floor(count(*) / sum(1.0 / value) * 1000000 + 0.5) / 1000000 AS result
+    FROM events WHERE value >= 1
+    """,
+)
+
+_expr(
+    "stream_let_rank_expr",
+    """let(a=col(search(events, q="event_type:click", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           rank(a))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'click'),
+         r AS (SELECT rn, avg(rk) OVER (PARTITION BY value) AS fr
+               FROM (SELECT rn, value, row_number() OVER (ORDER BY value) AS rk FROM s) t)
+    SELECT CAST(rn - 1 AS BIGINT) AS i, fr AS value FROM r ORDER BY rn
+    """,
+)
+
+_expr(
+    "stream_let_anova_f_expr",
+    """let(a=col(search(events, q="event_type:click", fl="value"), "value"),
+           b=col(search(events, q="event_type:view", fl="value"), "value"),
+           c=col(search(events, q="event_type:error", fl="value"), "value"),
+           precision(getValue(anova(a, b, c), "f"), 6))""",
+    """
+    WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+                      sum(value * value) AS ss
+               FROM events WHERE event_type IN ('click', 'view', 'error')
+               GROUP BY event_type),
+         tot AS (SELECT sum(n) AS n, sum(n * m) / sum(n) AS gm FROM g),
+         parts AS (SELECT sum(g.n * (g.m - tot.gm) * (g.m - tot.gm)) AS ssb,
+                          sum(g.ss - g.n * g.m * g.m) AS ssw,
+                          max(tot.n) AS n
+                   FROM g CROSS JOIN tot)
+    SELECT floor((ssb / 2.0) / (ssw / (n - 3)) * 1000000 + 0.5) / 1000000 AS result
+    FROM parts
+    """,
+)
+
+_expr(
+    "stream_let_mwu_expr",
+    """let(a=col(search(events, q="event_type:click", fl="value"), "value"),
+           b=col(search(events, q="event_type:view", fl="value"), "value"),
+           precision(getValue(mannWhitney(a, b), "u1"), 4))""",
+    """
+    WITH u AS (SELECT value, event_type FROM events
+               WHERE event_type IN ('click', 'view')),
+         rk AS (SELECT event_type, avg(rn) OVER (PARTITION BY value) AS fr
+                FROM (SELECT event_type, value,
+                             row_number() OVER (ORDER BY value) AS rn FROM u) t),
+         agg AS (SELECT sum(CASE WHEN event_type = 'click' THEN fr END) AS r1,
+                        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1
+                 FROM rk)
+    SELECT floor((r1 - n1 * (n1 + 1) / 2.0) * 10000 + 0.5) / 10000 AS result FROM agg
+    """,
+)
+
+_expr(
+    "stream_let_ks_d_expr",
+    """let(a=col(search(events, q="event_type:click", fl="value"), "value"),
+           b=col(search(events, q="event_type:view", fl="value"), "value"),
+           precision(getValue(ks(a, b), "d"), 8))""",
+    """
+    WITH u AS (SELECT value,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+                      CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+               FROM events WHERE event_type IN ('click', 'view')),
+         n AS (SELECT sum(ia) AS na, sum(ib) AS nb FROM u),
+         s AS (SELECT sum(ia) OVER (ORDER BY value) AS ca,
+                      sum(ib) OVER (ORDER BY value) AS cb
+               FROM u)
+    SELECT floor(max(abs(ca * 1.0 / n.na - cb * 1.0 / n.nb)) * 100000000 + 0.5)
+           / 100000000 AS result
+    FROM s CROSS JOIN n
+    """,
+)
+
+_expr(
+    "stream_let_movingmad_expr",
+    """let(a=col(search(events, q="event_type:view", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           precision(movingMAD(a, 7), 6))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'view'),
+         med AS (SELECT a.rn AS rn, median(b.value) AS m
+                 FROM s a JOIN s b ON b.rn BETWEEN a.rn - 6 AND a.rn
+                 WHERE a.rn >= 7 GROUP BY a.rn),
+         mad AS (SELECT a.rn AS rn, median(abs(b.value - med.m)) AS md
+                 FROM s a JOIN s b ON b.rn BETWEEN a.rn - 6 AND a.rn
+                 JOIN med ON med.rn = a.rn GROUP BY a.rn)
+    SELECT CAST(rn - 7 AS BIGINT) AS i,
+           floor(md * 1000000 + 0.5) / 1000000 AS value
+    FROM mad ORDER BY rn
+    """,
+)
+
+_expr(
+    "stream_let_minmaxscale_expr",
+    """let(a=col(search(events, q="event_type:error", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           precision(minMaxScale(a), 6))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'error'),
+         mm AS (SELECT min(value) AS lo, max(value) AS hi FROM s)
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           floor((value - lo) / (hi - lo) * 1000000 + 0.5) / 1000000 AS value
+    FROM s CROSS JOIN mm ORDER BY rn
+    """,
+)
+
+_expr(
+    "stream_let_l1norm_expr",
+    """let(a=col(search(events, q="*:*", fl="value"), "value"),
+           precision(div(l1norm(a), length(a)), 6))""",
+    """
+    SELECT floor(avg(abs(value)) * 1000000 + 0.5) / 1000000 AS result FROM events
+    """,
+)
+
+_expr(
+    "stream_let_freqtable_expr",
+    """let(a=col(search(events, q="event_type:error", fl="user_id"), "user_id"),
+           precision(freqTable(a), 6))""",
+    """
+    WITH n AS (SELECT count(*) AS total FROM events WHERE event_type = 'error')
+    SELECT CAST(user_id AS DOUBLE) AS value,
+           CAST(count(*) AS DOUBLE) AS count,
+           floor(count(*) * 1.0 / n.total * 1000000 + 0.5) / 1000000 AS pct
+    FROM events CROSS JOIN n WHERE event_type = 'error'
+    GROUP BY user_id, n.total ORDER BY user_id
+    """,
+)
+
+_expr(
+    "stream_let_binom_cdf_expr",
+    """let(precision(cumulativeProbability(binomialDistribution(20, 0.25), 7), 8))""",
+    """
+    SELECT floor(sum(factorial(20::INTEGER)
+                     / (factorial(k::INTEGER) * factorial((20 - k)::INTEGER))
+                     * pow(0.25, k) * pow(0.75, 20 - k)) * 100000000 + 0.5)
+           / 100000000 AS result
+    FROM range(8) t(k)
+    """,
+)
+
+_expr(
+    "stream_let_matrix_expr",
+    """let(m=matrix(array(1, 2, 3), array(4, 5, 6)),
+           rowAt(matrixMult(m, transpose(m)), 0))""",
+    """
+    SELECT CAST(i AS BIGINT) AS i, v AS value
+    FROM (VALUES (0, 14.0), (1, 32.0)) t(i, v) ORDER BY i
+    """,
+)
