@@ -264,6 +264,17 @@ def eval_node(node, env: dict, col_fn):
     # late import keeps this module parser-agnostic (Node is duck-typed)
     if node.name == "col":
         return col_fn(node)
+    if node.name == "tuple":
+        # TupStream inside let(): one row whose fields are evaluator results
+        out = {}
+        for k, v in node.params.items():
+            if hasattr(v, "name"):  # a Node
+                out[k] = eval_node(v, env, col_fn)
+            elif isinstance(v, str) and v in env:
+                out[k] = env[v]
+            else:
+                out[k] = float(v)
+        return out
     fn = EVALS.get(node.name)
     if fn is None:
         raise MathExprError(f"unknown evaluator {node.name!r}")

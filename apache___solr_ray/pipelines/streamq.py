@@ -545,3 +545,92 @@ _expr(
     FROM (VALUES (0, 14.0), (1, 32.0)) t(i, v) ORDER BY i
     """,
 )
+
+# --- round-5 decorator-surface entries (ListStream, NullStream, TupStream,
+# --- RandomStream, UpdateStream/CommitStream, GatherNodesStream, KnnStream,
+# --- EchoStream) -------------------------------------------------------------
+
+_expr(
+    "stream_list_expr",
+    """list(search(events, q="event_type:click", fl="event_id,user_id"),
+            search(events, q="event_type:error", fl="event_id,user_id"))""",
+    """
+    SELECT event_id, user_id FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, user_id FROM events WHERE event_type = 'error'
+    """,
+)
+
+_expr(
+    "stream_null_expr",
+    """null(search(events, q="value:[100 TO 300]", fl="event_id"))""",
+    """
+    SELECT CAST(count(*) AS DOUBLE) AS nullCount
+    FROM events WHERE value BETWEEN 100 AND 300
+    """,
+)
+
+_expr(
+    "stream_echo_expr",
+    """echo("hello world")""",
+    """SELECT 'hello world' AS echo""",
+)
+
+_expr(
+    "stream_tuple_let_expr",
+    """let(a=col(search(events, q="event_type:purchase", fl="value"), "value"),
+           tuple(n=length(a), mu=precision(mean(a), 6), sd=precision(stddev(a), 6)))""",
+    """
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           floor(avg(value) * 1000000 + 0.5) / 1000000 AS mu,
+           floor(stddev_samp(value) * 1000000 + 0.5) / 1000000 AS sd
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+
+_expr(
+    "stream_random_expr",
+    """random(events, q="event_type:view", fl="event_id,value", rows=25,
+              key="event_id")""",
+    """
+    SELECT event_id, value FROM events WHERE event_type = 'view'
+    ORDER BY ((event_id % 1000003) * 2654435761 + 12345) % 1000000007, event_id
+    LIMIT 25
+    """,
+)
+
+_expr(
+    "stream_update_commit_expr",
+    """commit(streamdest1, update(streamdest1,
+              search(orders, q="o_orderstatus:F", fl="o_orderkey,o_totalprice")))""",
+    """
+    SELECT CAST(count(*) AS DOUBLE) AS batchIndexed
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+_expr(
+    "stream_nodes_expr",
+    """nodes(orders, search(customer, q="c_custkey:[1 TO 200]", fl="c_custkey"),
+             walk="c_custkey->o_custkey", gather="o_orderkey")""",
+    """
+    SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS node
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey BETWEEN 1 AND 200
+    """,
+)
+
+_expr(
+    "stream_knn_expr",
+    """select(knnSearch(embeddings, id=7, k=12),
+              "vec_id", "div(floor(add(mul(score, 100000), 0.5)), 100000) as score")""",
+    """
+    WITH qv AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 7)
+    SELECT vec_id,
+           floor(list_cosine_similarity(embedding::DOUBLE[], qv.e) * 100000 + 0.5)
+           / 100000 AS score
+    FROM embeddings CROSS JOIN qv
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv.e) DESC, vec_id
+    LIMIT 12
+    """,
+)

@@ -995,6 +995,235 @@ def _op_daemon(node: Node, sf_dir: str):
     return _compile(node.args[0], sf_dir)
 
 
+def _op_list(node: Node, sf_dir: str):
+    """ListStream (reference ``ListStream.java``): emit each inner stream's
+    tuples in operand order. Ray Datasets union lazily and preserve operand
+    block order, so this stays streaming."""
+    streams = [a for a in node.args if isinstance(a, Node)]
+    if not streams:
+        raise StreamExprError("list() needs >= 1 inner streams")
+    ds, _ = _compile(streams[0], sf_dir)
+    for s in streams[1:]:
+        nxt, _ = _compile(s, sf_dir)
+        ds = ds.union(nxt)
+    return ds, None
+
+
+def _op_plist(node: Node, sf_dir: str):
+    """ParallelListStream (``ParallelListStream.java``): same tuple contract
+    as list(); the reference opens the operands concurrently. Ray's
+    streaming executor already runs union branches concurrently, so the
+    distinction (client-side socket scheduling) dissolves here."""
+    return _op_list(node, sf_dir)
+
+
+def _op_echo(node: Node, sf_dir: str):
+    """EchoStream (``EchoStream.java``): one tuple {echo: text}."""
+    if not node.args or not isinstance(node.args[0], str):
+        raise StreamExprError('echo("text") expected')
+    import ray
+
+    return ray.data.from_arrow(pa.table({"echo": pa.array([node.args[0]])})), None
+
+
+def _op_null(node: Node, sf_dir: str):
+    """NullStream (``NullStream.java``): consume the inner stream, emit a
+    single {nullCount: n} tuple — the reference's tool for timing a
+    stream without shipping its tuples. count() executes the pipeline but
+    never collects rows onto the driver."""
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("null() needs an inner stream")
+    import ray
+
+    ds, _ = _compile(node.args[0], sf_dir)
+    n = ds.count()
+    return ray.data.from_arrow(pa.table({"nullCount": pa.array([float(n)])})), None
+
+
+def _op_tuple(node: Node, sf_dir: str):
+    """TupStream (``TupStream.java``) at stream level: one tuple from
+    literal key=value params (inside let() the same name is handled by
+    eval_node, where values may be evaluator expressions)."""
+    import ray
+
+    if not node.params:
+        raise StreamExprError("tuple() needs key=value params")
+    cols = {}
+    for k, v in node.params.items():
+        if isinstance(v, Node):
+            raise StreamExprError(
+                "stream-level tuple() takes literals; use tuple() inside let() "
+                "for computed fields"
+            )
+        try:
+            cols[k] = pa.array([float(v) if "." in str(v) else int(v)])
+        except ValueError:
+            cols[k] = pa.array([str(v)])
+    return ray.data.from_arrow(pa.table(cols)), None
+
+
+def _op_random(node: Node, sf_dir: str):
+    """RandomStream (``RandomStream.java:53-58``): pseudo-random rows of a
+    query result. The reference seeds Lucene's random sort; this engine is
+    DETERMINISTIC by contract, so membership/order come from the same Knuth
+    multiplicative hash the sample_* pipelines use, applied to key= (an
+    integer field; default first fl field): ORDER BY hash(key), key LIMIT
+    rows — reproducible, map-side, and mirrored exactly by oracle SQL."""
+    if not node.args or not isinstance(node.args[0], str):
+        raise StreamExprError("random(collection, ...) expected")
+    srch = Node("search", [node.args[0]], dict(node.params))
+    srch.params.pop("rows", None)
+    srch.params.pop("key", None)
+    ds, _ = _compile(srch, sf_dir)
+    fl = [c.strip() for c in node.params.get("fl", "").split(",") if c.strip()]
+    key = node.params.get("key", fl[0] if fl else None)
+    if not key:
+        raise StreamExprError("random() needs key= or fl=")
+    rows = int(node.params.get("rows", "10"))
+
+    def add_hash(t: pa.Table, _k=key) -> pa.Table:
+        ids = t.column(_k).to_numpy().astype(np.int64)
+        h = ((ids % 1000003) * 2654435761 + 12345) % 1000000007
+        return t.append_column("__rh", pa.array(h))
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    ds = ds.sort(["__rh", key]).limit(rows)
+    ds = ds.map_batches(lambda t: t.drop_columns(["__rh"]), batch_format="pyarrow")
+    return ds, None
+
+
+_STREAM_UPDATES_DIR = "/tmp/apache___solr_ray_cache/stream_updates"
+
+
+def _op_update(node: Node, sf_dir: str):
+    """UpdateStream (``UpdateStream.java``): index the inner stream's tuples
+    into a destination collection and emit {batchIndexed: n}. Collections in
+    this engine are parquet directories; the write streams block-by-block
+    via write_parquet (never collected on the driver) and the count comes
+    from the written files' parquet metadata. Re-running replaces the
+    destination (idempotent)."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import ray
+
+    if len(node.args) < 2 or not isinstance(node.args[0], str) or not isinstance(node.args[1], Node):
+        raise StreamExprError("update(dest, innerStream) expected")
+    dest = node.args[0]
+    if not re.match(r"^\w+$", dest):
+        raise StreamExprError(f"bad update() destination {dest!r}")
+    ds, _ = _compile(node.args[1], sf_dir)
+    outdir = os.path.join(_STREAM_UPDATES_DIR, dest)
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir, exist_ok=True)
+    ds.write_parquet(outdir)
+    n = pads.dataset(outdir, format="parquet").count_rows()
+    return ray.data.from_arrow(pa.table({"batchIndexed": pa.array([float(n)])})), None
+
+
+def _op_commit(node: Node, sf_dir: str):
+    """CommitStream (``CommitStream.java``): wrap update(); after the child
+    finishes, write the destination's commit manifest atomically
+    (tmp + rename — same visibility rule as the index build) and pass the
+    child's tuples through."""
+    import json
+    import os
+
+    if len(node.args) < 2 or not isinstance(node.args[0], str) or not isinstance(node.args[1], Node):
+        raise StreamExprError("commit(dest, update(...)) expected")
+    dest, inner = node.args[0], node.args[1]
+    if inner.name != "update":
+        raise StreamExprError("commit() wraps an update() stream")
+    ds, sort = _compile(inner, sf_dir)
+    ds = ds.materialize()  # one tuple; forces the child's write to finish
+    n = ds.to_pandas()["batchIndexed"].iloc[0]
+    # manifest is a SIBLING of the collection dir so the destination stays a
+    # pure parquet directory (readable by pads.dataset / load())
+    outdir = os.path.join(_STREAM_UPDATES_DIR, dest)
+    tmp = outdir + ".manifest.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"collection": dest, "docs": n, "committed": True}, f)
+    os.replace(tmp, outdir + ".commit_manifest.json")
+    return ds, sort
+
+
+def _op_nodes(node: Node, sf_dir: str):
+    """GatherNodesStream (``GatherNodesStream.java``) — one breadth hop:
+    nodes(collection, seedStream, walk="seedCol->edgeCol", gather="field")
+    emits the DISTINCT gather-field values of collection rows whose edgeCol
+    matches a seed tuple's seedCol. Nesting nodes(...) gives multi-hop.
+    The hop itself is graph.py's adaptive frontier plan: small frontiers
+    broadcast (ray.put + vectorized is_in), large ones hash semi-join."""
+    from apache___solr_ray.pipelines.graph import _hop
+    from apache___solr_ray.sources import load
+
+    if len(node.args) < 2 or not isinstance(node.args[0], str) or not isinstance(node.args[1], Node):
+        raise StreamExprError("nodes(collection, seedStream, ...) expected")
+    walk = node.params.get("walk", "")
+    m = re.match(r"^(\w+)->(\w+)$", walk)
+    if not m:
+        raise StreamExprError('nodes() needs walk="seedCol->edgeCol"')
+    seed_col, edge_col = m.group(1), m.group(2)
+    gather = node.params.get("gather")
+    if not gather:
+        raise StreamExprError("nodes() needs gather=")
+    seeds, _ = _compile(node.args[1], sf_dir)
+
+    def as_node(t: pa.Table, _c=seed_col) -> pa.Table:
+        return pa.table({"node": t.column(_c).cast(pa.int64())})
+
+    seeds = seeds.map_batches(as_node, batch_format="pyarrow")
+    edges = load(sf_dir, node.args[0], columns=[edge_col, gather])
+    out = _hop(edges, edge_col, gather, seeds)
+    return out, None
+
+
+def _op_knn_search(node: Node, sf_dir: str):
+    """KnnStream (``KnnStream.java`` / the knn query parser): top-k nearest
+    neighbours by cosine over an embedding collection. The reference passes
+    a literal query vector; here id= addresses the query row (keeps the
+    expression readable), k= the depth. Execution is the brute-force
+    baseline: the query vector is broadcast once and each batch does one
+    float64 matmul (similarity.py's per-batch pattern); the IVF/HNSW paths
+    remain the scale route."""
+    from apache___solr_ray.sources import load
+
+    if not node.args or not isinstance(node.args[0], str):
+        raise StreamExprError("knnSearch(collection, id=, k=) expected")
+    coll = node.args[0]
+    qid = int(node.params.get("id", "0"))
+    k = int(node.params.get("k", "10"))
+    ds = load(sf_dir, coll, columns=["vec_id", "embedding"])
+
+    def pick(t: pa.Table, _q=qid) -> pa.Table:
+        return t.filter(pc.equal(t.column("vec_id"), pa.scalar(_q)))
+
+    qrow = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    if not qrow:
+        raise StreamExprError(f"knnSearch: no row with vec_id={qid}")
+    qv = np.asarray(qrow[0]["embedding"], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    import ray as _ray
+
+    qref = _ray.put(qv)
+
+    def score(t: pa.Table, _qref=qref) -> pa.Table:
+        q = _ray.get(_qref) if isinstance(_qref, _ray.ObjectRef) else _qref
+        emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        sims = emb @ q / np.where(norms == 0, 1.0, norms)
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "score": pa.array(sims)}
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", "vec_id"], descending=[True, False]).limit(k), [
+        ("score", True),
+        ("vec_id", False),
+    ]
+
+
 _OPS = {
     "search": _op_search,
     "select": _op_select,
@@ -1018,6 +1247,17 @@ _OPS = {
     "let": _op_let,
     "cat": _op_cat,
     "daemon": _op_daemon,
+    "list": _op_list,
+    "plist": _op_plist,
+    "echo": _op_echo,
+    "null": _op_null,
+    "tuple": _op_tuple,
+    "random": _op_random,
+    "update": _op_update,
+    "commit": _op_commit,
+    "nodes": _op_nodes,
+    "gatherNodes": _op_nodes,
+    "knnSearch": _op_knn_search,
 }
 
 

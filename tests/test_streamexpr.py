@@ -214,3 +214,78 @@ def test_daemon_wraps_inner(ray_session):
     assert ds.count() > 0
     with pytest.raises(StreamExprError, match="id="):
         stream_expr(SF, 'daemon(search(events, q="*:*", fl="event_id"))')
+
+
+def test_list_null_echo_tuple(ray_session):
+    df = stream_expr(
+        SF,
+        'list(search(events, q="event_type:click", fl="event_id"),'
+        ' search(events, q="event_type:error", fl="event_id"))',
+    ).to_pandas()
+    a = stream_expr(SF, 'search(events, q="event_type:click", fl="event_id")').count()
+    b = stream_expr(SF, 'search(events, q="event_type:error", fl="event_id")').count()
+    assert len(df) == a + b
+    nc = stream_expr(SF, 'null(search(events, q="event_type:click", fl="event_id"))').to_pandas()
+    assert nc["nullCount"].iloc[0] == a
+    e = stream_expr(SF, 'echo("hi there")').to_pandas()
+    assert e["echo"].iloc[0] == "hi there"
+    t = stream_expr(SF, "tuple(x=3, y=4.5)").to_pandas()
+    assert t["x"].iloc[0] == 3 and t["y"].iloc[0] == 4.5
+    with pytest.raises(StreamExprError):
+        stream_expr(SF, "tuple()")
+
+
+def test_random_deterministic_and_sized(ray_session):
+    expr = 'random(events, q="*:*", fl="event_id,value", rows=17, key="event_id")'
+    d1 = stream_expr(SF, expr).to_pandas().sort_values("event_id")
+    d2 = stream_expr(SF, expr).to_pandas().sort_values("event_id")
+    assert len(d1) == 17
+    assert d1["event_id"].tolist() == d2["event_id"].tolist()
+
+
+def test_update_commit_writes_and_manifests(ray_session):
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    df = stream_expr(
+        SF,
+        'commit(tdest1, update(tdest1, search(orders, q="o_orderstatus:F",'
+        ' fl="o_orderkey,o_totalprice")))',
+    ).to_pandas()
+    n = int(df["batchIndexed"].iloc[0])
+    outdir = "/tmp/apache___solr_ray_cache/stream_updates/tdest1"
+    assert pads.dataset(outdir, format="parquet").count_rows() == n
+    man = json.load(open(outdir + ".commit_manifest.json"))
+    assert man["committed"] and man["docs"] == n
+    with pytest.raises(StreamExprError, match="wraps an update"):
+        stream_expr(SF, 'commit(tdest1, search(orders, q="*:*", fl="o_orderkey"))')
+    with pytest.raises(StreamExprError, match="destination"):
+        stream_expr(SF, 'update("../evil", search(orders, q="*:*", fl="o_orderkey"))')
+
+
+def test_nodes_hop_matches_join(ray_session):
+    df = stream_expr(
+        SF,
+        'nodes(orders, search(customer, q="c_custkey:[1 TO 30]", fl="c_custkey"),'
+        ' walk="c_custkey->o_custkey", gather="o_orderkey")',
+    ).to_pandas()
+    import duckdb
+
+    exp = duckdb.sql(
+        f"""SELECT DISTINCT o_orderkey FROM '{SF}/orders.parquet'
+            JOIN '{SF}/customer.parquet' ON o_custkey = c_custkey
+            WHERE c_custkey BETWEEN 1 AND 30"""
+    ).df()
+    assert sorted(df["node"]) == sorted(exp["o_orderkey"])
+    with pytest.raises(StreamExprError, match="walk="):
+        stream_expr(SF, 'nodes(orders, search(customer, q="*:*", fl="c_custkey"), gather="o_orderkey")')
+
+
+def test_knn_search_self_top1(ray_session):
+    df = stream_expr(SF, "knnSearch(embeddings, id=3, k=4)").to_pandas()
+    assert df["vec_id"].iloc[0] == 3
+    assert df["score"].iloc[0] == pytest.approx(1.0)
+    assert len(df) == 4
+    assert (df["score"].values[:-1] >= df["score"].values[1:]).all()
