@@ -197,3 +197,60 @@ _sql(
     ORDER BY r_name ASC
     """,
 )
+
+# --- round-5 subquery surface (WHERE-clause subqueries resolved before the
+# --- plan compiles: IN/NOT IN -> materialized value set, correlated EXISTS
+# --- -> semi-join decorrelation, scalar subquery -> constant) ----------------
+
+_sql(
+    "sql_in_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    ORDER BY c_custkey
+    """,
+)
+
+_sql(
+    "sql_not_in_subquery",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      AND c_acctbal > 0
+    ORDER BY c_custkey
+    """,
+)
+
+_sql(
+    "sql_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+
+_sql(
+    "sql_exists_subquery",
+    """
+    SELECT c_custkey
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+
+_sql(
+    "sql_not_exists_subquery",
+    """
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    ORDER BY c_custkey
+    """,
+)

@@ -115,6 +115,41 @@ class InList:
 
 
 @dataclass(frozen=True)
+class SubqueryOp:
+    """Unresolved subquery predicate (parse-time only): ``e [NOT] IN
+    (SELECT ...)``, ``EXISTS (SELECT ...)`` or a scalar ``(SELECT ...)``
+    operand. ``_resolve_subqueries`` executes/decorrelates these into
+    InSet / Lit / BoolLit BEFORE the plan compiles, so the batch evaluator
+    never sees one (Solr's SQL module has no subqueries at all — this is
+    front-door surface the reference's users expect from Calcite SQL)."""
+
+    e: object  # lhs expression for IN; None for EXISTS / scalar
+    query: object  # Query
+    kind: str  # "in" | "exists" | "scalar"
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class InSet:
+    """Resolved IN-subquery: a materialized value set. NULL semantics are
+    ANSI: ``x IN (set)`` is FALSE for NULL x (row dropped either way);
+    ``x NOT IN (set)`` keeps only valid x not in the set, and keeps NOTHING
+    when the set contains a NULL (the comparison is UNKNOWN for every row)."""
+
+    e: object
+    vals: tuple
+    negate: bool = False
+    has_null: bool = False
+
+
+@dataclass(frozen=True)
+class BoolLit:
+    """Constant predicate (an uncorrelated EXISTS resolves to one)."""
+
+    val: bool
+
+
+@dataclass(frozen=True)
 class LikeOp:
     e: object
     pattern: str
@@ -203,7 +238,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having", "order",
     "limit", "as", "and", "or", "not", "in", "like", "is", "null", "between",
     "cast", "asc", "desc", "join", "inner", "left", "outer", "on",
-    "case", "when", "then", "else", "end",
+    "case", "when", "then", "else", "end", "exists",
 }
 
 
@@ -303,6 +338,12 @@ class _Parser:
 
     # -- grammar ------------------------------------------------------------
     def parse(self) -> Query:
+        q = self._parse_body()
+        if self.peek() != (None, None):
+            raise SqlError(f"unexpected trailing tokens: {self.peek()}")
+        return q
+
+    def _parse_body(self) -> Query:
         self.expect_kw("select")
         distinct = self.eat_kw("distinct")
         items = [self.select_item()]
@@ -352,12 +393,14 @@ class _Parser:
                 if t3 != "num" or "." in v3:
                     raise SqlError("OFFSET expects an integer")
                 offset = int(v3)
-        if self.peek() != (None, None):
-            raise SqlError(f"unexpected trailing tokens: {self.peek()}")
         return Query(
             items, distinct, table, where, group_by, having, order_by, limit,
             offset, table_alias, tuple(joins),
         )
+
+    def _subquery(self) -> Query:
+        """Parse ``SELECT ...`` up to (not including) the caller's ')'."""
+        return self._parse_body()
 
     def table_alias(self) -> str | None:
         """Optional [AS] alias after a table name (scalar refs strip
@@ -471,10 +514,22 @@ class _Parser:
         return self.cmp_expr()
 
     def cmp_expr(self):
+        if self.at_kw("exists"):
+            self.i += 1
+            self.expect_op("(")
+            if not self.at_kw("select"):
+                raise SqlError("EXISTS expects a subquery")
+            sub = self._subquery()
+            self.expect_op(")")
+            return SubqueryOp(None, sub, "exists")
         l = self.add_expr()
         negate = self.eat_kw("not")
         if self.eat_kw("in"):
             self.expect_op("(")
+            if self.at_kw("select"):
+                sub = self._subquery()
+                self.expect_op(")")
+                return SubqueryOp(l, sub, "in", negate)
             vals = [self._literal()]
             while self.eat_op(","):
                 vals.append(self._literal())
@@ -608,6 +663,10 @@ class _Parser:
                 return Col(v2)
             return Col(v)
         if self.eat_op("("):
+            if self.at_kw("select"):
+                sub = self._subquery()
+                self.expect_op(")")
+                return SubqueryOp(None, sub, "scalar")
             e = self.expr()
             self.expect_op(")")
             return e
@@ -645,6 +704,12 @@ def _walk(node, out_cols: set, out_aggs: list):
             _walk(it, out_cols, out_aggs)
     elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
         _walk(node.e, out_cols, out_aggs)
+    elif isinstance(node, InSet):
+        _walk(node.e, out_cols, out_aggs)
+    elif isinstance(node, BoolLit):
+        pass
+    elif isinstance(node, SubqueryOp):
+        raise SqlError("subqueries are supported in WHERE only")
     elif isinstance(node, CaseOp):
         for c, v in node.whens:
             _walk(c, out_cols, out_aggs)
@@ -673,6 +738,8 @@ def _bare_cols(node, out: set):
         for it in node.items:
             _bare_cols(it, out)
     elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
+        _bare_cols(node.e, out)
+    elif isinstance(node, InSet):
         _bare_cols(node.e, out)
     elif isinstance(node, CaseOp):
         for c, v in node.whens:
@@ -730,6 +797,19 @@ def _eval(node, t: pa.Table, agg_name=None):
         vals = [v.val for v in node.vals]
         m = pc.is_in(_eval(node.e, t, agg_name), value_set=pa.array(vals))
         return pc.invert(m) if node.negate else m
+    if isinstance(node, BoolLit):
+        return pa.array(np.full(t.num_rows, node.val))
+    if isinstance(node, InSet):
+        lhs = _eval(node.e, t, agg_name)
+        if not node.vals:
+            base = pa.array(np.zeros(t.num_rows, dtype=bool))
+        else:
+            base = pc.is_in(lhs, value_set=pa.array(list(node.vals)))
+        if node.negate:
+            if node.has_null:  # NOT IN over a set with NULL keeps nothing
+                return pa.array(np.zeros(t.num_rows, dtype=bool))
+            return pc.and_(pc.invert(base), pc.is_valid(lhs))
+        return base
     if isinstance(node, LikeOp):
         m = pc.match_like(_eval(node.e, t, agg_name), node.pattern)
         return pc.invert(m) if node.negate else m
@@ -930,15 +1010,186 @@ def _compile_join(sf_dir: str, q: Query, cols: set):
     return acc
 
 
+#: collected-subquery bound — same contract as streamexpr's HASHED_SIDE_MAX:
+#: an IN-subquery's DISTINCT key set is bounded model state, checked with a
+#: metadata-cheap count BEFORE collection
+SQL_SUBQUERY_MAX = 5_000_000
+
+
+def _split_and(node) -> list:
+    if isinstance(node, Logic) and node.op == "and":
+        out: list = []
+        for it in node.items:
+            out.extend(_split_and(it))
+        return out
+    return [node] if node is not None else []
+
+
+def _and_all(conjuncts: list):
+    if not conjuncts:
+        return None
+    if len(conjuncts) == 1:
+        return conjuncts[0]
+    return Logic("and", tuple(conjuncts))
+
+
+def _prep_subq(subq):
+    """Internal subqueries don't face the oracle, so an unnamed computed
+    item gets a synthetic alias instead of tripping the AS-alias rule."""
+    import copy
+
+    subq = copy.deepcopy(subq)
+    for i, it in enumerate(subq.items):
+        if it.alias is None and not isinstance(it.expr, Col):
+            it.alias = f"__sq{i}"
+    return subq
+
+
+def _subquery_values(sf_dir: str, subq) -> tuple[list, bool]:
+    """Execute a one-column subquery; return (non-null distinct values,
+    had_null). The count guard runs before any driver collection."""
+    if len(subq.items) != 1:
+        raise SqlError("IN-subquery must select exactly one column")
+    ds = _compile_query(sf_dir, _prep_subq(subq))
+    n = ds.count()
+    if n > SQL_SUBQUERY_MAX:
+        raise SqlError(
+            f"subquery returned {n} rows (> SQL_SUBQUERY_MAX={SQL_SUBQUERY_MAX}); "
+            "aggregate or pre-filter the subquery"
+        )
+    col = ds.to_pandas().iloc[:, 0]
+    has_null = bool(col.isna().any())
+    vals = pd.unique(col.dropna())
+    return list(vals), has_null
+
+
+def _decorrelate_exists(node: SubqueryOp, sf_dir: str, outer_q):
+    """EXISTS with ONE equality correlation rewrites to the classic
+    semi-join form: ``EXISTS(SELECT .. FROM t WHERE t.a = outer.b AND rest)``
+    -> ``outer.b IN (SELECT a FROM t WHERE rest)``. The parser drops
+    qualifiers, so the correlated side is recognized BY SCHEMA: a column
+    that exists in the outer table(s) but not in the subquery's table.
+    Uncorrelated EXISTS executes once and folds to a constant predicate."""
+    subq = node.query
+    if subq.joins:
+        raise SqlError("EXISTS subquery must be single-table")
+    sub_schema = set(_table_schema_names(sf_dir, subq.table))
+    outer_tables = [outer_q.table] + [j.table for j in outer_q.joins]
+    outer_schema: set = set()
+    for tname in outer_tables:
+        outer_schema |= set(_table_schema_names(sf_dir, tname))
+
+    def _outer_col(e):
+        return (
+            isinstance(e, Col) and e.name not in sub_schema and e.name in outer_schema
+        )
+
+    def _inner_col(e):
+        return isinstance(e, Col) and e.name in sub_schema
+
+    conjuncts = _split_and(subq.where)
+    corr, rest = [], []
+    for c in conjuncts:
+        if isinstance(c, Cmp) and c.op == "=":
+            if _inner_col(c.l) and _outer_col(c.r):
+                corr.append((c.l.name, c.r.name))
+                continue
+            if _inner_col(c.r) and _outer_col(c.l):
+                corr.append((c.r.name, c.l.name))
+                continue
+        rest.append(c)
+    if not corr:
+        probe = Query(
+            [Item(Col(next(iter(sub_schema))), None)], False, subq.table,
+            subq.where, [], None, [], 1, 0, subq.table_alias, (),
+        )
+        n = _compile_query(sf_dir, probe).count()
+        return BoolLit(bool(n))
+    if len(corr) > 1:
+        raise SqlError("EXISTS supports exactly one equality correlation")
+    inner_col, outer_col = corr[0]
+    inner_q = Query(
+        [Item(Col(inner_col), None)], False, subq.table, _and_all(rest),
+        [], None, [], None, 0, subq.table_alias, (),
+    )
+    return SubqueryOp(Col(outer_col), inner_q, "in", False)
+
+
+def _resolve_subqueries(node, sf_dir: str, outer_q):
+    """Pre-compile pass over a WHERE tree: execute/decorrelate every
+    SubqueryOp, fold constant predicates out of AND/OR."""
+    R = lambda n: _resolve_subqueries(n, sf_dir, outer_q)  # noqa: E731
+    if isinstance(node, SubqueryOp):
+        if node.kind == "exists":
+            return R(_decorrelate_exists(node, sf_dir, outer_q))
+        if node.kind == "in":
+            vals, has_null = _subquery_values(sf_dir, node.query)
+            return InSet(R(node.e), tuple(vals), node.negate, has_null)
+        if len(node.query.items) != 1:
+            raise SqlError("scalar subquery must select exactly one column")
+        rows = _compile_query(sf_dir, _prep_subq(node.query)).limit(2).take_all()
+        if len(rows) > 1:
+            raise SqlError("scalar subquery returned more than one row")
+        if not rows:
+            return Lit(None)
+        return Lit(next(iter(rows[0].values())))
+    if isinstance(node, Logic):
+        items = [R(i) for i in node.items]
+        if node.op == "and":
+            if any(isinstance(i, BoolLit) and not i.val for i in items):
+                return BoolLit(False)
+            items = [i for i in items if not isinstance(i, BoolLit)]
+            return _and_all(items) or BoolLit(True)
+        if any(isinstance(i, BoolLit) and i.val for i in items):
+            return BoolLit(True)
+        items = [i for i in items if not isinstance(i, BoolLit)]
+        if not items:
+            return BoolLit(False)
+        return items[0] if len(items) == 1 else Logic("or", tuple(items))
+    if isinstance(node, NotOp):
+        e = R(node.e)
+        return BoolLit(not e.val) if isinstance(e, BoolLit) else NotOp(e)
+    if isinstance(node, Cmp):
+        return Cmp(node.op, R(node.l), R(node.r))
+    if isinstance(node, Bin):
+        return Bin(node.op, R(node.l), R(node.r))
+    if isinstance(node, InList):
+        return InList(R(node.e), node.vals, node.negate)
+    if isinstance(node, LikeOp):
+        return LikeOp(R(node.e), node.pattern, node.negate)
+    if isinstance(node, IsNullOp):
+        return IsNullOp(R(node.e), node.negate)
+    if isinstance(node, CastOp):
+        return CastOp(R(node.e), node.typ)
+    if isinstance(node, Func):
+        return Func(node.name, R(node.e))
+    if isinstance(node, CaseOp):
+        return CaseOp(
+            tuple((R(c), R(v)) for c, v in node.whens),
+            R(node.default) if node.default is not None else None,
+        )
+    if isinstance(node, CoalesceOp):
+        return CoalesceOp(tuple(R(e) for e in node.items))
+    return node
+
+
 def sql_query(sf_dir: str, sql: str):
     """Parse + compile ``sql`` and return the lazy Ray ``Dataset``.
 
     Single-table queries against the standard parquet tables in ``sf_dir``
     (the same views the DuckDB oracle sees), so the SQL string itself is
     both the engine input and the oracle."""
+    return _compile_query(sf_dir, parse_sql(sql))
+
+
+def _compile_query(sf_dir: str, q: Query):
     from apache___solr_ray.sources import load
 
-    q = parse_sql(sql)
+    if q.where is not None:
+        w = _resolve_subqueries(q.where, sf_dir, q)
+        if isinstance(w, BoolLit) and w.val:
+            w = None
+        q.where = w
 
     # -- referenced-column pruning (SolrProject push-down) -------------------
     cols: set[str] = set()
@@ -951,7 +1202,12 @@ def sql_query(sf_dir: str, sql: str):
     for g in q.group_by:
         cols.add(g)
     if not cols:
-        raise SqlError("query references no columns")
+        if aggs:
+            # SELECT count(*) with no referenced columns: scan one schema
+            # column for row counting (narrowest possible read)
+            cols.add(_table_schema_names(sf_dir, q.table)[0])
+        else:
+            raise SqlError("query references no columns")
     if q.joins:
         ds = _compile_join(sf_dir, q, cols)
     else:
