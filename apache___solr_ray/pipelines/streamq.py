@@ -634,3 +634,96 @@ _expr(
     LIMIT 12
     """,
 )
+
+# --- round-5 wave 3: sql()/joins/facet2D/significantTerms/drill -------------
+
+_expr(
+    "stream_sql_expr",
+    """sql(orders, stmt="SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, floor(sum(o_totalprice)*100+0.5)/100 AS rev FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority ORDER BY o_orderpriority")""",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice)*100+0.5)/100 AS rev
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+_expr(
+    "stream_full_outer_join_expr",
+    """fullOuterJoin(search(customer, q="*:*", fl="c_custkey,c_name"),
+                     search(orders, q="o_totalprice:[400000 TO *]", fl="o_orderkey,o_custkey,o_totalprice"),
+                     on="c_custkey=o_custkey")""",
+    """
+    SELECT COALESCE(c_custkey, o_custkey) AS c_custkey, c_name,
+           o_orderkey, o_totalprice
+    FROM customer FULL JOIN
+         (SELECT * FROM orders WHERE o_totalprice >= 400000) o
+         ON c_custkey = o_custkey
+    """,
+)
+
+_expr(
+    "stream_outer_hash_join_expr",
+    """outerHashJoin(search(orders, q="o_orderstatus:F", fl="o_orderkey,o_custkey"),
+                     hashed=search(customer, q="c_acctbal:[9000 TO *]", fl="c_custkey,c_name"),
+                     on="o_custkey=c_custkey")""",
+    """
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders LEFT JOIN
+         (SELECT * FROM customer WHERE c_acctbal >= 9000) c
+         ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+
+_expr(
+    "stream_facet2d_expr",
+    """facet2D(events, q="*:*", x="event_type", y="user_id",
+               dimensions="3,4", count(*))""",
+    """
+    WITH r AS (SELECT event_type, user_id, count(*) AS c
+               FROM events GROUP BY event_type, user_id),
+    xt AS (SELECT event_type FROM r GROUP BY event_type
+           ORDER BY sum(c) DESC, event_type ASC LIMIT 3)
+    SELECT r.event_type, r.user_id, CAST(c AS BIGINT) AS "count(*)"
+    FROM r JOIN xt USING (event_type)
+    QUALIFY row_number() OVER (PARTITION BY r.event_type
+                               ORDER BY c DESC, user_id ASC) <= 4
+    """,
+)
+
+_expr(
+    "stream_significant_terms_expr",
+    """significantTerms(documents, q="lang:en", field="text",
+                        minDocFreq=25, limit=10)""",
+    """
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))) AS term
+      FROM documents
+    ),
+    ag AS (
+      SELECT term,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS foreground,
+             CAST(count(*) AS BIGINT) AS background
+      FROM toks GROUP BY term
+    )
+    SELECT term, foreground, background,
+           round(foreground * 1.0 / background, 4) AS score
+    FROM ag WHERE foreground >= 25
+    ORDER BY score DESC, term ASC LIMIT 10
+    """,
+)
+
+_expr(
+    "stream_drill_expr",
+    """drill(events, q="event_type:purchase", fl="user_id,value",
+             rollup(input(), over="user_id", count(*), sum(value)))""",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS "count(*)",
+           sum(value) AS "sum(value)"
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+)

@@ -33,7 +33,20 @@ Supported decorators (each cites its reference stream):
   math-evaluator pack (corr, regress, predict, movingAvg/Median,
   percentile, describe, hist, precision, zscores, ebe*/dot/cosine, ...)
   via ``apache___solr_ray.mathexpr``; col() vectors are guarded
-  driver-side state, everything upstream stays distributed.
+  driver-side state, everything upstream stays distributed;
+- ``sql(collection, stmt=...)`` — SqlStream: the SQL front-end as a
+  composable stream source;
+- ``fullOuterJoin(l, r, on=...)`` / ``outerHashJoin(stream, hashed=, on=)``
+  — FullOuterJoinStream (cogroup, both sides' unmatched rows survive) /
+  OuterHashJoinStream (LEFT outer on a broadcast build side);
+- ``facet2D(collection, x=, y=, dimensions="nX,nY", metric)`` —
+  Facet2DStream: top-nX x buckets, per-x top-nY y buckets;
+- ``significantTerms(collection, q=, field=, minDocFreq=, limit=)`` —
+  SignificantTermsStream: fg/bg docFreq partials merged in one groupby;
+- ``csv(cat(...))`` / ``tsv(cat(...))`` — CsvStream/TsvStream: header-led
+  file parsing on Ray's parallel read_csv;
+- ``drill(collection, q=, fl=, rollup(input(), ...))`` — DrillStream:
+  the inner expression compiled with input() bound to the scan.
 
 Scale notes: the only shuffles are rollup's groupby-over-partials, the
 join's single co-location and top's sort — the decorators compose without
@@ -448,16 +461,25 @@ def _cogroup_join(lds, rds, lk, rk, how: str):
     kcols = [f"__k{i}" for i in range(len(lk))]
 
     rk_drop = {f"c1_{k}" for k in rk}  # join output keeps ONE key column
+    lk_drop = {f"c0_{k}" for k in lk}  # full outer: key comes from kcols
+    pd_how = {"left": "left", "full": "outer"}.get(how, "inner")
 
     def merge_part(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0]
         r = df[df["__side"] == 1]
-        lcols = [c for c in df.columns if c.startswith("c0_")]
+        lcols = [
+            c for c in df.columns
+            if c.startswith("c0_") and not (how == "full" and c in lk_drop)
+        ]
         rcols = [c for c in df.columns if c.startswith("c1_") and c not in rk_drop]
-        out = l[kcols + lcols].merge(
-            r[kcols + rcols], on=kcols, how=("left" if how == "left" else "inner")
-        )
-        out = out.drop(columns=kcols)
+        out = l[kcols + lcols].merge(r[kcols + rcols], on=kcols, how=pd_how)
+        if how == "full":
+            # right-only rows have NULL c0_* — the coalesced key lives in
+            # the kcols (every tagged row carried it); surface it under the
+            # left key's name (FullOuterJoinStream merges into one tuple)
+            out = out.rename(columns=dict(zip(kcols, [f"c0_{k}" for k in lk])))
+        else:
+            out = out.drop(columns=kcols)
         names = [c[3:] for c in out.columns]
         if len(set(names)) != len(names):
             raise StreamExprError(
@@ -485,6 +507,21 @@ def _op_left_join(node: Node, sf_dir: str):
     rds, _ = _compile(node.args[1], sf_dir)
     lk, rk = _join_keys(node)
     return _cogroup_join(lds, rds, lk, rk, "left"), None
+
+
+def _op_full_join(node: Node, sf_dir: str):
+    """FullOuterJoinStream / OuterHashJoinStream (reference
+    ``FullOuterJoinStream.java``, ``OuterHashJoinStream.java``): unmatched
+    rows of BOTH sides survive with the other side's fields NULL; the key
+    field is the coalesced value under the left key's name (the reference
+    merges both tuples into one). Same single co-location shuffle as
+    innerJoin — no driver materialization."""
+    if len(node.args) < 2:
+        raise StreamExprError("join needs two inner streams")
+    lds, _ = _compile(node.args[0], sf_dir)
+    rds, _ = _compile(node.args[1], sf_dir)
+    lk, rk = _join_keys(node)
+    return _cogroup_join(lds, rds, lk, rk, "full"), None
 
 
 #: hashJoin/fetch read their build side fully (HashJoinStream.java opens
@@ -523,12 +560,19 @@ def _broadcast_join_stream(lds, rds, lk, rk, how: str):
             suffixes=("", "__r"),
         )
         drop = [k for k in rk if k not in lk and k in out.columns]
-        return out.drop(columns=drop)
+        out = out.drop(columns=drop)
+        # a batch whose rows ALL miss turns a string build-side column into
+        # float64 NaN — restore object dtype with real nulls so the Arrow
+        # block stays a (nullable) string column
+        for c in r.columns:
+            if c in out.columns and r[c].dtype == object:
+                out[c] = out[c].astype(object).where(out[c].notna(), None)
+        return out
 
     return lds.map_batches(probe, batch_format="pandas")
 
 
-def _op_hash_join(node: Node, sf_dir: str):
+def _op_hash_join(node: Node, sf_dir: str, how: str = "inner"):
     if not node.args or not isinstance(node.args[0], Node):
         raise StreamExprError("hashJoin needs an inner stream")
     hashed = node.params.get("hashed")
@@ -537,7 +581,14 @@ def _op_hash_join(node: Node, sf_dir: str):
     lds, _ = _compile(node.args[0], sf_dir)
     rds, _ = _compile(hashed, sf_dir)
     lk, rk = _join_keys(node)
-    return _broadcast_join_stream(lds, rds, lk, rk, "inner"), None
+    return _broadcast_join_stream(lds, rds, lk, rk, how), None
+
+
+def _op_outer_hash_join(node: Node, sf_dir: str):
+    """OuterHashJoinStream (reference ``OuterHashJoinStream.java``): LEFT
+    outer hash join — every stream tuple survives, hashed-side fields NULL
+    when unmatched. Same broadcast build side + guard as hashJoin()."""
+    return _op_hash_join(node, sf_dir, how="left")
 
 
 def _op_unique(node: Node, sf_dir: str):
@@ -1224,13 +1275,246 @@ def _op_knn_search(node: Node, sf_dir: str):
     ]
 
 
+def _op_sql(node: Node, sf_dir: str):
+    """SqlStream (reference ``SqlStream.java``: ships stmt= to the /sql
+    handler and streams the tuples back): forward stmt= to this repo's SQL
+    front-end (``sql.py``, the Calcite-analog compiler) and stream its lazy
+    Dataset. The optional positional collection name is accepted for
+    reference syntax compatibility; the table comes from the statement."""
+    stmt = node.params.get("stmt")
+    if not isinstance(stmt, str) or not stmt.strip():
+        raise StreamExprError('sql() requires stmt="SELECT ..."')
+    from apache___solr_ray.sql import sql_query
+
+    return sql_query(sf_dir, stmt), None
+
+
+def _op_facet2d(node: Node, sf_dir: str):
+    """Facet2DStream (reference ``Facet2DStream.java``): two-dimensional
+    facet — the top ``nX`` x-buckets by total metric, and per surviving x
+    the top ``nY`` y-buckets (``dimensions="nX,nY"``). Plan: one rollup
+    over (x, y) (per-batch partials + one groupby — the bucket table is
+    bounded by the dimension cardinalities), a small x-totals aggregate to
+    pick the top-nX keys (collected under the dimensions bound, broadcast
+    into the filter), then a per-x grouped top-nY."""
+    from apache___solr_ray.pipelines.common import grouped_map
+    from apache___solr_ray.sources import load
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("facet2D(collection, ...) expected")
+    table = node.args[0]
+    x = node.params.get("x")
+    y = node.params.get("y")
+    if not x or not y:
+        raise StreamExprError("facet2D() requires x= and y=")
+    dims = [int(d) for d in node.params.get("dimensions", "10,10").split(",")]
+    if len(dims) != 2:
+        raise StreamExprError('facet2D() dimensions must be "nX,nY"')
+    n_x, n_y = dims
+    metrics = _metric_nodes(node)
+    if len(metrics) != 1:
+        raise StreamExprError("facet2D() takes exactly one metric")
+    mname = f"{metrics[0].name}({metrics[0].args[0] if metrics[0].args else '*'})"
+    cols = {x, y}
+    if metrics[0].args and metrics[0].args[0] != "*":
+        cols.add(metrics[0].args[0])
+    qs = node.params.get("q", "*:*")
+    flt, qfield = _q_filter(qs)
+    if qfield:
+        cols.add(qfield)
+    ds = load(sf_dir, table, columns=sorted(cols))
+    if flt is not None:
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+    r = _rollup_over(ds, [x, y], metrics)
+
+    # top-nX x keys by total metric (desc, x asc tie-break) — a bounded
+    # bucket list, collected once and pushed into a vectorized filter
+    xt = (
+        r.groupby(x)
+        .sum(mname)
+        .sort([f"sum({mname})", x], descending=[True, False])
+        .limit(n_x)
+    )
+    keep_x = pa.array([row[x] for row in xt.take_all()])
+
+    def flt_x(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(x), value_set=keep_x))
+
+    def top_y(df: pd.DataFrame) -> pd.DataFrame:
+        # the partition holds many whole x-groups: one vectorized sort,
+        # then pandas' C groupby-head for the per-x cut
+        df = df.sort_values([mname, y], ascending=[False, True])
+        return df.groupby(x, sort=False).head(n_y)
+
+    out = grouped_map(r.map_batches(flt_x, batch_format="pyarrow"), [x], top_y)
+    return out, None
+
+
+def _op_significant_terms(node: Node, sf_dir: str):
+    """SignificantTermsStream (reference ``SignificantTermsStream.java:438``
+    — per-shard foreground/background docFreq partials merged at the
+    coordinator): one pass tokenizes each doc once and counts both the
+    foreground (q-matching docs) and background df per term inside
+    map_batches; ONE groupby merges the partials. Emits
+    (term, foreground, background, score=fg/bg ratio rounded to 4), fg >=
+    minDocFreq, top ``limit`` by score desc / term asc."""
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.analyze import simple_tokenize
+    from apache___solr_ray.sources import load
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("significantTerms(collection, ...) expected")
+    table = node.args[0]
+    field = node.params.get("field", "text")
+    min_df = int(node.params.get("minDocFreq", "5"))
+    limit = int(node.params.get("limit", "20"))
+    qs = node.params.get("q", "*:*")
+    qf = qv = None
+    if qs != "*:*":
+        m = re.match(r"^(\w+):(\S+)$", qs)
+        if not m:
+            raise StreamExprError("significantTerms() q must be field:value or *:*")
+        qf, qv = m.group(1), m.group(2)
+    cols = [field] + ([qf] if qf and qf != field else [])
+    ds = load(sf_dir, table, columns=cols)
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        if qf is not None:
+            col = t.column(qf)
+            val: object = qv
+            if pa.types.is_integer(col.type):
+                val = int(qv)
+            elif pa.types.is_floating(col.type):
+                val = float(qv)
+            fg_mask = pc.equal(col, pa.scalar(val)).to_pylist()
+        else:
+            fg_mask = [True] * t.num_rows
+        fg: Counter = Counter()
+        bg: Counter = Counter()
+        for i, txt in enumerate(t.column(field).to_pylist()):
+            toks = set(simple_tokenize(txt or ""))
+            bg.update(toks)
+            if fg_mask[i]:
+                fg.update(toks)
+        terms = sorted(bg)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "fg_p": pa.array([fg.get(w, 0) for w in terms], pa.int64()),
+                "bg_p": pa.array([bg[w] for w in terms], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("fg_p", alias_name="foreground"), Sum("bg_p", alias_name="background"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("foreground"), pa.scalar(min_df))
+        t = t.filter(keep)
+        ratio = pc.divide(
+            pc.cast(t.column("foreground"), pa.float64()),
+            pc.cast(t.column("background"), pa.float64()),
+        )
+        t = t.append_column("score", pc.round(ratio, 4))
+        return t.select(["term", "foreground", "background", "score"])
+
+    out = agg.map_batches(score, batch_format="pyarrow")
+    out = out.sort(["score", "term"], descending=[True, False]).limit(limit)
+    return out, [("score", True), ("term", False)]
+
+
+def _resolve_cat_paths(node: Node, sf_dir: str) -> list[str]:
+    """Shared chroot path resolution for cat()/csv()/tsv()."""
+    import os
+
+    if not node.args or not isinstance(node.args[0], str):
+        raise StreamExprError(f'{node.name}("rel/path[,rel/path...]") expected')
+    chroot = node.params.get("chroot", sf_dir)
+    paths = []
+    for rel in node.args[0].split(","):
+        p = os.path.normpath(os.path.join(chroot, rel.strip()))
+        if not p.startswith(os.path.normpath(chroot)):
+            raise StreamExprError(f"{node.name}(): path {rel!r} escapes the chroot")
+        if not os.path.exists(p):
+            raise StreamExprError(f"{node.name}(): no such file {rel!r}")
+        paths.append(p)
+    return paths
+
+
+def _op_csv(node: Node, sf_dir: str, delimiter: str = ","):
+    """CsvStream / TsvStream (reference ``CsvStream.java``,
+    ``TsvStream.java``: parse each file's first line as the header, every
+    following line into a tuple). The reference wraps cat(); here the
+    inner cat() node supplies the chroot-checked paths and the parse is
+    Ray Data's parallel ``read_csv`` (header handling, quoting and
+    row-group parallelism for free)."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    inner = node.args[0] if node.args and isinstance(node.args[0], Node) else None
+    if inner is None or inner.name != "cat":
+        raise StreamExprError(f"{node.name}(cat(...)) expected")
+    paths = _resolve_cat_paths(inner, sf_dir)
+    ds = rd.read_csv(paths, parse_options=pacsv.ParseOptions(delimiter=delimiter))
+    return ds, None
+
+
+def _op_tsv(node: Node, sf_dir: str):
+    return _op_csv(node, sf_dir, delimiter="\t")
+
+
+def _op_drill(node: Node, sf_dir: str):
+    """DrillStream (reference ``DrillStream.java`` + the /export drill
+    handler): ``drill(collection, q=, fl=, sort=, rollup(input(), ...))``
+    runs the rollup expression over each shard's sorted export and
+    re-aggregates at the coordinator. Ray Data's rollup already runs
+    per-batch partials + one merge groupby — exactly the drill plan — so
+    the inner expression compiles with ``input()`` bound to the scan."""
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("drill(collection, ..., <expr over input()>) expected")
+    exprs = [a for a in node.args[1:] if isinstance(a, Node)]
+    if len(exprs) != 1:
+        raise StreamExprError("drill() needs exactly one inner expression")
+    search = Node("search", [node.args[0]], dict(node.params))
+
+    def bind(n: Node) -> Node:
+        args = [
+            search if (isinstance(a, Node) and a.name == "input")
+            else (bind(a) if isinstance(a, Node) else a)
+            for a in n.args
+        ]
+        params = {
+            k: (bind(v) if isinstance(v, Node) and v.name != "input" else
+                (search if isinstance(v, Node) else v))
+            for k, v in n.params.items()
+        }
+        return Node(n.name, args, params)
+
+    return _compile(bind(exprs[0]), sf_dir)
+
+
 _OPS = {
     "search": _op_search,
+    "shuffle": _op_search,  # ShuffleStream.java: search via /export (same scan here)
     "select": _op_select,
     "rollup": _op_rollup,
     "innerJoin": _op_inner_join,
     "leftOuterJoin": _op_left_join,
+    "fullOuterJoin": _op_full_join,
+    "outerHashJoin": _op_outer_hash_join,
     "hashJoin": _op_hash_join,
+    "sql": _op_sql,
+    "facet2D": _op_facet2d,
+    "significantTerms": _op_significant_terms,
+    "csv": _op_csv,
+    "tsv": _op_tsv,
+    "drill": _op_drill,
     "unique": _op_unique,
     "top": _op_top,
     "having": _op_having,

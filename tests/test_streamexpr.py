@@ -289,3 +289,84 @@ def test_knn_search_self_top1(ray_session):
     assert df["score"].iloc[0] == pytest.approx(1.0)
     assert len(df) == 4
     assert (df["score"].values[:-1] >= df["score"].values[1:]).all()
+
+
+def test_sql_stream_decorator(ray_session):
+    df = stream_expr(
+        SF,
+        'sql(events, stmt="SELECT event_type, CAST(count(*) AS BIGINT) AS n '
+        "FROM events GROUP BY event_type ORDER BY event_type\")",
+    ).to_pandas()
+    assert list(df.columns) == ["event_type", "n"]
+    assert df.n.sum() == 1000
+    with pytest.raises(StreamExprError, match="stmt="):
+        stream_expr(SF, "sql(events)")
+
+
+def test_full_outer_join_keeps_both_sides(ray_session):
+    df = stream_expr(
+        SF,
+        'fullOuterJoin(search(customer, q="*:*", fl="c_custkey,c_name"),'
+        ' search(orders, q="o_totalprice:[400000 TO *]",'
+        ' fl="o_orderkey,o_custkey,o_totalprice"), on="c_custkey=o_custkey")',
+    ).to_pandas()
+    # the coalesced key is never null; unmatched customers carry null
+    # order fields and every high-price order survives
+    assert df.c_custkey.notna().all()
+    assert df.o_orderkey.isna().any()
+    n_orders = stream_expr(
+        SF, 'search(orders, q="o_totalprice:[400000 TO *]", fl="o_orderkey")'
+    ).count()
+    assert int(df.o_orderkey.notna().sum()) == n_orders
+
+
+def test_outer_hash_join_is_left_outer(ray_session):
+    df = stream_expr(
+        SF,
+        'outerHashJoin(search(orders, q="o_orderstatus:F", fl="o_orderkey,o_custkey"),'
+        ' hashed=search(customer, q="c_acctbal:[9000 TO *]", fl="c_custkey,c_name"),'
+        ' on="o_custkey=c_custkey")',
+    ).to_pandas()
+    n_left = stream_expr(
+        SF, 'search(orders, q="o_orderstatus:F", fl="o_orderkey")'
+    ).count()
+    assert len(df) == n_left  # every left tuple survives exactly once
+    # misses are real nulls, not float NaN masquerading as 'nan' strings
+    assert not (df.c_name.astype(str) == "nan").any()
+
+
+def test_csv_tsv_streams(ray_session, tmp_path):
+    (tmp_path / "d.csv").write_text("k,name\n1,a\n2,b\n")
+    (tmp_path / "d.tsv").write_text("k\tname\n3\tc\n")
+    df = stream_expr(SF, f'csv(cat("d.csv", chroot="{tmp_path}"))').to_pandas()
+    assert df.to_dict("list") == {"k": [1, 2], "name": ["a", "b"]}
+    df = stream_expr(SF, f'tsv(cat("d.tsv", chroot="{tmp_path}"))').to_pandas()
+    assert df.to_dict("list") == {"k": [3], "name": ["c"]}
+    with pytest.raises(StreamExprError, match="cat"):
+        stream_expr(SF, 'csv(search(events, q="*:*", fl="event_id"))')
+
+
+def test_drill_equals_rollup_over_search(ray_session):
+    a = stream_expr(
+        SF,
+        'drill(events, q="event_type:click", fl="user_id,value",'
+        ' rollup(input(), over="user_id", count(*), sum(value)))',
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    b = stream_expr(
+        SF,
+        'rollup(search(events, q="event_type:click", fl="user_id,value"),'
+        ' over="user_id", count(*), sum(value))',
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_facet2d_dimension_cuts(ray_session):
+    df = stream_expr(
+        SF,
+        'facet2D(events, q="*:*", x="event_type", y="user_id",'
+        ' dimensions="2,3", count(*))',
+    ).to_pandas()
+    assert df.event_type.nunique() == 2
+    assert (df.groupby("event_type").size() <= 3).all()
