@@ -727,3 +727,47 @@ _expr(
     FROM events WHERE event_type = 'purchase' GROUP BY user_id
     """,
 )
+
+_expr(
+    "stream_get_expr",
+    """let(a=search(events, q="event_type:click", fl="event_id,user_id"),
+           rollup(get(a), over="user_id", count(*)))""",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS "count(*)"
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+    """,
+)
+
+_expr(
+    "stream_reduce_expr",
+    """reduce(search(events, q="*:*", fl="user_id,event_id,value"),
+              by="user_id", group(sort="value desc, event_id asc", n=3))""",
+    """
+    SELECT user_id, event_id, value,
+           CAST(LEAST(count(*) OVER (PARTITION BY user_id), 3) AS BIGINT)
+             AS groupSize
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id ASC) = 1
+    """,
+)
+
+_expr(
+    "stream_score_nodes_expr",
+    """scoreNodes(nodes(lineitem,
+                        search(orders, q="o_totalprice:[400000 TO *]", fl="o_orderkey"),
+                        walk="o_orderkey->l_orderkey", gather="l_orderkey"),
+                  collection=lineitem, field=l_orderkey)""",
+    """
+    WITH nodes AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS node
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice >= 400000
+    ),
+    df AS (SELECT l_orderkey, count(*) AS d FROM lineitem GROUP BY l_orderkey),
+    tot AS (SELECT count(*) AS n FROM lineitem)
+    SELECT node, CAST(d AS BIGINT) AS docFreq, CAST(n AS BIGINT) AS numDocs,
+           ln(1 + (n - d + 0.5) / (d + 0.5)) AS nodeScore
+    FROM nodes JOIN df ON node = l_orderkey CROSS JOIN tot
+    """,
+)

@@ -971,19 +971,147 @@ def _op_let(node: Node, sf_dir: str):
         return cds.to_pandas()[fldname].to_numpy(dtype=np.float64)
 
     env: dict = {}
-    for k, v in node.params.items():
-        if isinstance(v, Node):
-            env[k] = mathexpr.eval_node(v, env, col_fn)
-        else:
-            env[k] = float(v) if "." in str(v) else int(v)
-    exprs = [a for a in node.args if isinstance(a, Node)]
-    if len(exprs) != 1:
-        raise StreamExprError("let() needs exactly one final expression")
+    scope: dict = {}
+    _LET_SCOPES.append(scope)
     try:
-        res = mathexpr.eval_node(exprs[0], env, col_fn)
-    except mathexpr.MathExprError as e:
-        raise StreamExprError(str(e)) from None
-    return ray.data.from_arrow(mathexpr.result_to_table(res)), None
+        for k, v in node.params.items():
+            if isinstance(v, Node) and v.name in _OPS:
+                # stream variable (LetStream binds TupleStreams too; the
+                # reference holds the tuples in memory — materialize keeps
+                # the blocks in the object store instead, and get() re-emits
+                # them without recomputing)
+                ds, srt = _compile(v, sf_dir)
+                scope[k] = (ds.materialize(), srt)
+            elif isinstance(v, Node):
+                env[k] = mathexpr.eval_node(v, env, col_fn)
+            else:
+                env[k] = float(v) if "." in str(v) else int(v)
+        exprs = [a for a in node.args if isinstance(a, Node)]
+        if len(exprs) != 1:
+            raise StreamExprError("let() needs exactly one final expression")
+        if exprs[0].name in _OPS:
+            return _compile(exprs[0], sf_dir)
+        try:
+            res = mathexpr.eval_node(exprs[0], env, col_fn)
+        except mathexpr.MathExprError as e:
+            raise StreamExprError(str(e)) from None
+        return ray.data.from_arrow(mathexpr.result_to_table(res)), None
+    finally:
+        _LET_SCOPES.pop()
+
+
+#: let()-bound stream variables, innermost scope last (GetStream reads them)
+_LET_SCOPES: list[dict] = []
+
+
+def _op_get(node: Node, sf_dir: str):
+    """GetStream (reference ``GetStream.java``): re-emit a stream bound to
+    a let() variable. The binding was materialized once at bind time, so
+    repeated get()s stream the same object-store blocks."""
+    if not node.args or not isinstance(node.args[0], str):
+        raise StreamExprError("get(name) expected")
+    name = node.args[0]
+    for scope in reversed(_LET_SCOPES):
+        if name in scope:
+            return scope[name]
+    raise StreamExprError(f"get(): no let() stream binding named {name!r}")
+
+
+def _op_reduce(node: Node, sf_dir: str):
+    """ReducerStream + GroupOperation (reference ``ReducerStream.java``,
+    ``ops/GroupOperation.java``): tuples grouped by ``by=``; the
+    group(sort=, n=) operation keeps the top-n tuples of each group in its
+    declared order and the reducer emits the group head. (The reference's
+    GroupOperation additionally nests the collected tuples as a list of
+    maps; nested map columns don't fit the relational Arrow contract, so
+    the head's scalar fields plus the collected-group size are emitted —
+    the by=/sort=/n= semantics are the same.) Hash-partitioned by key, one
+    vectorized pandas pass per partition."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("reduce() needs an inner stream")
+    by = [c.strip() for c in node.params.get("by", "").split(",") if c.strip()]
+    if not by:
+        raise StreamExprError("reduce() requires by=")
+    gops = [a for a in node.args[1:] if isinstance(a, Node) and a.name == "group"]
+    if len(gops) != 1:
+        raise StreamExprError("reduce() needs one group(sort=, n=) operation")
+    gsort = _parse_sort(gops[0].params.get("sort", ""))
+    if not gsort:
+        raise StreamExprError("group() requires sort=")
+    n = int(gops[0].params.get("n", "1"))
+    ds, _ = _compile(node.args[0], sf_dir)
+
+    def head_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [c for c, _ in gsort], ascending=[not d for _, d in gsort]
+        ).copy()
+        df["groupSize"] = (
+            df.groupby(by, sort=False)[by[0]].transform("size").clip(upper=n)
+        )
+        return df.groupby(by, sort=False).head(1)
+
+    return grouped_map(ds, by, head_per_group), None
+
+
+def _op_score_nodes(node: Node, sf_dir: str):
+    """ScoreNodesStream (reference ``ScoreNodesStream.java``: fetches each
+    node term's docFreq + the collection's numDocs from the terms
+    component and emits nodeScore = count * idf). Here: one pre-aggregated
+    groupby computes every node's docFreq in collection.field, numDocs is
+    a metadata count, and idf uses the same BM25 form the reference's
+    similarity exposes: log(1 + (N - df + 0.5) / (df + 0.5)). The node set
+    is bounded frontier state (guarded) and broadcast into the df filter —
+    the collection is never collected."""
+    import math
+
+    import ray
+
+    from apache___solr_ray.sources import load
+
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("scoreNodes() needs an inner node stream")
+    table = node.params.get("collection")
+    field = node.params.get("field")
+    if not table or not field:
+        raise StreamExprError("scoreNodes() requires collection= and field=")
+    nds, _ = _compile(node.args[0], sf_dir)
+    nds = nds.materialize()
+    n_nodes = nds.count()
+    if n_nodes > HASHED_SIDE_MAX:
+        raise StreamExprError(
+            f"scoreNodes(): node set has {n_nodes} rows (> {HASHED_SIDE_MAX})"
+        )
+    nodes_t = pa.concat_tables(
+        [ray.get(b) for b in nds.to_arrow_refs()]
+    ).combine_chunks()
+    node_vals = nodes_t.column("node")
+
+    ds = load(sf_dir, table, columns=[field])
+    num_docs = ds.count()
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(field).cast(node_vals.type), value_set=node_vals))
+
+    df_rows = (
+        ds.map_batches(flt, batch_format="pyarrow").groupby(field).count().take_all()
+    )
+    dfs = {r[field]: r["count()"] for r in df_rows}
+    nvals = node_vals.to_pylist()
+    df_arr = [int(dfs.get(v, 0)) for v in nvals]
+    score = [
+        math.log(1.0 + (num_docs - d + 0.5) / (d + 0.5)) for d in df_arr
+    ]
+    out = pa.table(
+        {
+            "node": pa.array(nvals, node_vals.type),
+            "docFreq": pa.array(df_arr, pa.int64()),
+            "numDocs": pa.array([num_docs] * len(nvals), pa.int64()),
+            "nodeScore": pa.array(score, pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(out), None
 
 
 def _op_cat(node: Node, sf_dir: str):
@@ -1225,7 +1353,7 @@ def _op_nodes(node: Node, sf_dir: str):
         return pa.table({"node": t.column(_c).cast(pa.int64())})
 
     seeds = seeds.map_batches(as_node, batch_format="pyarrow")
-    edges = load(sf_dir, node.args[0], columns=[edge_col, gather])
+    edges = load(sf_dir, node.args[0], columns=sorted({edge_col, gather}))
     out = _hop(edges, edge_col, gather, seeds)
     return out, None
 
@@ -1515,6 +1643,9 @@ _OPS = {
     "csv": _op_csv,
     "tsv": _op_tsv,
     "drill": _op_drill,
+    "get": _op_get,
+    "reduce": _op_reduce,
+    "scoreNodes": _op_score_nodes,
     "unique": _op_unique,
     "top": _op_top,
     "having": _op_having,

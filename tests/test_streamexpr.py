@@ -370,3 +370,48 @@ def test_facet2d_dimension_cuts(ray_session):
     ).to_pandas()
     assert df.event_type.nunique() == 2
     assert (df.groupby("event_type").size() <= 3).all()
+
+
+def test_let_stream_binding_and_get(ray_session):
+    df = stream_expr(
+        SF,
+        'let(a=search(events, q="event_type:click", fl="event_id,user_id"),'
+        ' rollup(get(a), over="user_id", count(*)))',
+    ).to_pandas()
+    n_click = stream_expr(
+        SF, 'search(events, q="event_type:click", fl="event_id")'
+    ).count()
+    assert df["count(*)"].sum() == n_click
+    with pytest.raises(StreamExprError, match="no let"):
+        stream_expr(SF, 'rollup(get(zzz), over="x", count(*))')
+
+
+def test_reduce_group_head(ray_session):
+    df = stream_expr(
+        SF,
+        'reduce(search(events, q="*:*", fl="user_id,event_id,value"),'
+        ' by="user_id", group(sort="value desc, event_id asc", n=3))',
+    ).to_pandas()
+    # one head tuple per user, carrying that user's max value
+    assert df.user_id.is_unique
+    full = stream_expr(SF, 'search(events, q="*:*", fl="user_id,value")').to_pandas()
+    mx = full.groupby("user_id").value.max()
+    got = df.set_index("user_id").value
+    assert (got == mx.reindex(got.index)).all()
+    assert df.groupSize.max() == 3
+
+
+def test_score_nodes_idf(ray_session):
+    import numpy as np
+
+    df = stream_expr(
+        SF,
+        'scoreNodes(nodes(lineitem,'
+        ' search(orders, q="o_totalprice:[400000 TO *]", fl="o_orderkey"),'
+        ' walk="o_orderkey->l_orderkey", gather="l_orderkey"),'
+        " collection=lineitem, field=l_orderkey)",
+    ).to_pandas()
+    # BM25 idf of the per-node docFreq against the collection size
+    expect = np.log(1 + (df.numDocs - df.docFreq + 0.5) / (df.docFreq + 0.5))
+    assert np.allclose(df.nodeScore, expect)
+    assert (df.docFreq >= 1).all()  # gathered nodes exist in the collection
