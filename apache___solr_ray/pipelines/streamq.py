@@ -771,3 +771,64 @@ _expr(
     FROM nodes JOIN df ON node = l_orderkey CROSS JOIN tot
     """,
 )
+
+_expr(
+    "stream_features_selection_expr",
+    """featuresSelection(documents, field=text, outcome=lang,
+                         positiveLabel=en, numTerms=12)""",
+    """
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_distinct(
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> ''))) AS term
+      FROM documents
+    ),
+    cls AS (
+      SELECT CAST(count(*) FILTER (lang = 'en') AS DOUBLE) AS npos,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM documents
+    ),
+    tc AS (
+      SELECT term,
+             CAST(count(*) FILTER (lang = 'en') AS DOUBLE) AS a,
+             CAST(count(*) AS DOUBLE) AS df
+      FROM toks GROUP BY term
+    ),
+    sc AS (
+      SELECT term,
+             round(
+               (CASE WHEN npos/n IN (0,1) THEN 0
+                ELSE -(npos/n*log2(npos/n) + (1-npos/n)*log2(1-npos/n)) END)
+             - (df/n) *
+               (CASE WHEN a/df IN (0,1) THEN 0
+                ELSE -(a/df*log2(a/df) + (1-a/df)*log2(1-a/df)) END)
+             - ((n-df)/n) *
+               (CASE WHEN n = df OR (npos-a)/(n-df) IN (0,1) THEN 0
+                ELSE -((npos-a)/(n-df)*log2((npos-a)/(n-df))
+                       + (1-(npos-a)/(n-df))*log2(1-(npos-a)/(n-df))) END)
+             , 10) AS score
+      FROM tc CROSS JOIN cls
+    )
+    SELECT term, score,
+           CAST(row_number() OVER (ORDER BY score DESC, term ASC) - 1 AS BIGINT)
+             AS idx
+    FROM sc ORDER BY score DESC, term ASC LIMIT 12
+    """,
+)
+
+
+def _textlogit_entry(sf_dir: str):
+    """Rows-only entry (iterative float training has no SQL oracle; the
+    gradient/accuracy invariants are pytest-gated in tests/test_textml.py)."""
+    return stream_expr(
+        sf_dir,
+        """textLogit(documents, field=text, outcome=lang, positiveLabel=en,
+                     maxIterations=20,
+                     featuresSelection(documents, field=text, outcome=lang,
+                                       positiveLabel=en, numTerms=20))""",
+    )
+
+
+_textlogit_entry.__name__ = "stream_text_logit_expr"
+QUERIES["stream_text_logit_expr"] = _textlogit_entry

@@ -1627,6 +1627,86 @@ def _op_drill(node: Node, sf_dir: str):
     return _compile(bind(exprs[0]), sf_dir)
 
 
+def _op_features_selection(node: Node, sf_dir: str):
+    """FeaturesSelectionStream (reference ``FeaturesSelectionStream.java``):
+    information-gain-scored top terms of ``field=`` against the binary
+    outcome ``outcome= == positiveLabel=``. Emits (term, score, idx). The
+    term/class partials, merge groupby and IG scoring run distributed in
+    ``textml.features_selection``; only the top numTerms rows reach the
+    driver."""
+    import ray
+
+    from apache___solr_ray.sources import load
+    from apache___solr_ray.textml import features_selection
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("featuresSelection(collection, ...) expected")
+    field = node.params.get("field")
+    outcome = node.params.get("outcome")
+    if not field or not outcome:
+        raise StreamExprError("featuresSelection() requires field= and outcome=")
+    positive = node.params.get("positiveLabel", "1")
+    num_terms = int(node.params.get("numTerms", "20"))
+    cols = sorted({field, outcome})
+    qs = node.params.get("q", "*:*")
+    flt, qfield = _q_filter(qs)
+    if qfield:
+        cols = sorted(set(cols) | {qfield})
+    ds = load(sf_dir, node.args[0], columns=cols)
+    if flt is not None:
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+    return ray.data.from_arrow(
+        features_selection(ds, field, outcome, positive, num_terms)
+    ), [("idx", False)]
+
+
+def _op_text_logit(node: Node, sf_dir: str):
+    """TextLogitStream (reference ``TextLogitStream.java``: iterative
+    logistic regression — every shard computes the logistic-loss gradient
+    of its documents against the broadcast weights, the coordinator sums
+    and updates, repeat maxIterations). Feature terms come from an inner
+    featuresSelection(...) stream (or terms=). Emits one row per feature
+    (term, weight) plus the ``__bias__`` row, each carrying the final
+    trainError and iteration count."""
+    import ray
+
+    from apache___solr_ray.sources import load
+    from apache___solr_ray.textml import text_logit
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("textLogit(collection, ...) expected")
+    field = node.params.get("field")
+    outcome = node.params.get("outcome")
+    if not field or not outcome:
+        raise StreamExprError("textLogit() requires field= and outcome=")
+    positive = node.params.get("positiveLabel", "1")
+    iters = int(node.params.get("maxIterations", "25"))
+    lr = float(node.params.get("learningRate", "1.0"))
+    inner = [a for a in node.args[1:] if isinstance(a, Node)]
+    if "terms" in node.params:
+        terms = [w.strip() for w in node.params["terms"].split(",") if w.strip()]
+    elif inner:
+        fs, _ = _compile(inner[0], sf_dir)
+        terms = [r["term"] for r in fs.take_all()]  # bounded by numTerms
+    else:
+        raise StreamExprError("textLogit() needs terms= or a featuresSelection stream")
+    if not terms:
+        raise StreamExprError("textLogit(): empty feature set")
+    ds = load(sf_dir, node.args[0], columns=sorted({field, outcome}))
+    w, err, it = text_logit(
+        ds, field, outcome, positive, terms, max_iterations=iters, learning_rate=lr
+    )
+    out = pa.table(
+        {
+            "term": pa.array(["__bias__"] + list(terms), pa.string()),
+            "weight": pa.array(w, pa.float64()),
+            "trainError": pa.array([err] * (len(terms) + 1), pa.float64()),
+            "iteration": pa.array([it] * (len(terms) + 1), pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out), None
+
+
 _OPS = {
     "search": _op_search,
     "shuffle": _op_search,  # ShuffleStream.java: search via /export (same scan here)
@@ -1646,6 +1726,8 @@ _OPS = {
     "get": _op_get,
     "reduce": _op_reduce,
     "scoreNodes": _op_score_nodes,
+    "featuresSelection": _op_features_selection,
+    "textLogit": _op_text_logit,
     "unique": _op_unique,
     "top": _op_top,
     "having": _op_having,
