@@ -254,3 +254,49 @@ _sql(
     ORDER BY c_custkey
     """,
 )
+
+# --- round-5 wave 4: scalar-function pack + UNION [ALL] ----------------------
+
+_sql(
+    "sql_string_funcs",
+    """
+    SELECT upper(c_mktsegment) AS seg, substr(c_name, 1, 9) AS pre,
+           length(c_name) AS ln, concat(c_mktsegment, ':', c_name) AS tag,
+           round(c_acctbal, 1) AS bal
+    FROM customer
+    WHERE lower(c_mktsegment) LIKE 'b%'
+    ORDER BY tag
+    LIMIT 40
+    """,
+)
+
+_sql(
+    "sql_union_all",
+    """
+    SELECT n_name AS name, 'nation' AS kind FROM nation
+    UNION ALL
+    SELECT r_name AS name, 'region' AS kind FROM region
+    ORDER BY name, kind
+    """,
+)
+
+_sql(
+    "sql_union_distinct",
+    """
+    SELECT c_mktsegment AS v FROM customer
+    UNION
+    SELECT o_orderpriority AS v FROM orders
+    ORDER BY v
+    """,
+)
+
+_sql(
+    "sql_union_mixed_aggregates",
+    """
+    SELECT event_type AS bucket, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'TOTAL' AS bucket, CAST(count(*) AS BIGINT) AS n FROM events
+    ORDER BY n DESC, bucket
+    """,
+)

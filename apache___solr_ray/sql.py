@@ -32,9 +32,19 @@ Dialect (documented subset — everything else raises ``SqlError``):
         resolve to exactly one side (qualify only in ON).
   [WHERE expr] [GROUP BY col, ...] [HAVING expr]
   [ORDER BY name [ASC|DESC], ...] [LIMIT n [OFFSET m]]
+  body (UNION [ALL] body)+ folds left-associatively (plain UNION dedupes
+        the accumulated result with one groupby); the trailing
+        ORDER BY/LIMIT/OFFSET applies to the whole union
+  WHERE-clause subqueries: e [NOT] IN (SELECT ...), [NOT] EXISTS
+        (one equality correlation decorrelates to a semi-join),
+        scalar (SELECT ...) folds to a literal
   expr: column, 'string', number, + - * / ( ), comparison (= <> != < <= > >=),
         AND OR NOT, IN (...), [NOT] LIKE, IS [NOT] NULL, BETWEEN lo AND hi,
-        CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR), floor(x), abs(x),
+        CAST(expr AS BIGINT|INTEGER|DOUBLE|FLOAT|VARCHAR),
+        scalar functions floor abs ceil[ing] sqrt ln exp round(x[,n])
+        upper lower length trim ltrim rtrim reverse substr(s,start[,len])
+        concat(...) replace(s,'a','b')  (DuckDB semantics: round is
+        half-away-from-zero, concat skips NULLs),
         CASE WHEN cond THEN expr [WHEN ...] [ELSE expr] END, coalesce(a, b, ...),
         aggregates count(*) | count(col) | count(DISTINCT col) | sum | avg
                    | min | max | stddev | variance (sample). stddev/variance
@@ -181,8 +191,14 @@ class CaseOp:
 
 @dataclass(frozen=True)
 class Func:
-    name: str  # floor | abs
+    name: str  # single-arg scalar: floor | abs | upper | lower | ...
     e: object
+
+
+@dataclass(frozen=True)
+class FuncN:
+    name: str  # multi-arg scalar: round | substr | concat | replace
+    args: tuple
 
 
 @dataclass(frozen=True)
@@ -221,6 +237,20 @@ class Query:
     joins: tuple = ()
 
 
+@dataclass
+class UnionQuery:
+    """``body (UNION [ALL] body)+`` — folded left-associatively; a plain
+    UNION link dedupes everything accumulated so far (ANSI). The trailing
+    ORDER BY / LIMIT / OFFSET (parsed into the last body) applies to the
+    whole union and references the FIRST body's output column names."""
+
+    first: object  # Query
+    links: list  # [(is_all, Query)]
+    order_by: list
+    limit: int | None
+    offset: int
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -238,7 +268,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having", "order",
     "limit", "as", "and", "or", "not", "in", "like", "is", "null", "between",
     "cast", "asc", "desc", "join", "inner", "left", "outer", "on",
-    "case", "when", "then", "else", "end", "exists",
+    "case", "when", "then", "else", "end", "exists", "union", "all",
 }
 
 
@@ -269,7 +299,11 @@ def _tokenize(sql: str) -> list[tuple[str, str]]:
 # ---------------------------------------------------------------------------
 
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "stddev", "variance"}
-_SCALAR_FUNCS = {"floor", "abs"}
+_SCALAR_FUNCS = {
+    "floor", "abs", "ceil", "ceiling", "upper", "lower", "length", "sqrt",
+    "ln", "exp", "trim", "ltrim", "rtrim", "reverse",
+}
+_SCALAR_FUNCS_N = {"round", "substr", "substring", "concat", "replace"}
 _CAST_TYPES = {
     "bigint": pa.int64(),
     "integer": pa.int32(),
@@ -339,9 +373,26 @@ class _Parser:
     # -- grammar ------------------------------------------------------------
     def parse(self) -> Query:
         q = self._parse_body()
+        links = []
+        while self.eat_kw("union"):
+            is_all = self.eat_kw("all")
+            links.append((is_all, self._parse_body()))
         if self.peek() != (None, None):
             raise SqlError(f"unexpected trailing tokens: {self.peek()}")
-        return q
+        if not links:
+            return q
+        last = links[-1][1]
+        order_by, limit, offset = last.order_by, last.limit, last.offset
+        last.order_by, last.limit, last.offset = [], None, 0
+        for part in [q] + [p for _, p in links]:
+            if part.order_by or part.limit is not None or part.offset:
+                raise SqlError(
+                    "ORDER BY/LIMIT inside a UNION branch is not supported "
+                    "(the trailing clause applies to the whole union)"
+                )
+            if len(part.items) != len(q.items):
+                raise SqlError("UNION branches must select the same column count")
+        return UnionQuery(q, links, order_by, limit, offset)
 
     def _parse_body(self) -> Query:
         self.expect_kw("select")
@@ -646,6 +697,12 @@ class _Parser:
                 e = self.expr()
                 self.expect_op(")")
                 return Func(fname, e)
+            if fname in _SCALAR_FUNCS_N:
+                items = [self.expr()]
+                while self.eat_op(","):
+                    items.append(self.expr())
+                self.expect_op(")")
+                return FuncN(fname, tuple(items))
             if fname == "coalesce":
                 items = [self.expr()]
                 while self.eat_op(","):
@@ -704,6 +761,9 @@ def _walk(node, out_cols: set, out_aggs: list):
             _walk(it, out_cols, out_aggs)
     elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
         _walk(node.e, out_cols, out_aggs)
+    elif isinstance(node, FuncN):
+        for a in node.args:
+            _walk(a, out_cols, out_aggs)
     elif isinstance(node, InSet):
         _walk(node.e, out_cols, out_aggs)
     elif isinstance(node, BoolLit):
@@ -739,6 +799,9 @@ def _bare_cols(node, out: set):
             _bare_cols(it, out)
     elif isinstance(node, (NotOp, IsNullOp, LikeOp, InList, CastOp, Func)):
         _bare_cols(node.e, out)
+    elif isinstance(node, FuncN):
+        for a in node.args:
+            _bare_cols(a, out)
     elif isinstance(node, InSet):
         _bare_cols(node.e, out)
     elif isinstance(node, CaseOp):
@@ -844,9 +907,83 @@ def _eval(node, t: pa.Table, agg_name=None):
         return out
     if isinstance(node, Func):
         v = _eval(node.e, t, agg_name)
-        if node.name == "floor":
+        n = node.name
+        if n == "floor":
             return pc.floor(pc.cast(v, pa.float64()))
-        return pc.abs(v)
+        if n == "abs":
+            return pc.abs(v)
+        if n in ("ceil", "ceiling"):
+            return pc.ceil(pc.cast(v, pa.float64()))
+        if n == "upper":
+            return pc.utf8_upper(v)
+        if n == "lower":
+            return pc.utf8_lower(v)
+        if n == "length":
+            return pc.cast(pc.utf8_length(v), pa.int64())
+        if n == "sqrt":
+            return pc.sqrt(pc.cast(v, pa.float64()))
+        if n == "ln":
+            return pc.ln(pc.cast(v, pa.float64()))
+        if n == "exp":
+            return pc.exp(pc.cast(v, pa.float64()))
+        if n == "trim":
+            return pc.utf8_trim_whitespace(v)
+        if n == "ltrim":
+            return pc.utf8_ltrim_whitespace(v)
+        if n == "rtrim":
+            return pc.utf8_rtrim_whitespace(v)
+        if n == "reverse":
+            return pc.utf8_reverse(v)
+        raise SqlError(f"unsupported function {n!r}")
+    if isinstance(node, FuncN):
+        n = node.name
+        if n == "round":
+            # DuckDB round() is half away from zero
+            if len(node.args) not in (1, 2):
+                raise SqlError("round(x[, ndigits]) expects 1-2 arguments")
+            nd = 0
+            if len(node.args) == 2:
+                if not isinstance(node.args[1], Lit):
+                    raise SqlError("round() ndigits must be a literal")
+                nd = int(node.args[1].val)
+            v = pc.cast(_eval(node.args[0], t, agg_name), pa.float64())
+            return pc.round(v, ndigits=nd, round_mode="half_towards_infinity")
+        if n in ("substr", "substring"):
+            # SQL 1-based start; optional length
+            if len(node.args) not in (2, 3):
+                raise SqlError("substr(s, start[, len]) expects 2-3 arguments")
+            if not all(isinstance(a, Lit) for a in node.args[1:]):
+                raise SqlError("substr() start/len must be literals")
+            start = int(node.args[1].val) - 1
+            if start < 0:
+                raise SqlError("substr() start is 1-based")
+            stop = None
+            if len(node.args) == 3:
+                stop = start + int(node.args[2].val)
+            v = _eval(node.args[0], t, agg_name)
+            return pc.utf8_slice_codeunits(v, start, stop)
+        if n == "concat":
+            # DuckDB concat() skips NULLs (unlike ||)
+            vals = [
+                _as_array(_eval(a, t, agg_name), t.num_rows) for a in node.args
+            ]
+            vals = [
+                pc.cast(v, pa.string()) if not pa.types.is_string(v.type) else v
+                for v in vals
+            ]
+            return pc.binary_join_element_wise(
+                *vals, pa.array([""] * t.num_rows), null_handling="replace"
+            )
+        if n == "replace":
+            if len(node.args) != 3 or not all(
+                isinstance(a, Lit) for a in node.args[1:]
+            ):
+                raise SqlError("replace(s, 'from', 'to') with literal patterns")
+            v = _eval(node.args[0], t, agg_name)
+            return pc.replace_substring(
+                v, pattern=str(node.args[1].val), replacement=str(node.args[2].val)
+            )
+        raise SqlError(f"unsupported function {n!r}")
     raise SqlError(f"cannot evaluate {node!r}")
 
 
@@ -1163,6 +1300,8 @@ def _resolve_subqueries(node, sf_dir: str, outer_q):
         return CastOp(R(node.e), node.typ)
     if isinstance(node, Func):
         return Func(node.name, R(node.e))
+    if isinstance(node, FuncN):
+        return FuncN(node.name, tuple(R(a) for a in node.args))
     if isinstance(node, CaseOp):
         return CaseOp(
             tuple((R(c), R(v)) for c, v in node.whens),
@@ -1179,7 +1318,58 @@ def sql_query(sf_dir: str, sql: str):
     Single-table queries against the standard parquet tables in ``sf_dir``
     (the same views the DuckDB oracle sees), so the SQL string itself is
     both the engine input and the oracle."""
-    return _compile_query(sf_dir, parse_sql(sql))
+    q = parse_sql(sql)
+    if isinstance(q, UnionQuery):
+        return _compile_union(sf_dir, q)
+    return _compile_query(sf_dir, q)
+
+
+def _dedupe(ds, names: list[str]):
+    """SQL set-distinct over exactly the output columns (same plan as
+    SELECT DISTINCT: one groupby, partials combine upstream)."""
+    return (
+        ds.groupby(names)
+        .count()
+        .map_batches(lambda t, _n=list(names): t.select(_n), batch_format="pyarrow")
+    )
+
+
+def _compile_union(sf_dir: str, uq: UnionQuery):
+    """UNION [ALL] chains folded left-associatively: each branch compiles
+    independently (own pruning/filter/aggregate plan), unions lazily
+    (block concatenation — no shuffle), and a plain UNION link dedupes the
+    accumulated result with ONE groupby. Column names come from the first
+    branch; later branches bind positionally (ANSI)."""
+    names = [_item_name(it) for it in uq.first.items]
+    acc = _compile_query(sf_dir, uq.first)
+    for is_all, part in uq.links:
+        nxt = _compile_query(sf_dir, part)
+        nxt = nxt.map_batches(
+            lambda t, _n=list(names): t.rename_columns(_n), batch_format="pyarrow"
+        )
+        acc = acc.union(nxt)
+        if not is_all:
+            acc = _dedupe(acc, names)
+    if uq.order_by:
+        for name, _ in uq.order_by:
+            if name not in names:
+                raise SqlError(f"ORDER BY {name!r} is not an output column")
+        acc = acc.sort(
+            [n for n, _ in uq.order_by], descending=[d for _, d in uq.order_by]
+        )
+    if uq.offset:
+        if not uq.order_by or uq.limit is None:
+            raise SqlError("OFFSET requires ORDER BY and LIMIT")
+        import ray
+
+        page = acc.limit(uq.offset + uq.limit).to_pandas()
+        tbl = pa.Table.from_pandas(
+            page.iloc[uq.offset :].reset_index(drop=True), preserve_index=False
+        )
+        return ray.data.from_arrow(tbl)
+    if uq.limit is not None:
+        acc = acc.limit(uq.limit)
+    return acc
 
 
 def _compile_query(sf_dir: str, q: Query):

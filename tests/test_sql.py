@@ -150,7 +150,7 @@ def test_parse_errors():
     with pytest.raises(SqlError):
         parse_sql("SELECT a FROM orders LIMIT x")
     with pytest.raises(SqlError):
-        parse_sql("SELECT substr(a, 1) FROM orders")  # unsupported function
+        parse_sql("SELECT strpos(a, 'x') FROM orders")  # unsupported function
     with pytest.raises(SqlError):
         parse_sql("SELECT CAST(a AS BLOB) FROM orders")
 
@@ -338,3 +338,53 @@ def test_subquery_errors(ray_session):
                   "(SELECT o_custkey FROM orders)")
     finally:
         sqlmod.SQL_SUBQUERY_MAX = old
+
+
+def test_scalar_function_pack(ray_session):
+    for sql in (
+        "SELECT upper(c_name) AS u, lower(c_mktsegment) AS lo, length(c_name) AS l "
+        "FROM customer ORDER BY u LIMIT 10",
+        "SELECT o_orderkey, round(o_totalprice, 1) AS r1, round(o_totalprice) AS r0, "
+        "ceil(o_totalprice) AS ce, floor(o_totalprice) AS fl "
+        "FROM orders ORDER BY o_orderkey LIMIT 25",
+        "SELECT substr(c_name, 1, 8) AS s, concat(c_mktsegment, '-', c_name) AS c, "
+        "replace(lower(c_mktsegment), 'building', 'bldg') AS m "
+        "FROM customer ORDER BY c LIMIT 20",
+        "SELECT trim(concat(' ', c_name)) AS t1, reverse(c_mktsegment) AS rv "
+        "FROM customer ORDER BY t1 LIMIT 10",
+        "SELECT o_orderkey, sqrt(o_totalprice) AS sq, ln(o_totalprice) AS lnp, "
+        "exp(o_totalprice / 100000) AS ex FROM orders ORDER BY o_orderkey LIMIT 10",
+        # functions compose in WHERE too
+        "SELECT length(trim(c_name)) AS l FROM customer "
+        "WHERE upper(c_mktsegment) = 'BUILDING' ORDER BY l LIMIT 8",
+    ):
+        mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+        pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
+
+
+def test_union_all_and_distinct(ray_session):
+    for sql in (
+        "SELECT n_name AS name FROM nation UNION ALL "
+        "SELECT r_name AS name FROM region ORDER BY name",
+        # plain UNION dedupes
+        "SELECT c_mktsegment AS v FROM customer UNION "
+        "SELECT c_mktsegment AS v FROM customer ORDER BY v",
+        # left-assoc mixed chain: the trailing ALL keeps duplicates added after
+        # the distinct link
+        "SELECT n_regionkey AS k FROM nation UNION "
+        "SELECT r_regionkey AS k FROM region UNION ALL "
+        "SELECT n_regionkey AS k FROM nation WHERE n_regionkey = 0 ORDER BY k",
+        # aggregates per branch + trailing LIMIT on the union
+        "SELECT event_type AS b, CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type UNION ALL SELECT 'TOTAL' AS b, "
+        "CAST(count(*) AS BIGINT) AS n FROM events ORDER BY n DESC, b LIMIT 4",
+    ):
+        mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+        pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
+
+
+def test_union_errors(ray_session):
+    with pytest.raises(SqlError, match="column count"):
+        _mine("SELECT n_name, n_nationkey FROM nation UNION ALL SELECT r_name AS n_name FROM region")
+    with pytest.raises(SqlError, match="branch"):
+        _mine("SELECT n_name FROM nation ORDER BY n_name UNION ALL SELECT r_name FROM region")
