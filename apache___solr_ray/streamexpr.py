@@ -975,7 +975,11 @@ def _op_let(node: Node, sf_dir: str):
     _LET_SCOPES.append(scope)
     try:
         for k, v in node.params.items():
-            if isinstance(v, Node) and v.name in _OPS:
+            if (
+                isinstance(v, Node)
+                and v.name in _OPS
+                and v.name not in set(mathexpr.EVALS) | {"tuple", "col"}
+            ):
                 # stream variable (LetStream binds TupleStreams too; the
                 # reference holds the tuples in memory — materialize keeps
                 # the blocks in the object store instead, and get() re-emits
@@ -989,7 +993,11 @@ def _op_let(node: Node, sf_dir: str):
         exprs = [a for a in node.args if isinstance(a, Node)]
         if len(exprs) != 1:
             raise StreamExprError("let() needs exactly one final expression")
-        if exprs[0].name in _OPS:
+        # names shared by the evaluator pack and the decorator set (tuple,
+        # list, random, ...) keep their original math meaning inside let();
+        # only pure stream decorators compile as the final stream
+        _math_names = set(mathexpr.EVALS) | {"tuple", "col"}
+        if exprs[0].name in _OPS and exprs[0].name not in _math_names:
             return _compile(exprs[0], sf_dir)
         try:
             res = mathexpr.eval_node(exprs[0], env, col_fn)
@@ -1627,6 +1635,58 @@ def _op_drill(node: Node, sf_dir: str):
     return _compile(bind(exprs[0]), sf_dir)
 
 
+def _op_topic(node: Node, sf_dir: str):
+    """TopicStream (reference ``TopicStream.java``: checkpointed pub/sub
+    over an index — each open() resumes from the ``_version_`` checkpoint
+    stored in the checkpoint collection and emits only NEW matches).
+    ``topic(checkpoints, documents, q=, id=, rows=)``: the checkpoint lives
+    in an atomic JSON sidecar keyed by id= (the checkpointCollection
+    analog), the poll is ``IndexReader.topic_poll`` over the cached corpus
+    index, and each compile = ONE daemon tick emitting the fresh doc
+    tuples (at-least-once across a crash, exactly the reference's
+    contract)."""
+    import json
+    import os
+
+    import ray
+
+    from apache___solr_ray.pipelines.indexq import ensure_doc_index
+    from apache___solr_ray.query import IndexReader
+
+    if len(node.args) < 2:
+        raise StreamExprError("topic(checkpointCollection, collection, ...) expected")
+    if node.args[1] != "documents":
+        raise StreamExprError("topic() polls the indexed corpus: collection must be 'documents'")
+    tid = node.params.get("id")
+    if not tid or not re.match(r"^[\w.-]+$", tid):
+        raise StreamExprError("topic() requires a filesystem-safe id=")
+    qs = node.params.get("q")
+    if not qs:
+        raise StreamExprError("topic() requires q=")
+    rows = int(node.params.get("rows", "500"))
+
+    reader = IndexReader(ensure_doc_index(sf_dir))
+    ckpt_dir = os.path.join("/tmp/apache___solr_ray_cache", "topics")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt_path = os.path.join(ckpt_dir, f"{node.args[0]}__{tid}.json")
+    ckpt = -1
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            ckpt = int(json.load(f)["checkpoint"])
+    fresh, new_ckpt = reader.topic_poll(qs.replace("text:", ""), checkpoint=ckpt, limit=rows)
+    tmp = ckpt_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"checkpoint": new_ckpt, "id": tid, "q": qs}, f)
+    os.replace(tmp, ckpt_path)  # atomic commit AFTER the emit set is fixed
+    out = pa.table(
+        {
+            "doc_id": pa.array(fresh.astype(np.int64)),
+            "url": pa.array(reader.urls_for(fresh), pa.string()),
+        }
+    )
+    return ray.data.from_arrow(out), [("doc_id", False)]
+
+
 def _op_features_selection(node: Node, sf_dir: str):
     """FeaturesSelectionStream (reference ``FeaturesSelectionStream.java``):
     information-gain-scored top terms of ``field=`` against the binary
@@ -1728,6 +1788,7 @@ _OPS = {
     "scoreNodes": _op_score_nodes,
     "featuresSelection": _op_features_selection,
     "textLogit": _op_text_logit,
+    "topic": _op_topic,
     "unique": _op_unique,
     "top": _op_top,
     "having": _op_having,

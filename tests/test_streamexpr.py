@@ -415,3 +415,24 @@ def test_score_nodes_idf(ray_session):
     expect = np.log(1 + (df.numDocs - df.docFreq + 0.5) / (df.docFreq + 0.5))
     assert np.allclose(df.nodeScore, expect)
     assert (df.docFreq >= 1).all()  # gathered nodes exist in the collection
+
+
+def test_topic_checkpointed_poll(ray_session, tmp_path):
+    import shutil
+
+    shutil.rmtree("/tmp/apache___solr_ray_cache/topics", ignore_errors=True)
+    expr = 'topic(ck, documents, q="text:data", id=pytopic, rows=100)'
+    a = stream_expr(SF, expr).to_pandas()
+    b = stream_expr(SF, expr).to_pandas()
+    assert len(a) == 100 and list(a.columns) == ["doc_id", "url"]
+    # the second tick resumes from the committed checkpoint: only NEW docs
+    if len(b):
+        assert set(a.doc_id).isdisjoint(set(b.doc_id))
+        assert b.doc_id.min() > a.doc_id.max()
+    # drain fully, then the topic is quiet
+    for _ in range(20):
+        if len(stream_expr(SF, expr).to_pandas()) == 0:
+            break
+    assert len(stream_expr(SF, expr).to_pandas()) == 0
+    with pytest.raises(StreamExprError, match="id="):
+        stream_expr(SF, 'topic(ck, documents, q="text:data")')
