@@ -300,3 +300,15 @@ _sql(
     ORDER BY n DESC, bucket
     """,
 )
+
+_sql(
+    "sql_group_by_expression",
+    """
+    SELECT floor(value / 100) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(avg(value) * 10000 + 0.5) / 10000 AS av
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)

@@ -30,7 +30,9 @@ Dialect (documented subset — everything else raises ``SqlError``):
         (ray.put + per-batch pandas merge, no shuffle) and runs bigger
         sides as Ray Data's distributed hash join. Scalar references must
         resolve to exactly one side (qualify only in ON).
-  [WHERE expr] [GROUP BY col, ...] [HAVING expr]
+  [WHERE expr] [GROUP BY col | alias | expr, ...] [HAVING expr]
+        (alias/expression keys compute once per batch into a derived column
+        before the partial stage)
   [ORDER BY name [ASC|DESC], ...] [LIMIT n [OFFSET m]]
   body (UNION [ALL] body)+ folds left-associatively (plain UNION dedupes
         the accumulated result with one groupby); the trailing
@@ -413,9 +415,11 @@ class _Parser:
         group_by: list[str] = []
         if self.eat_kw("group"):
             self.expect_kw("by")
-            group_by.append(self.ident())
-            while self.eat_op(","):
-                group_by.append(self.ident())
+            while True:
+                e = self.expr()
+                group_by.append(e.name if isinstance(e, Col) else e)
+                if not self.eat_op(","):
+                    break
         having = self.expr() if self.eat_kw("having") else None
         order_by: list[tuple[str, bool]] = []
         if self.eat_kw("order"):
@@ -1381,6 +1385,42 @@ def _compile_query(sf_dir: str, q: Query):
             w = None
         q.where = w
 
+    # -- GROUP BY aliases / expressions -> derived key columns ---------------
+    # ``GROUP BY bucket`` (a select alias) or ``GROUP BY floor(x/10)`` (an
+    # expression, optionally repeated as an aliased select item) computes
+    # the key ONCE per batch into a derived column before the partial
+    # stage; matching select items are rewritten to reference it.
+    gb_derived: list[tuple[str, object]] = []
+    gb_names: list[str] = []
+    for i, g in enumerate(q.group_by):
+        if isinstance(g, str):
+            ali = next(
+                (
+                    it
+                    for it in q.items
+                    if it.alias == g and not isinstance(it.expr, Col)
+                ),
+                None,
+            )
+            if ali is not None:
+                gb_derived.append((g, ali.expr))
+                ali.expr = Col(g)
+            gb_names.append(g)
+            continue
+        match = next((it for it in q.items if it.expr == g), None)
+        if match is not None:
+            if match.alias is None:
+                raise SqlError(
+                    "a GROUP BY expression repeated in SELECT needs an alias"
+                )
+            name = match.alias
+            match.expr = Col(name)
+        else:
+            name = f"__g{i}"
+        gb_derived.append((name, g))
+        gb_names.append(name)
+    q.group_by = gb_names
+
     # -- referenced-column pruning (SolrProject push-down) -------------------
     cols: set[str] = set()
     aggs: list[Agg] = []
@@ -1389,8 +1429,15 @@ def _compile_query(sf_dir: str, q: Query):
     _walk(q.where, cols, [])  # aggregates are illegal in WHERE
     if q.having is not None:
         _walk(q.having, cols, aggs)
+    for name, e in gb_derived:
+        bad: list = []
+        _walk(e, cols, bad)
+        if bad:
+            raise SqlError("aggregates are illegal in GROUP BY expressions")
+    derived_names = {name for name, _ in gb_derived}
     for g in q.group_by:
         cols.add(g)
+    cols -= derived_names  # derived keys are computed, not scanned
     if not cols:
         if aggs:
             # SELECT count(*) with no referenced columns: scan one schema
@@ -1411,6 +1458,16 @@ def _compile_query(sf_dir: str, q: Query):
             return t.filter(_eval(_w, t))
 
         ds = ds.map_batches(flt, batch_format="pyarrow")
+
+    if gb_derived:
+        gpairs = tuple(gb_derived)
+
+        def derive_keys(t: pa.Table, _p=gpairs) -> pa.Table:
+            for nm, e in _p:
+                t = t.append_column(nm, _as_array(_eval(e, t), t.num_rows))
+            return t
+
+        ds = ds.map_batches(derive_keys, batch_format="pyarrow")
 
     if aggs or q.group_by:
         # validate: outside aggregate arguments, only group-by columns may

@@ -388,3 +388,33 @@ def test_union_errors(ray_session):
         _mine("SELECT n_name, n_nationkey FROM nation UNION ALL SELECT r_name AS n_name FROM region")
     with pytest.raises(SqlError, match="branch"):
         _mine("SELECT n_name FROM nation ORDER BY n_name UNION ALL SELECT r_name FROM region")
+
+
+def test_group_by_expressions(ray_session):
+    for sql in (
+        # alias key
+        "SELECT floor(value / 100) AS bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY bucket ORDER BY bucket",
+        # expression repeated in SELECT
+        "SELECT floor(o_totalprice / 50000) AS band, CAST(count(*) AS BIGINT) AS n "
+        "FROM orders GROUP BY floor(o_totalprice / 50000) ORDER BY band",
+        # unselected expression key
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM events "
+        "GROUP BY floor(value / 200) ORDER BY n DESC",
+        # plain column + alias key mixed, CASE key with HAVING
+        "SELECT event_type, floor(value / 150) AS b, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY event_type, b ORDER BY event_type, b",
+        "SELECT CASE WHEN value > 150 THEN 'hi' ELSE 'lo' END AS lvl, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY lvl "
+        "HAVING count(*) > 10 ORDER BY lvl",
+        # derived key through the count(DISTINCT) two-level rewrite
+        "SELECT floor(value / 100) AS bucket, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS uu FROM events "
+        "GROUP BY bucket ORDER BY bucket",
+    ):
+        mine, duck = _canon(_mine(sql)), _canon(_duck(sql))
+        pd.testing.assert_frame_equal(mine, duck, check_dtype=False)
+    with pytest.raises(SqlError, match="alias"):
+        _mine("SELECT floor(value/100) FROM events GROUP BY floor(value/100)")
+    with pytest.raises(SqlError, match="GROUP BY"):
+        _mine("SELECT value FROM events GROUP BY floor(sum(value))")
