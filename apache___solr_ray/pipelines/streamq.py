@@ -832,3 +832,21 @@ def _textlogit_entry(sf_dir: str):
 
 _textlogit_entry.__name__ = "stream_text_logit_expr"
 QUERIES["stream_text_logit_expr"] = _textlogit_entry
+
+_expr(
+    "stream_shortest_path_expr",
+    """shortestPath(orders, from=5, to=1174, edge="o_custkey=o_orderkey",
+                    maxDepth=3)""",
+    """
+    WITH RECURSIVE bfs(node, path, d) AS (
+      SELECT 5, '5', 0
+      UNION ALL
+      SELECT o.o_orderkey, bfs.path || '->' || o.o_orderkey, d + 1
+      FROM orders o JOIN bfs ON o.o_custkey = bfs.node WHERE d < 3
+    )
+    SELECT path FROM bfs
+    WHERE node = 1174
+      AND d = (SELECT min(d) FROM bfs b2 WHERE b2.node = 1174)
+    ORDER BY path
+    """,
+)

@@ -1635,6 +1635,109 @@ def _op_drill(node: Node, sf_dir: str):
     return _compile(bind(exprs[0]), sf_dir)
 
 
+def _op_noop(node: Node, sf_dir: str):
+    """NoOpStream (reference ``NoOpStream.java``): transparent wrapper."""
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("noop() needs an inner stream")
+    return _compile(node.args[0], sf_dir)
+
+
+def _op_eval(node: Node, sf_dir: str):
+    """EvalStream (reference ``EvalStream.java``): read the FIRST tuple of
+    the inner stream, take its ``expr_s`` field as a streaming expression,
+    compile and emit THAT stream. (The reference uses it to run
+    expressions stored in collections.)"""
+    if not node.args or not isinstance(node.args[0], Node):
+        raise StreamExprError("eval() needs an inner stream")
+    ds, _ = _compile(node.args[0], sf_dir)
+    rows = ds.limit(1).take_all()
+    if not rows or "expr_s" not in rows[0]:
+        raise StreamExprError("eval(): inner stream's first tuple needs an expr_s field")
+    return _compile(parse_stream_expr(str(rows[0]["expr_s"])), sf_dir)
+
+
+def _op_shortest_path(node: Node, sf_dir: str):
+    """ShortestPathStream (reference ``ShortestPathStream.java``: iterative
+    BFS from ``from=`` toward ``to=`` over ``edge="srcCol=dstCol"``,
+    bounded by maxDepth=, emitting every shortest path as a tuple whose
+    ``path`` field lists the nodes). Same memory model as the reference:
+    the visited/parents map lives on the coordinator (bounded by the reach
+    at maxDepth) while the EDGES stay a streamed, column-pruned Dataset
+    scanned once per round with a broadcast vectorized is_in filter."""
+    import ray
+
+    from apache___solr_ray.sources import load
+
+    if not node.args or isinstance(node.args[0], Node):
+        raise StreamExprError("shortestPath(collection, ...) expected")
+    m = re.match(r"^(\w+)\s*=\s*(\w+)$", node.params.get("edge", ""))
+    if not m:
+        raise StreamExprError('shortestPath() needs edge="srcCol=dstCol"')
+    src_col, dst_col = m.group(1), m.group(2)
+    if "from" not in node.params or "to" not in node.params:
+        raise StreamExprError("shortestPath() needs from= and to=")
+    start, goal = int(node.params["from"]), int(node.params["to"])
+    max_depth = int(node.params.get("maxDepth", "4"))
+
+    edges = load(sf_dir, node.args[0], columns=sorted({src_col, dst_col}))
+    parents: dict[int, list[int]] = {start: []}
+    frontier = np.array([start], dtype=np.int64)
+    found_depth = None
+    for depth in range(1, max_depth + 1):
+        fref = ray.put(pa.array(frontier))
+
+        def hop(t: pa.Table, _f=fref) -> pa.Table:
+            fr = ray.get(_f)
+            keep = t.filter(
+                pc.is_in(t.column(src_col).cast(pa.int64()), value_set=fr)
+            )
+            return pa.table(
+                {
+                    "src": keep.column(src_col).cast(pa.int64()),
+                    "dst": keep.column(dst_col).cast(pa.int64()),
+                }
+            )
+
+        hops = edges.map_batches(hop, batch_format="pyarrow")
+        pairs = (
+            hops.groupby(["src", "dst"]).count().take_all()
+        )  # distinct edges out of the frontier — bounded by the reach
+        nxt: dict[int, list[int]] = {}
+        for r in pairs:
+            s, d = int(r["src"]), int(r["dst"])
+            if d in parents:  # already reached at an earlier depth
+                continue
+            nxt.setdefault(d, []).append(s)
+        if not nxt:
+            break
+        for d, ps in nxt.items():
+            parents[d] = sorted(ps)
+        if goal in nxt:
+            found_depth = depth
+            break
+        frontier = np.fromiter(nxt.keys(), dtype=np.int64, count=len(nxt))
+    if found_depth is None:
+        return ray.data.from_arrow(
+            pa.table({"path": pa.array([], pa.string())})
+        ), None
+
+    # enumerate every shortest path by walking the parent DAG backwards
+    paths: list[list[int]] = []
+
+    def walk(n: int, acc: list[int]):
+        if n == start:
+            paths.append([start] + list(reversed(acc)))
+            return
+        for p in parents[n]:
+            walk(p, acc + [n])
+
+    walk(goal, [])
+    out = pa.table(
+        {"path": pa.array(sorted("->".join(map(str, p)) for p in paths), pa.string())}
+    )
+    return ray.data.from_arrow(out), None
+
+
 def _op_topic(node: Node, sf_dir: str):
     """TopicStream (reference ``TopicStream.java``: checkpointed pub/sub
     over an index — each open() resumes from the ``_version_`` checkpoint
@@ -1787,8 +1890,16 @@ _OPS = {
     "reduce": _op_reduce,
     "scoreNodes": _op_score_nodes,
     "featuresSelection": _op_features_selection,
+    "features": _op_features_selection,  # Lang.java registers both names
     "textLogit": _op_text_logit,
+    "train": _op_text_logit,  # Lang.java: train -> TextLogitStream
     "topic": _op_topic,
+    "noop": _op_noop,
+    "eval": _op_eval,
+    "shortestPath": _op_shortest_path,
+    "parseCSV": _op_csv,  # Lang.java registers parseCSV/parseTSV
+    "parseTSV": _op_tsv,
+    "export": _op_search,  # /export scan == the same pruned sorted read
     "unique": _op_unique,
     "top": _op_top,
     "having": _op_having,

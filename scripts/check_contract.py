@@ -27,7 +27,14 @@ def to_pandas(res):
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if df.empty and not len(df.columns):
+        # Ray drops the columns of a fully-empty Dataset even when the
+        # schema is known — rebuild them so empty==empty compares hold
+        sch = res.schema()
+        if sch is not None:
+            df = pd.DataFrame({n: pd.Series(dtype="object") for n in sch.names})
+    return df
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()

@@ -436,3 +436,41 @@ def test_topic_checkpointed_poll(ray_session, tmp_path):
     assert len(stream_expr(SF, expr).to_pandas()) == 0
     with pytest.raises(StreamExprError, match="id="):
         stream_expr(SF, 'topic(ck, documents, q="text:data")')
+
+
+def test_shortest_path_and_eval_noop(ray_session):
+    import duckdb
+
+    # one-hop path: order->part edge, a part of order 2
+    tgt = duckdb.sql(
+        f"SELECT min(l_partkey) FROM read_parquet('{SF}/lineitem.parquet')"
+        " WHERE l_orderkey = 2"
+    ).fetchone()[0]
+    df = stream_expr(
+        SF,
+        f'shortestPath(lineitem, from=2, to={tgt},'
+        ' edge="l_orderkey=l_partkey", maxDepth=3)',
+    ).to_pandas()
+    assert df.path.tolist() == [f"2->{tgt}"]
+    # unreachable target -> empty typed result
+    df = stream_expr(
+        SF,
+        'shortestPath(lineitem, from=2, to=999999,'
+        ' edge="l_orderkey=l_partkey", maxDepth=2)',
+    ).to_pandas()
+    assert len(df) == 0
+    # eval() compiles the expression stored in the first tuple's expr_s
+    df = stream_expr(
+        SF, 'eval(tuple(expr_s="search(nation, q=\\"*:*\\", fl=\\"n_name\\")"))'
+    ).to_pandas()
+    assert len(df) == 25
+    # noop() is transparent; the reference-name aliases resolve
+    assert stream_expr(SF, 'noop(search(region, q="*:*", fl="r_name"))').count() == 5
+    assert (
+        stream_expr(
+            SF,
+            "features(documents, field=text, outcome=lang,"
+            " positiveLabel=en, numTerms=3)",
+        ).count()
+        == 3
+    )
