@@ -1335,3 +1335,737 @@ EVALS.update(
 EVALS["corr"] = _corr2
 EVALS["cov"] = _cov2
 EVALS["predict"] = _predict2
+
+
+# =============================================================================
+# Round-5 wave: closing the io/eval name gap against Lang.java's registry.
+# Each group cites its reference evaluator class.
+# =============================================================================
+
+
+def _str_or_list(x, fn):
+    if isinstance(x, str):
+        return fn(x)
+    if isinstance(x, (list, tuple, np.ndarray)) and len(x) and isinstance(x[0], str):
+        return [fn(s) for s in x]
+    raise MathExprError("string evaluator expects a string or string list")
+
+
+def _m_matches(x, pattern):
+    """MatchesEvaluator: regex search."""
+    import re as _re
+
+    rx = _re.compile(str(pattern))
+    return _str_or_list(x, lambda s: float(bool(rx.search(s))))
+
+
+def _m_index_of(v, x):
+    """IndexOfEvaluator: first index of x in the vector, -1 if absent."""
+    a = _vec(v, "indexOf")
+    hits = np.nonzero(a == float(x))[0]
+    return float(hits[0]) if len(hits) else -1.0
+
+
+def _m_repeat(x, n):
+    """RepeatEvaluator."""
+    return np.full(int(n), float(x))
+
+
+def _m_ltrim(v, n):
+    """LeftShiftEvaluator (registered as ltrim): drop n from the left."""
+    return _vec(v, "ltrim")[int(n):]
+
+
+def _m_rtrim(v, n):
+    """RightShiftEvaluator (registered as rtrim): drop n from the right."""
+    a = _vec(v, "rtrim")
+    k = int(n)
+    return a[:-k] if k > 0 else a
+
+
+def _m_add_all(*vs):
+    """AppendEvaluator (registered as addAll/append): concatenate vectors."""
+    return np.concatenate([_vec(v, "addAll") for v in vs])
+
+
+def _m_outliers(d, v, lo, hi):
+    """OutliersEvaluator: values of v whose CDF under the distribution is
+    below lo or above hi."""
+    if not _is_dist(d):
+        raise MathExprError("outliers(dist, vec, lowProb, highProb)")
+    a = _vec(v, "outliers")
+    cdf = np.array([_dist_cum(d, float(x)) for x in a])
+    return a[(cdf < float(lo)) | (cdf > float(hi))]
+
+
+def _m_top_features(m, k):
+    """TopFeaturesEvaluator: per row, the indices of the k largest values."""
+    X = _as_matrix(m, "topFeatures")
+    k = int(k)
+    idx = np.argsort(-X, axis=1, kind="stable")[:, :k]
+    return idx.astype(np.float64)
+
+
+def _m_feature_select(m, idx):
+    """FeatureSelectEvaluator: select matrix columns by index vector."""
+    X = _as_matrix(m, "featureSelect")
+    return X[:, _vec(idx, "featureSelect").astype(int)]
+
+
+def _m_set_value(model, key, val):
+    """SetValueEvaluator: copy of a map/model with one key replaced."""
+    if not isinstance(model, dict):
+        raise MathExprError("setValue(map, key, value) expects a map")
+    out = dict(model)
+    out[str(key)] = val
+    return out
+
+
+def _m_coalesce(*xs):
+    """CoalesceEvaluator: first non-null / non-NaN operand."""
+    for x in xs:
+        if x is None:
+            continue
+        if np.ndim(x) == 0 and isinstance(x, float) and math.isnan(x):
+            continue
+        return x
+    return None
+
+
+def _m_uuid(seed=None):
+    """UuidEvaluator. DIVERGENCE, stated: the reference generates a random
+    UUID; catalog determinism requires a seed, so uuid(seed) is UUIDv5 of
+    the seed text and the zero-arg form raises."""
+    import uuid as _uuid
+
+    if seed is None:
+        raise MathExprError("uuid() here requires a seed argument (determinism)")
+    return str(_uuid.uuid5(_uuid.NAMESPACE_URL, str(seed)))
+
+
+def _m_date_time(v, fmt):
+    """DateTimeEvaluator (TemporalEvaluator* family): format epoch-seconds
+    with a Java-pattern subset (yyyy MM dd HH mm ss DDD EEE)."""
+    from datetime import datetime, timezone
+
+    mapping = [
+        ("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"), ("HH", "%H"),
+        ("mm", "%M"), ("ss", "%S"), ("DDD", "%j"), ("EEE", "%a"),
+    ]
+    py = str(fmt)
+    for j, p in mapping:
+        py = py.replace(j, p)
+
+    def one(sec: float) -> str:
+        return datetime.fromtimestamp(float(sec), tz=timezone.utc).strftime(py)
+
+    a = np.atleast_1d(np.asarray(v, dtype=np.float64))
+    out = [one(s) for s in a]
+    return out[0] if np.ndim(v) == 0 else out
+
+
+def _m_gtest(obs, expected):
+    """GTestDataSetEvaluator: G-test of goodness of fit,
+    G = 2 * sum(O * ln(O/E)); p-value from the chi-square CDF (df = k-1)."""
+    o, e = _pair(obs, expected, "gtestDataSet")
+    if (o < 0).any() or (e <= 0).any():
+        raise MathExprError("gtestDataSet: counts must be >=0 with positive expected")
+    mask = o > 0
+    g = 2.0 * float(np.sum(o[mask] * np.log(o[mask] / e[mask])))
+    df = len(o) - 1
+    p = 1.0 - gammainc_p(df / 2.0, g / 2.0)
+    return {"G-statistic": g, "p-value": p}
+
+
+# -- distributions (BetaDistribution/GammaDistribution/GeometricDistribution/
+# -- LogNormalDistribution/WeibullDistribution in io/eval/) -------------------
+
+
+def _d_beta(alpha, beta):
+    return {"dist": "beta", "a": float(alpha), "b": float(beta)}
+
+
+def _d_gamma(shape, scale):
+    return {"dist": "gamma", "k": float(shape), "theta": float(scale)}
+
+
+def _d_geometric(p):
+    return {"dist": "geometric", "p": float(p)}
+
+
+def _d_lognormal(mu, sigma):
+    return {"dist": "lognormal", "mu": float(mu), "sigma": float(sigma)}
+
+
+def _d_weibull(shape, scale):
+    return {"dist": "weibull", "k": float(shape), "lam": float(scale)}
+
+
+def _lbeta(a, b):
+    return math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+
+
+def _ext_density(d, x):
+    x = float(x)
+    kind = d["dist"] if _is_dist(d) else None
+    if kind == "beta":
+        a, b = d["a"], d["b"]
+        if not 0.0 < x < 1.0:
+            return 0.0
+        return math.exp((a - 1) * math.log(x) + (b - 1) * math.log1p(-x) - _lbeta(a, b))
+    if kind == "gamma":
+        k, th = d["k"], d["theta"]
+        if x <= 0:
+            return 0.0
+        return math.exp((k - 1) * math.log(x) - x / th - math.lgamma(k) - k * math.log(th))
+    if kind == "lognormal":
+        mu, sg = d["mu"], d["sigma"]
+        if x <= 0:
+            return 0.0
+        z = (math.log(x) - mu) / sg
+        return math.exp(-0.5 * z * z) / (x * sg * math.sqrt(2 * math.pi))
+    if kind == "weibull":
+        k, lam = d["k"], d["lam"]
+        if x < 0:
+            return 0.0
+        return (k / lam) * (x / lam) ** (k - 1) * math.exp(-((x / lam) ** k))
+    return None
+
+
+def _ext_cum(d, x):
+    x = float(x)
+    kind = d["dist"] if _is_dist(d) else None
+    if kind == "beta":
+        if x <= 0:
+            return 0.0
+        if x >= 1:
+            return 1.0
+        return betainc(d["a"], d["b"], x)
+    if kind == "gamma":
+        return gammainc_p(d["k"], x / d["theta"]) if x > 0 else 0.0
+    if kind == "geometric":
+        k = math.floor(x)
+        return 1.0 - (1.0 - d["p"]) ** (k + 1) if k >= 0 else 0.0
+    if kind == "lognormal":
+        return norm_cdf(math.log(x), d["mu"], d["sigma"]) if x > 0 else 0.0
+    if kind == "weibull":
+        return 1.0 - math.exp(-((x / d["lam"]) ** d["k"])) if x > 0 else 0.0
+    return None
+
+
+def _ext_probability(d, x, x2=None):
+    if _is_dist(d) and d["dist"] == "geometric":
+        k = float(x)
+        if k < 0 or not k.is_integer():
+            return 0.0
+        return d["p"] * (1.0 - d["p"]) ** int(k)
+    return None
+
+
+def _ext_sample(d, rng, n):
+    kind = d["dist"] if _is_dist(d) else None
+    if kind == "beta":
+        return rng.beta(d["a"], d["b"], n)
+    if kind == "gamma":
+        return rng.gamma(d["k"], d["theta"], n)
+    if kind == "geometric":
+        return (rng.geometric(d["p"], n) - 1).astype(np.float64)  # failures before success
+    if kind == "lognormal":
+        return rng.lognormal(d["mu"], d["sigma"], n)
+    if kind == "weibull":
+        return d["lam"] * rng.weibull(d["k"], n)
+    if kind == "markov":
+        P = d["P"]
+        state = int(d["start"])
+        out = np.empty(n)
+        for i in range(n):
+            state = int(rng.choice(len(P), p=P[state]))
+            out[i] = state
+        return out
+    return None
+
+
+def _d_markov(m, start=0):
+    """MarkovChainEvaluator: transition-matrix model; sample(mc, n) walks
+    the chain (seeded — stated divergence, as with every sample())."""
+    P = _as_matrix(m, "markovChain")
+    if P.shape[0] != P.shape[1] or not np.allclose(P.sum(axis=1), 1.0, atol=1e-9):
+        raise MathExprError("markovChain expects a square row-stochastic matrix")
+    return {"dist": "markov", "P": P, "start": int(start)}
+
+
+# chain the extended families into the shared density/cum/probability/sample
+_base_density, _base_cum, _base_prob, _base_sample = (
+    EVALS["density"], EVALS["cumulativeProbability"], EVALS["probability"], EVALS["sample"],
+)
+
+
+def _density_all(d, x):
+    r = _ext_density(d, x)
+    return r if r is not None else _base_density(d, x)
+
+
+def _cum_all(d, x):
+    r = _ext_cum(d, x)
+    return r if r is not None else _base_cum(d, x)
+
+
+def _prob_all(d, x, x2=None):
+    r = _ext_probability(d, x, x2)
+    if r is not None:
+        return r
+    if _is_dist(d) and d["dist"] in ("beta", "gamma", "lognormal", "weibull"):
+        if x2 is None:
+            raise MathExprError("probability(continuousDist, lo, hi) needs two bounds")
+        return _cum_all(d, x2) - _cum_all(d, x)
+    return _base_prob(d, x) if x2 is None else _base_prob(d, x, x2)
+
+
+def _sample_all(d, n=1):
+    if _is_dist(d) and d["dist"] in ("beta", "gamma", "geometric", "lognormal", "weibull", "markov"):
+        rng = np.random.default_rng(_SAMPLE_SEED)
+        out = _ext_sample(d, rng, int(n))
+        return float(out[0]) if int(n) == 1 else out
+    return _base_sample(d, n)
+
+
+# -- fitting / smoothing (Loess/GaussFit/HarmonicFit/Akima in io/eval/) -------
+
+
+def _m_loess(x, y=None, bandwidth=0.25):
+    """LoessEvaluator: tricube-weighted local linear regression; returns the
+    smoothed values at the input xs (what the reference emits)."""
+    if y is None:
+        yv = _vec(x, "loess")
+        xv = np.arange(len(yv), dtype=np.float64)
+    else:
+        xv, yv = _pair(x, y, "loess")
+    n = len(xv)
+    span = max(2, int(math.ceil(float(bandwidth) * n)))
+    out = np.empty(n)
+    for i in range(n):
+        d = np.abs(xv - xv[i])
+        idx = np.argsort(d, kind="stable")[:span]
+        dmax = d[idx].max() or 1.0
+        w = (1 - (d[idx] / dmax) ** 3) ** 3
+        xw, yw = xv[idx], yv[idx]
+        sw, sx = w.sum(), (w * xw).sum()
+        sxx, sxy, sy = (w * xw * xw).sum(), (w * xw * yw).sum(), (w * yw).sum()
+        den = sw * sxx - sx * sx
+        if abs(den) < 1e-12:
+            out[i] = sy / sw
+        else:
+            b = (sw * sxy - sx * sy) / den
+            a = (sy - b * sx) / sw
+            out[i] = a + b * xv[i]
+    return out
+
+
+def _m_gaussfit(x, y=None):
+    """GaussFitEvaluator: fit a*exp(-(x-mu)^2/(2 s^2)) by the log-quadratic
+    trick (weighted by y to favor the peak); returns the fitted curve."""
+    if y is None:
+        yv = _vec(x, "gaussfit")
+        xv = np.arange(len(yv), dtype=np.float64)
+    else:
+        xv, yv = _pair(x, y, "gaussfit")
+    m = yv > 0
+    if m.sum() < 3:
+        raise MathExprError("gaussfit needs >= 3 positive points")
+    w = yv[m]
+    c2, c1, c0 = np.polyfit(xv[m], np.log(yv[m]), 2, w=w)
+    if c2 >= 0:
+        raise MathExprError("gaussfit: data is not peak-shaped")
+    mu = -c1 / (2 * c2)
+    s2 = -1.0 / (2 * c2)
+    amp = math.exp(c0 - c1 * c1 / (4 * c2))
+    return amp * np.exp(-((xv - mu) ** 2) / (2 * s2))
+
+
+def _m_harmfit(x, y=None):
+    """HarmonicFitEvaluator (harmfit): fit a + b sin(wt) + c cos(wt) with w
+    from the dominant FFT bin, linear least squares for the rest; returns
+    the fitted curve."""
+    if y is None:
+        yv = _vec(x, "harmfit")
+        xv = np.arange(len(yv), dtype=np.float64)
+    else:
+        xv, yv = _pair(x, y, "harmfit")
+    n = len(yv)
+    if n < 4:
+        raise MathExprError("harmfit needs >= 4 points")
+    spec = np.fft.rfft(yv - yv.mean())
+    k = int(np.argmax(np.abs(spec[1:])) + 1)
+
+    def fit(w):
+        A = np.column_stack([np.ones(n), np.sin(w * xv), np.cos(w * xv)])
+        coef, *_ = np.linalg.lstsq(A, yv, rcond=None)
+        r = A @ coef
+        return float(((yv - r) ** 2).sum()), r
+
+    # the FFT pins the frequency to a bin; refine with a least-squares
+    # scan one bin wide on each side (deterministic grid)
+    best = (np.inf, yv)
+    for w in np.linspace(2 * math.pi * max(k - 1, 0.25) / n, 2 * math.pi * (k + 1) / n, 401):
+        sse, r = fit(w)
+        if sse < best[0]:
+            best = (sse, r)
+    return best[1]
+
+
+def _m_akima(x, y):
+    """AkimaEvaluator: Akima (1970) spline model; predict() evaluates it."""
+    xv, yv = _pair(x, y, "akima")
+    n = len(xv)
+    if n < 5:
+        raise MathExprError("akima needs >= 5 points")
+    order = np.argsort(xv, kind="stable")
+    xv, yv = xv[order], yv[order]
+    m = np.diff(yv) / np.diff(xv)
+    me = np.concatenate([[2 * m[0] - m[1], 2 * (2 * m[0] - m[1]) - m[0]][::-1], m,
+                         [2 * m[-1] - m[-2], 2 * (2 * m[-1] - m[-2]) - m[-1]]])
+    t = np.empty(n)
+    for i in range(n):
+        w1 = abs(me[i + 3] - me[i + 2])
+        w2 = abs(me[i + 1] - me[i])
+        t[i] = (
+            (w1 * me[i + 1] + w2 * me[i + 2]) / (w1 + w2)
+            if (w1 + w2) > 1e-12
+            else 0.5 * (me[i + 1] + me[i + 2])
+        )
+    return {"type": "akima", "x": xv, "y": yv, "t": t}
+
+
+def _akima_eval(model, xq):
+    x, y, t = model["x"], model["y"], model["t"]
+    q = np.atleast_1d(np.asarray(xq, dtype=np.float64))
+    i = np.clip(np.searchsorted(x, q, side="right") - 1, 0, len(x) - 2)
+    h = x[i + 1] - x[i]
+    s = (q - x[i]) / h
+    m = (y[i + 1] - y[i]) / h
+    p0, p1 = y[i], y[i + 1]
+    out = (
+        p0 * (1 + 2 * s) * (1 - s) ** 2
+        + p1 * (3 - 2 * s) * s**2
+        + t[i] * h * s * (1 - s) ** 2
+        - t[i + 1] * h * (1 - s) * s**2
+    )
+    return float(out[0]) if np.ndim(xq) == 0 else out
+
+
+_base_predict = EVALS["predict"]
+
+
+def _predict_all(model, x):
+    if isinstance(model, dict) and model.get("type") == "akima":
+        return _akima_eval(model, x)
+    return _base_predict(model, x)
+
+
+# -- clustering (Dbscan/FuzzyKmeans/MultiKmeans/GetCluster/
+# -- GetMembershipMatrix in io/eval/) -----------------------------------------
+
+
+def _m_dbscan(m, eps, min_pts):
+    """DbscanEvaluator: brute-force DBSCAN; labels -1 = noise."""
+    X = _as_matrix(m, "dbscan")
+    n = len(X)
+    D = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
+    nbrs = [np.nonzero(D[i] <= float(eps))[0] for i in range(n)]
+    labels = np.full(n, -1)
+    cid = 0
+    for i in range(n):
+        if labels[i] != -1 or len(nbrs[i]) < int(min_pts):
+            continue
+        labels[i] = cid
+        stack = list(nbrs[i])
+        while stack:
+            j = stack.pop()
+            if labels[j] == -1:
+                labels[j] = cid
+                if len(nbrs[j]) >= int(min_pts):
+                    stack.extend(int(q) for q in nbrs[j] if labels[q] == -1)
+        cid += 1
+    return {"type": "kmeans", "centroids": None, "labels": labels.astype(np.float64)}
+
+
+def _m_fuzzy_kmeans(m, k, fuzziness=2.0, max_iter=25):
+    """FuzzyKmeansEvaluator: deterministic-init fuzzy c-means; the model
+    carries the membership matrix for getMembershipMatrix()."""
+    X = _as_matrix(m, "fuzzyKmeans")
+    n, k = len(X), int(k)
+    f = float(fuzziness)
+    rng = np.random.default_rng(_SAMPLE_SEED)
+    U = rng.random((n, k))
+    U /= U.sum(axis=1, keepdims=True)
+    C = np.zeros((k, X.shape[1]))
+    for _ in range(int(max_iter)):
+        W = U**f
+        C = (W.T @ X) / W.sum(axis=0)[:, None]
+        D = np.linalg.norm(X[:, None, :] - C[None, :, :], axis=2) + 1e-12
+        inv = D ** (-2.0 / (f - 1))
+        U = inv / inv.sum(axis=1, keepdims=True)
+    labels = U.argmax(axis=1)
+    return {
+        "type": "kmeans",
+        "centroids": C,
+        "labels": labels.astype(np.float64),
+        "membership": U,
+    }
+
+
+def _m_multi_kmeans(m, k, trials=5):
+    """MultiKmeansEvaluator: kmeans restarts, keep the lowest-inertia run."""
+    X = _as_matrix(m, "multiKmeans")
+    best, best_inertia = None, np.inf
+    for t in range(int(trials)):
+        rng = np.random.default_rng(_SAMPLE_SEED + t)
+        idx = rng.choice(len(X), size=int(k), replace=False)
+        C = X[idx].copy()
+        for _ in range(25):
+            D = np.linalg.norm(X[:, None, :] - C[None, :, :], axis=2)
+            lab = D.argmin(axis=1)
+            for j in range(int(k)):
+                if (lab == j).any():
+                    C[j] = X[lab == j].mean(axis=0)
+        inertia = float(((X - C[lab]) ** 2).sum())
+        if inertia < best_inertia:
+            best_inertia = inertia
+            best = {"type": "kmeans", "centroids": C, "labels": lab.astype(np.float64)}
+    return best
+
+
+def _m_get_cluster(model, i):
+    """GetClusterEvaluator: the member indices of cluster i."""
+    if not (isinstance(model, dict) and "labels" in model):
+        raise MathExprError("getCluster() expects a clustering model")
+    return np.nonzero(np.asarray(model["labels"]) == float(i))[0].astype(np.float64)
+
+
+def _m_get_membership(model):
+    if not (isinstance(model, dict) and "membership" in model):
+        raise MathExprError("getMembershipMatrix() expects a fuzzyKmeans model")
+    return model["membership"]
+
+
+# -- computational geometry (ConvexHull/EnclosingDisk + accessors) ------------
+
+
+def _m_convex_hull(m):
+    """ConvexHullEvaluator: Andrew monotone chain over 2-D points."""
+    X = _as_matrix(m, "convexHull")
+    if X.shape[1] != 2:
+        raise MathExprError("convexHull expects an n x 2 matrix")
+    pts = sorted(map(tuple, X))
+    if len(pts) < 3:
+        raise MathExprError("convexHull needs >= 3 points")
+
+    def half(points):
+        out: list = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(pts[::-1])
+    verts = np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+    return {"type": "hull", "vertices": verts}
+
+
+def _hull_only(model, name):
+    if not (isinstance(model, dict) and model.get("type") == "hull"):
+        raise MathExprError(f"{name}() expects a convexHull() model")
+    return model["vertices"]
+
+
+def _m_get_vertices(model):
+    if isinstance(model, dict) and model.get("type") == "disk":
+        return model["support"]
+    return _hull_only(model, "getVertices")
+
+
+def _m_get_area(model):
+    v = _hull_only(model, "getArea")
+    x, y = v[:, 0], v[:, 1]
+    return float(0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def _m_get_boundary_size(model):
+    v = _hull_only(model, "getBoundarySize")
+    d = np.diff(np.vstack([v, v[:1]]), axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def _m_get_bary_center(model):
+    v = _hull_only(model, "getBaryCenter")
+    return v.mean(axis=0)
+
+
+def _m_enclosing_disk(m):
+    """EnclosingDiskEvaluator: Welzl's minimal enclosing circle (iterative,
+    deterministic order)."""
+    X = _as_matrix(m, "enclosingDisk")
+    if X.shape[1] != 2:
+        raise MathExprError("enclosingDisk expects an n x 2 matrix")
+
+    def circle2(a, b):
+        c = (a + b) / 2
+        return c, float(np.linalg.norm(a - c))
+
+    def circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-12:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay) + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx) + (cx**2 + cy**2) * (bx - ax)) / d
+        ctr = np.array([ux, uy])
+        return ctr, float(np.linalg.norm(a - ctr))
+
+    def inside(circ, p):
+        return circ is not None and np.linalg.norm(p - circ[0]) <= circ[1] + 1e-9
+
+    pts = [np.asarray(p, dtype=np.float64) for p in X]
+    circ = None
+    support: list = []
+    for i, p in enumerate(pts):
+        if inside(circ, p):
+            continue
+        circ = (p, 0.0)
+        support = [p]
+        for j in range(i):
+            q = pts[j]
+            if inside(circ, q):
+                continue
+            circ = circle2(p, q)
+            support = [p, q]
+            for l in range(j):
+                r = pts[l]
+                if inside(circ, r):
+                    continue
+                circ = circle3(p, q, r) or circle2(
+                    *max(((p, q), (p, r), (q, r)), key=lambda ab: np.linalg.norm(ab[0] - ab[1]))
+                )
+                support = [p, q, r]
+    return {
+        "type": "disk",
+        "center": circ[0],
+        "radius": circ[1],
+        "support": np.array(support, dtype=np.float64),
+    }
+
+
+def _disk_only(model, name):
+    if not (isinstance(model, dict) and model.get("type") == "disk"):
+        raise MathExprError(f"{name}() expects an enclosingDisk() model")
+    return model
+
+
+def _m_corr_pvalues(m):
+    """CorrelationSignificanceEvaluator (corrPValues): two-sided p-values
+    of a correlation matrix computed by corr(matrix) — t = r sqrt((n-2)/(1-r^2))
+    against Student t with n-2 df. corr(matrix) output carries no n, so
+    the observation count is the second argument: corrPValues(corrM, n)."""
+    raise MathExprError("use corrPValues(corrMatrix, n)")
+
+
+def _m_corr_pvalues2(m, n):
+    R = _as_matrix(m, "corrPValues")
+    n = int(n)
+    if n <= 2:
+        raise MathExprError("corrPValues needs n > 2")
+    out = np.zeros_like(R)
+    for i in range(R.shape[0]):
+        for j in range(R.shape[1]):
+            r = min(max(R[i, j], -1.0), 1.0)
+            if i == j or abs(r) >= 1.0:
+                out[i, j] = 0.0
+                continue
+            t = abs(r) * math.sqrt((n - 2) / (1.0 - r * r))
+            out[i, j] = 2.0 * (1.0 - t_cdf(t, n - 2))
+    return out
+
+
+EVALS.update(
+    {
+        # comparisons / logic (Lang.java registers gteq/lteq)
+        "gteq": EVALS["gte"],
+        "lteq": EVALS["lte"],
+        # stats / vectors
+        "var": lambda v: float(np.var(_vec(v, "var"), ddof=1)),
+        "trunc": lambda x: np.trunc(np.asarray(x, dtype=np.float64)) if np.ndim(x) else float(np.trunc(x)),
+        "indexOf": _m_index_of,
+        "repeat": _m_repeat,
+        "ltrim": _m_ltrim,
+        "rtrim": _m_rtrim,
+        "addAll": _m_add_all,
+        "append": _m_add_all,
+        "euclidean": EVALS["euclideanDistance"],
+        "kolmogorovSmirnov": EVALS["ks"],
+        "integral": EVALS["integrate"],
+        "colAt": EVALS["columnAt"],
+        "outliers": _m_outliers,
+        "topFeatures": _m_top_features,
+        "featureSelect": _m_feature_select,
+        "setValue": _m_set_value,
+        "coalesce": _m_coalesce,
+        "uuid": _m_uuid,
+        "gtestDataSet": _m_gtest,
+        "corrPValues": _m_corr_pvalues2,
+        # strings (Upper/Lower/Trim/Split/Concat/Matches in io/eval/)
+        "upper": lambda x: _str_or_list(x, str.upper),
+        "lower": lambda x: _str_or_list(x, str.lower),
+        "trim": lambda x: _str_or_list(x, str.strip),
+        "split": lambda x, sep: str(x).split(str(sep)),
+        "concat": lambda *xs: "".join(str(x) for x in xs),
+        "matches": _m_matches,
+        # casts (Double/Long/Conversion in io/eval/)
+        "double": lambda x: np.asarray(x, dtype=np.float64) if np.ndim(x) else float(x),
+        "long": lambda x: np.asarray(x, dtype=np.float64).astype(np.int64).astype(np.float64)
+        if np.ndim(x)
+        else float(int(x)),
+        "isNull": lambda x: float(x is None or (np.ndim(x) == 0 and isinstance(x, float) and math.isnan(x))),
+        "notNull": lambda x: float(not (x is None or (np.ndim(x) == 0 and isinstance(x, float) and math.isnan(x)))),
+        "dateTime": _m_date_time,
+        # distributions
+        "betaDistribution": _d_beta,
+        "gammaDistribution": _d_gamma,
+        "geometricDistribution": _d_geometric,
+        "logNormalDistribution": _d_lognormal,
+        "weibullDistribution": _d_weibull,
+        "markovChain": _d_markov,
+        "density": _density_all,
+        "cumulativeProbability": _cum_all,
+        "probability": _prob_all,
+        "sample": _sample_all,
+        # fitting / smoothing
+        "loess": _m_loess,
+        "gaussfit": _m_gaussfit,
+        "harmfit": _m_harmfit,
+        "harmonicFit": _m_harmfit,
+        "akima": _m_akima,
+        "predict": _predict_all,
+        # clustering
+        "dbscan": _m_dbscan,
+        "fuzzyKmeans": _m_fuzzy_kmeans,
+        "multiKmeans": _m_multi_kmeans,
+        "getCluster": _m_get_cluster,
+        "getMembershipMatrix": _m_get_membership,
+        # computational geometry
+        "convexHull": _m_convex_hull,
+        "getVertices": _m_get_vertices,
+        "getArea": _m_get_area,
+        "getBoundarySize": _m_get_boundary_size,
+        "getBaryCenter": _m_get_bary_center,
+        "enclosingDisk": _m_enclosing_disk,
+        "getCenter": lambda m: _disk_only(m, "getCenter")["center"],
+        "getRadius": lambda m: _disk_only(m, "getRadius")["radius"],
+        "getSupportPoints": lambda m: _disk_only(m, "getSupportPoints")["support"],
+    }
+)

@@ -850,3 +850,14 @@ _expr(
     ORDER BY path
     """,
 )
+
+_expr(
+    "stream_let_var_expr",
+    """let(a=col(search(events, q="event_type:view", fl="value"), "value"),
+           tuple(v=precision(var(a), 6), sd=precision(stddev(a), 6)))""",
+    """
+    SELECT floor(var_samp(value) * 1000000 + 0.5) / 1000000 AS v,
+           floor(stddev_samp(value) * 1000000 + 0.5) / 1000000 AS sd
+    FROM events WHERE event_type = 'view'
+    """,
+)

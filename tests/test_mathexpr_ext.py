@@ -418,3 +418,107 @@ def test_result_to_table_matrix_and_model_guard():
 def test_precision_on_nested():
     out = mx.EVALS["precision"]({"a": 1.23456, "b": 2.0}, 2)
     assert out == {"a": 1.23, "b": 2.0}
+
+
+# --- round-5 wave: the Lang.java name-gap tranche ---------------------------
+
+
+def test_string_cast_and_vector_utilities():
+    E = mx.EVALS
+    assert E["upper"]("abc") == "ABC" and E["lower"]("ABC") == "abc"
+    assert E["trim"]("  x ") == "x"
+    assert E["split"]("a,b,c", ",") == ["a", "b", "c"]
+    assert E["concat"]("a", 1, "b") == "a1b"
+    assert E["matches"]("hello", "l+o") == 1.0
+    assert E["matches"]("hello", "^z") == 0.0
+    assert E["indexOf"]([5, 7, 9], 9) == 2.0
+    assert E["indexOf"]([5, 7, 9], 4) == -1.0
+    assert list(E["ltrim"]([1, 2, 3, 4], 2)) == [3.0, 4.0]
+    assert list(E["rtrim"]([1, 2, 3, 4], 1)) == [1.0, 2.0, 3.0]
+    assert list(E["repeat"](7, 3)) == [7.0, 7.0, 7.0]
+    assert list(E["addAll"]([1, 2], [3], [4])) == [1.0, 2.0, 3.0, 4.0]
+    assert E["var"]([1, 2, 3, 4]) == pytest.approx(5.0 / 3.0)
+    assert E["trunc"](-2.7) == -2.0
+    assert E["long"](3.9) == 3.0
+    assert E["coalesce"](None, float("nan"), 5.0) == 5.0
+    assert E["isNull"](None) == 1.0 and E["notNull"](3.0) == 1.0
+    assert E["uuid"]("seed") == E["uuid"]("seed")
+    assert E["dateTime"](0, "yyyy-MM-dd") == "1970-01-01"
+    assert E["gteq"](3, 3) == 1.0 and E["lteq"](4, 3) == 0.0
+
+
+def test_new_distributions_reference_values():
+    E = mx.EVALS
+    # values cross-checked against scipy.stats closed forms
+    assert E["cumulativeProbability"](E["betaDistribution"](2, 5), 0.3) == pytest.approx(0.579825, abs=1e-6)
+    assert E["cumulativeProbability"](E["gammaDistribution"](2.0, 3.0), 6.0) == pytest.approx(
+        1 - np.exp(-2) * 3, abs=1e-9
+    )
+    assert E["cumulativeProbability"](E["weibullDistribution"](1.5, 1.0), 1.0) == pytest.approx(
+        1 - np.exp(-1), abs=1e-9
+    )
+    assert E["probability"](E["geometricDistribution"](0.3), 2) == pytest.approx(0.3 * 0.49)
+    ln = E["logNormalDistribution"](0.0, 1.0)
+    assert E["cumulativeProbability"](ln, 1.0) == pytest.approx(0.5, abs=1e-9)
+    # density integrates to ~cdf increments
+    d = E["betaDistribution"](2, 2)
+    xs = np.linspace(0.01, 0.99, 99)
+    riemann = np.sum([E["density"](d, x) for x in xs]) * (xs[1] - xs[0])
+    assert riemann == pytest.approx(E["cumulativeProbability"](d, 0.99) - E["cumulativeProbability"](d, 0.01), abs=1e-3)
+    # seeded sampling is deterministic and the base dists still work
+    assert list(E["sample"](E["gammaDistribution"](2, 3), 3)) == list(E["sample"](E["gammaDistribution"](2, 3), 3))
+    assert E["cumulativeProbability"](E["normalDistribution"](0, 1), 1.0) == pytest.approx(0.841345, abs=1e-6)
+
+
+def test_fitting_and_interpolation():
+    E = mx.EVALS
+    x = np.arange(20.0)
+    y = 3 * np.exp(-((x - 8.0) ** 2) / 10)
+    fit = E["gaussfit"](x, y)
+    assert np.allclose(fit, y, atol=1e-8)  # exact gaussian recovered
+    a = E["akima"](np.arange(10.0), np.arange(10.0) ** 2)
+    assert E["predict"](a, 4.5) == pytest.approx(20.25, abs=0.05)
+    t = np.arange(40.0)
+    wave = 2.0 + 1.5 * np.sin(0.6 * t + 0.4)
+    assert np.allclose(E["harmfit"](t, wave), wave, atol=0.15)
+    sm = E["loess"](np.r_[1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    assert np.allclose(sm, np.arange(1.0, 11.0), atol=0.2)  # linear data unchanged
+
+
+def test_clustering_and_geometry():
+    E = mx.EVALS
+    rng = np.random.default_rng(7)
+    X = np.vstack([rng.normal(0, 0.1, (6, 2)), rng.normal(5, 0.1, (6, 2))])
+    db = E["dbscan"](X, 1.0, 3)
+    labs = np.asarray(db["labels"])
+    assert len(set(labs[:6])) == 1 and len(set(labs[6:])) == 1 and labs[0] != labs[6]
+    assert list(E["getCluster"](db, labs[0])) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    fk = E["fuzzyKmeans"](X, 2)
+    U = E["getMembershipMatrix"](fk)
+    assert U.shape == (12, 2) and np.allclose(U.sum(axis=1), 1.0)
+    mk = E["multiKmeans"](X, 2, 3)
+    assert len(set(mk["labels"])) == 2
+    hull = E["convexHull"]([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1]])
+    assert E["getArea"](hull) == pytest.approx(4.0)
+    assert E["getBoundarySize"](hull) == pytest.approx(8.0)
+    assert np.allclose(E["getBaryCenter"](hull), [1.0, 1.0])
+    disk = E["enclosingDisk"]([[0, 0], [2, 0], [1, 3], [1, 1]])
+    assert E["getRadius"](disk) == pytest.approx(5.0 / 3.0, abs=1e-6)
+    assert np.allclose(E["getCenter"](disk), [1.0, 4.0 / 3.0], atol=1e-6)
+
+
+def test_gtest_corrpvalues_outliers_markov():
+    E = mx.EVALS
+    g = E["gtestDataSet"]([10, 20, 30], [15, 20, 25])
+    assert g["G-statistic"] == pytest.approx(2.8300, abs=1e-3)
+    assert 0.0 < g["p-value"] < 1.0
+    p = E["corrPValues"]([[1.0, 0.5], [0.5, 1.0]], 20)
+    assert p[0][1] == pytest.approx(0.0249, abs=2e-3)  # classic table value
+    d = E["normalDistribution"](0, 1)
+    out = E["outliers"](d, [-5.0, 0.0, 0.1, 6.0], 0.01, 0.99)
+    assert list(out) == [-5.0, 6.0]
+    mc = E["markovChain"]([[0.9, 0.1], [0.2, 0.8]])
+    s = E["sample"](mc, 10)
+    assert set(np.asarray(s)) <= {0.0, 1.0}
+    with pytest.raises(mx.MathExprError):
+        E["markovChain"]([[0.5, 0.4], [0.2, 0.8]])  # not row-stochastic
