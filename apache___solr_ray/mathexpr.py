@@ -2069,3 +2069,181 @@ EVALS.update(
         "getSupportPoints": lambda m: _disk_only(m, "getSupportPoints")["support"],
     }
 )
+
+
+# -- second tranche: labeled matrices, signal accessors, misc (io/eval/) ------
+
+
+class _ParamArray(np.ndarray):
+    """ndarray subclass carrying evaluator metadata (oscillate params,
+    matrix row/column labels) — the reference's VectorFunction / labeled
+    Matrix objects flattened onto numpy."""
+
+    def __new__(cls, arr, **meta):
+        obj = np.asarray(arr, dtype=np.float64).view(cls)
+        obj.meta = dict(meta)
+        return obj
+
+    def __array_finalize__(self, obj):
+        if obj is not None:
+            self.meta = dict(getattr(obj, "meta", {}))
+
+
+def _osc2(amp, omega, phase, n=128):
+    """OscillateEvaluator: sampled sine wave carrying its parameters for
+    getAmplitude()/getAngularFrequency()/getPhase()."""
+    t = np.arange(int(n), dtype=np.float64)
+    wave = float(amp) * np.sin(float(omega) * t + float(phase))
+    return _ParamArray(wave, amplitude=float(amp), angularFrequency=float(omega), phase=float(phase))
+
+
+def _osc_meta(x, key):
+    meta = getattr(x, "meta", None)
+    if not meta or key not in meta:
+        raise MathExprError(f"get{key[0].upper()+key[1:]}() expects an oscillate() wave")
+    return meta[key]
+
+
+def _m_set_col_labels(m, labels):
+    out = _ParamArray(_as_matrix(m, "setColumnLabels"), **getattr(m, "meta", {}))
+    out.meta["colLabels"] = [str(x) for x in labels]
+    return out
+
+
+def _m_set_row_labels(m, labels):
+    out = _ParamArray(_as_matrix(m, "setRowLabels"), **getattr(m, "meta", {}))
+    out.meta["rowLabels"] = [str(x) for x in labels]
+    return out
+
+
+def _m_get_labels(m, key):
+    meta = getattr(m, "meta", None)
+    if not meta or key not in meta:
+        raise MathExprError("matrix has no labels — set them with setColumnLabels()/setRowLabels()")
+    return meta[key]
+
+
+def _m_get_attribute(x, key):
+    meta = getattr(x, "meta", None) or (x if isinstance(x, dict) else None)
+    if not meta or str(key) not in meta:
+        raise MathExprError(f"getAttribute: no attribute {key!r}")
+    return meta[str(key)]
+
+
+def _m_get_attributes(x):
+    meta = getattr(x, "meta", None) or (x if isinstance(x, dict) else None)
+    if meta is None:
+        raise MathExprError("getAttributes expects an attributed object")
+    return {k: v for k, v in meta.items()}
+
+
+def _m_knn2(m, q, k):
+    """KnnEvaluator: the k rows of the matrix nearest (euclidean) to the
+    query vector, nearest first."""
+    X = _as_matrix(m, "knn")
+    qv = _vec(q, "knn")
+    d = np.linalg.norm(X - qv[None, :], axis=1)
+    idx = np.argsort(d, kind="stable")[: int(k)]
+    return X[idx]
+
+
+_CONV_METERS = {
+    "inches": 0.0254, "feet": 0.3048, "yards": 0.9144, "miles": 1609.344,
+    "millimeters": 0.001, "centimeters": 0.01, "meters": 1.0, "kilometers": 1000.0,
+}
+
+
+def _m_convert(frm, to, value):
+    """ConversionEvaluator: length-unit conversion."""
+    f, t = str(frm), str(to)
+    if f not in _CONV_METERS or t not in _CONV_METERS:
+        raise MathExprError(f"convert: units must be one of {sorted(_CONV_METERS)}")
+    return float(value) * _CONV_METERS[f] / _CONV_METERS[t]
+
+
+def _m_project_to_border(model, m):
+    """ProjectToBorderEvaluator: project 2-D points radially onto the
+    enclosingDisk() border."""
+    d = _disk_only(model, "projectToBorder")
+    P = _as_matrix(m, "projectToBorder")
+    c, r = np.asarray(d["center"]), float(d["radius"])
+    out = np.empty_like(P)
+    for i, p in enumerate(P):
+        v = p - c
+        nrm = np.linalg.norm(v)
+        out[i] = c + (v / nrm) * r if nrm > 1e-12 else c + np.array([r, 0.0])
+    return out
+
+
+def _m_bicubic(xg, yg, grid):
+    """BicubicSplineEvaluator: Catmull-Rom bicubic over a regular grid;
+    predict(model, x, y) interpolates."""
+    x = _vec(xg, "bicubicSpline")
+    y = _vec(yg, "bicubicSpline")
+    Z = _as_matrix(grid, "bicubicSpline")
+    if Z.shape != (len(x), len(y)):
+        raise MathExprError("bicubicSpline: grid must be len(x) x len(y)")
+    if len(x) < 4 or len(y) < 4:
+        raise MathExprError("bicubicSpline needs a 4x4+ grid")
+    return {"type": "bicubic", "x": np.sort(x), "y": np.sort(y), "z": Z}
+
+
+def _catmull_1d(p, t):
+    return (
+        0.5
+        * (
+            (2 * p[1])
+            + (-p[0] + p[2]) * t
+            + (2 * p[0] - 5 * p[1] + 4 * p[2] - p[3]) * t * t
+            + (-p[0] + 3 * p[1] - 3 * p[2] + p[3]) * t**3
+        )
+    )
+
+
+def _bicubic_eval(model, xq, yq):
+    x, y, Z = model["x"], model["y"], model["z"]
+
+    def axis_cell(grid, v):
+        i = int(np.clip(np.searchsorted(grid, v, side="right") - 1, 0, len(grid) - 2))
+        t = (v - grid[i]) / (grid[i + 1] - grid[i])
+        idx = np.clip([i - 1, i, i + 1, i + 2], 0, len(grid) - 1)
+        return idx, t
+
+    xi, tx = axis_cell(x, float(xq))
+    yi, ty = axis_cell(y, float(yq))
+    cols = np.array([_catmull_1d(Z[xi, j], tx) for j in yi])
+    return float(_catmull_1d(cols, ty))
+
+
+_base_predict2 = EVALS["predict"]
+
+
+def _predict_any(model, *xs):
+    if isinstance(model, dict) and model.get("type") == "bicubic":
+        if len(xs) != 2:
+            raise MathExprError("predict(bicubicModel, x, y) expects two coordinates")
+        return _bicubic_eval(model, xs[0], xs[1])
+    if len(xs) != 1:
+        raise MathExprError("predict(model, x) expects one operand")
+    return _base_predict2(model, xs[0])
+
+
+EVALS.update(
+    {
+        "oscillate": _osc2,
+        "getAmplitude": lambda x: _osc_meta(x, "amplitude"),
+        "getAngularFrequency": lambda x: _osc_meta(x, "angularFrequency"),
+        "getPhase": lambda x: _osc_meta(x, "phase"),
+        "setColumnLabels": _m_set_col_labels,
+        "setRowLabels": _m_set_row_labels,
+        "getColumnLabels": lambda m: _m_get_labels(m, "colLabels"),
+        "getRowLabels": lambda m: _m_get_labels(m, "rowLabels"),
+        "getAttribute": _m_get_attribute,
+        "getAttributes": _m_get_attributes,
+        "knn": _m_knn2,
+        "convert": _m_convert,
+        "projectToBorder": _m_project_to_border,
+        "bicubicSpline": _m_bicubic,
+        "predict": _predict_any,
+    }
+)

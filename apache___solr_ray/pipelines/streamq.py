@@ -861,3 +861,31 @@ _expr(
     FROM events WHERE event_type = 'view'
     """,
 )
+
+_expr(
+    "stream_rollup_std_per_expr",
+    """rollup(search(events, q="*:*", fl="event_type,value,user_id"),
+              over="event_type", std(value), per(value, 50), per(value, 90),
+              countDist(user_id), count(*))""",
+    """
+    SELECT event_type,
+           stddev_samp(value) AS "std(value)",
+           quantile_cont(value, 0.50) AS "per(value,50)",
+           quantile_cont(value, 0.90) AS "per(value,90)",
+           CAST(count(DISTINCT user_id) AS BIGINT) AS "countDist(user_id)",
+           CAST(count(*) AS BIGINT) AS "count(*)"
+    FROM events GROUP BY event_type
+    """,
+)
+
+_expr(
+    "stream_hash_rollup_expr",
+    """hashRollup(search(orders, q="o_orderstatus:F", fl="o_orderpriority,o_totalprice"),
+                  over="o_orderpriority", std(o_totalprice), count(*))""",
+    """
+    SELECT o_orderpriority,
+           stddev_samp(o_totalprice) AS "std(o_totalprice)",
+           CAST(count(*) AS BIGINT) AS "count(*)"
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+)

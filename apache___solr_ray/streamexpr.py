@@ -333,7 +333,7 @@ def _op_select(node: Node, sf_dir: str):
     return ds.map_batches(proj, batch_format="pyarrow"), sort
 
 
-_ROLLUP_AGGS = {"sum", "min", "max", "avg", "count"}
+_ROLLUP_AGGS = {"sum", "min", "max", "avg", "count", "std", "per", "countDist"}
 
 
 def _op_rollup(node: Node, sf_dir: str):
@@ -348,16 +348,30 @@ def _op_rollup(node: Node, sf_dir: str):
 
 def _rollup_core(ds, over: list[str], metric_args: list):
     """RollupStream core shared by rollup()/facet()/stats()/timeseries():
-    per-batch pandas partials (Arrow blocks out) + one groupby + finish."""
+    per-batch pandas partials (Arrow blocks out) + one groupby + finish.
+    ``std(col)`` rides (sum, sum-of-squares, n) partials; ``per(col, pct)``
+    and ``countDist(col)`` need whole groups, so their presence switches
+    the plan to ONE key-hash co-location with exact pandas kernels
+    (the reference's PercentileMetric is a t-digest approximation —
+    DIVERGENCE, stated: this engine computes the exact percentile)."""
     from ray.data.aggregate import Max, Min, Sum
 
-    metrics = []  # (func, col, outname)
+    metrics = []  # (func, col, outname, extra)
     for a in metric_args:
         if not isinstance(a, Node) or a.name not in _ROLLUP_AGGS:
             raise StreamExprError(f"rollup metric must be one of {_ROLLUP_AGGS}")
         col = a.args[0] if a.args else "*"
-        out = f"{a.name}({col})"
-        metrics.append((a.name, col, out))
+        if a.name == "per":
+            if len(a.args) != 2:
+                raise StreamExprError("per(col, percentile) expects two arguments")
+            pct = float(a.args[1])
+            metrics.append(("per", col, f"per({col},{a.args[1]})", pct))
+        else:
+            metrics.append((a.name, col, f"{a.name}({col})", None))
+
+    if any(f in ("per", "countDist") for f, _, _, _ in metrics):
+        return _rollup_exact(ds, over, metrics)
+    metrics = [(f, c, n) for f, c, n, _ in metrics]
 
     def partial(df: pd.DataFrame) -> pa.Table:
         gb = df.groupby(over, dropna=False, sort=False)
@@ -370,6 +384,10 @@ def _rollup_core(ds, over: list[str], metric_args: list):
                 out[nm + "__n"] = gb[col].count()
             elif func == "sum":
                 out[nm + "__s"] = gb[col].sum(min_count=1)
+            elif func == "std":
+                out[nm + "__s"] = gb[col].sum(min_count=1)
+                out[nm + "__q"] = gb[col].apply(lambda s: float((s.to_numpy() ** 2).sum()))
+                out[nm + "__n"] = gb[col].count()
             else:
                 out[nm + "__m"] = getattr(gb[col], func)()
         return pa.Table.from_pandas(pd.DataFrame(out).reset_index(), preserve_index=False)
@@ -386,6 +404,11 @@ def _rollup_core(ds, over: list[str], metric_args: list):
             fns.append(Sum(nm + "__s", alias_name=nm + "__s"))
             fns.append(Sum(nm + "__n", alias_name=nm + "__n"))
             sum_cols += [nm + "__s", nm + "__n"]
+        elif func == "std":
+            fns.append(Sum(nm + "__s", alias_name=nm + "__s"))
+            fns.append(Sum(nm + "__q", alias_name=nm + "__q"))
+            fns.append(Sum(nm + "__n", alias_name=nm + "__n"))
+            sum_cols += [nm + "__s", nm + "__q", nm + "__n"]
         elif func == "sum":
             fns.append(Sum(nm + "__s", alias_name=nm + "__s"))
             sum_cols.append(nm + "__s")
@@ -412,6 +435,14 @@ def _rollup_core(ds, over: list[str], metric_args: list):
                     pc.cast(t.column(nm + "__s"), pa.float64()),
                     pc.cast(t.column(nm + "__n"), pa.float64()),
                 )
+            elif func == "std":
+                s = t.column(nm + "__s").to_numpy(zero_copy_only=False)
+                qq = t.column(nm + "__q").to_numpy(zero_copy_only=False)
+                n = t.column(nm + "__n").to_numpy(zero_copy_only=False).astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    v = (qq - s * s / n) / np.maximum(n - 1, 1)
+                    sd = np.sqrt(np.maximum(v, 0.0))
+                cols[nm] = pa.array(np.where(n > 1, sd, np.nan))
             elif func == "sum":
                 cols[nm] = t.column(nm + "__s")
             else:
@@ -419,6 +450,32 @@ def _rollup_core(ds, over: list[str], metric_args: list):
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _rollup_exact(ds, over: list[str], metrics: list):
+    """Whole-group rollup plan for per()/countDist() (+ any companions):
+    ONE key-hash co-location, exact pandas kernels over entire groups."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    def whole(df: pd.DataFrame) -> pd.DataFrame:
+        gb = df.groupby(over, dropna=False, sort=False)
+        out = {}
+        for func, col, nm, extra in metrics:
+            if func == "count":
+                out[nm] = gb.size()
+            elif func == "avg":
+                out[nm] = gb[col].mean()
+            elif func == "std":
+                out[nm] = gb[col].std(ddof=1)
+            elif func == "countDist":
+                out[nm] = gb[col].nunique()
+            elif func == "per":
+                out[nm] = gb[col].quantile(extra / 100.0, interpolation="linear")
+            else:
+                out[nm] = getattr(gb[col], func)()
+        return pd.DataFrame(out).reset_index()
+
+    return grouped_map(ds, over, whole)
 
 
 def _join_keys(node: Node):
@@ -1875,6 +1932,7 @@ _OPS = {
     "shuffle": _op_search,  # ShuffleStream.java: search via /export (same scan here)
     "select": _op_select,
     "rollup": _op_rollup,
+    "hashRollup": _op_rollup,  # HashRollupStream: rollup IS hash-partitioned here
     "innerJoin": _op_inner_join,
     "leftOuterJoin": _op_left_join,
     "fullOuterJoin": _op_full_join,

@@ -522,3 +522,27 @@ def test_gtest_corrpvalues_outliers_markov():
     assert set(np.asarray(s)) <= {0.0, 1.0}
     with pytest.raises(mx.MathExprError):
         E["markovChain"]([[0.5, 0.4], [0.2, 0.8]])  # not row-stochastic
+
+
+def test_second_tranche_signal_labels_misc():
+    E = mx.EVALS
+    w = E["oscillate"](2, 0.5, 0.1, 16)
+    assert E["getAmplitude"](w) == 2.0
+    assert E["getAngularFrequency"](w) == 0.5
+    assert E["getPhase"](w) == 0.1
+    assert w[1] == pytest.approx(2 * np.sin(0.6))
+    m = E["setColumnLabels"]([[1, 2], [3, 4]], ["a", "b"])
+    m = E["setRowLabels"](m, ["r0", "r1"])
+    assert E["getColumnLabels"](m) == ["a", "b"]
+    assert E["getRowLabels"](m) == ["r0", "r1"]
+    assert E["getAttribute"](m, "colLabels") == ["a", "b"]
+    assert E["knn"]([[0, 0], [5, 5], [1, 1]], [0.9, 0.9], 1).tolist() == [[1.0, 1.0]]
+    assert E["convert"]("miles", "kilometers", 10) == pytest.approx(16.09344)
+    d = E["enclosingDisk"]([[0, 0], [2, 0], [1, 3], [1, 1]])
+    proj = E["projectToBorder"](d, [[1.0, 1.0]])
+    assert np.allclose(proj, [[1.0, -1.0 / 3.0]], atol=1e-6)
+    # bicubic is exact on a linear surface; 1-arg predict still dispatches
+    x = y = np.arange(6.0)
+    b = E["bicubicSpline"](x, y, np.add.outer(x, y))
+    assert E["predict"](b, 2.5, 3.25) == pytest.approx(5.75)
+    assert E["predict"]({"slope": 2.0, "intercept": 1.0}, 3.0) == 7.0
