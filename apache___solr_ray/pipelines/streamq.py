@@ -889,3 +889,12 @@ _expr(
     FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
     """,
 )
+
+_expr(
+    "stream_select_replace_expr",
+    """select(search(events, q="*:*", fl="event_id,props"),
+              "event_id", "props", replace(props, null, withValue="missing"))""",
+    """
+    SELECT event_id, COALESCE(props, 'missing') AS props FROM events
+    """,
+)

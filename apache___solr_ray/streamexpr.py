@@ -305,8 +305,54 @@ def _op_select(node: Node, sf_dir: str):
     if not node.args or not isinstance(node.args[0], Node):
         raise StreamExprError("select() needs an inner stream")
     ds, sort = _compile(node.args[0], sf_dir)
+    # select() OPERATIONS (reference ops/ReplaceWithValueOperation.java,
+    # ReplaceWithFieldOperation.java): replace(field, null|value,
+    # withValue=v | withField=f) rewrites the field before projection
+    replaces = []
+    for a in node.args[1:]:
+        if isinstance(a, Node):
+            if a.name != "replace" or len(a.args) != 2:
+                raise StreamExprError("select() operation must be replace(field, value, withValue=|withField=)")
+            fldr, match = a.args[0], a.args[1]
+            wv, wf = a.params.get("withValue"), a.params.get("withField")
+            if (wv is None) == (wf is None):
+                raise StreamExprError("replace() needs exactly one of withValue=/withField=")
+            replaces.append((fldr, match, wv, wf))
+    if replaces:
+        reps = tuple(replaces)
+
+        def apply_replace(t: pa.Table, _r=reps) -> pa.Table:
+            for fld, match, wv, wf in _r:
+                col = t.column(fld)
+                if match == "null":
+                    mask = pc.is_null(col)
+                else:
+                    mv: object = match
+                    if pa.types.is_integer(col.type):
+                        mv = int(match)
+                    elif pa.types.is_floating(col.type):
+                        mv = float(match)
+                    mask = pc.equal(col, pa.scalar(mv))
+                    mask = pc.fill_null(mask, False)
+                if wf is not None:
+                    repl = t.column(wf).cast(col.type)
+                else:
+                    rv: object = wv
+                    if pa.types.is_integer(col.type):
+                        rv = int(wv)
+                    elif pa.types.is_floating(col.type):
+                        rv = float(wv)
+                    repl = pa.scalar(rv, col.type)
+                t = t.set_column(
+                    t.column_names.index(fld), fld, pc.if_else(mask, repl, col)
+                )
+            return t
+
+        ds = ds.map_batches(apply_replace, batch_format="pyarrow")
     pairs = []  # (col_expr prefix form | plain column name, out name)
     for a in node.args[1:]:
+        if isinstance(a, Node):
+            continue  # operations handled above
         if not isinstance(a, str):
             raise StreamExprError("select() fields must be strings")
         m = re.match(r"^(.*?)(?:\s+as\s+(\w+))?$", a.strip(), re.IGNORECASE)

@@ -474,3 +474,24 @@ def test_shortest_path_and_eval_noop(ray_session):
         ).count()
         == 3
     )
+
+
+def test_select_replace_operation(ray_session):
+    # value-match replacement
+    df = stream_expr(
+        SF,
+        'select(search(events, q="*:*", fl="event_id,event_type"),'
+        ' "event_id", "event_type",'
+        ' replace(event_type, "click", withValue="CLICK"))',
+    ).to_pandas()
+    assert (df.event_type == "CLICK").sum() > 0
+    assert (df.event_type == "click").sum() == 0
+    # withField copies another column into matches
+    df = stream_expr(
+        SF,
+        'select(search(events, q="*:*", fl="event_id,value,user_id"),'
+        ' "event_id", "value", replace(value, null, withField=user_id))',
+    ).to_pandas()
+    assert df.value.notna().all()
+    with pytest.raises(StreamExprError, match="withValue"):
+        stream_expr(SF, 'select(search(events, q="*:*", fl="event_id"), "event_id", replace(event_id, null))')
