@@ -26,7 +26,14 @@ def _to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.empty and not len(df.columns):
+            # Ray drops the columns of a fully-empty Dataset even when the
+            # schema is known — rebuild them so empty==empty compares hold
+            sch = res.schema()
+            if sch is not None:
+                df = pd.DataFrame({n: pd.Series(dtype="object") for n in sch.names})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
