@@ -1412,6 +1412,37 @@ def _op_update(node: Node, sf_dir: str):
     return ray.data.from_arrow(pa.table({"batchIndexed": pa.array([float(n)])})), None
 
 
+def _op_delete(node: Node, sf_dir: str):
+    """DeleteStream (reference ``DeleteStream.java``: sink deleting each
+    inner tuple's uniqueKey from the destination). The indexed corpus's
+    uniqueKey is ``url``; deletes are Lucene-semantics TOMBSTONES
+    (``deletes.delete_by_url``) — matching stops immediately, stats change
+    at the purging merge. Emits {totalDeleted: n} (newly tombstoned;
+    missing keys are no-ops, as in Solr's deleteById)."""
+    import ray
+
+    from apache___solr_ray.deletes import delete_by_url
+    from apache___solr_ray.pipelines.indexq import ensure_doc_index
+
+    if len(node.args) < 2 or not isinstance(node.args[0], str) or not isinstance(node.args[1], Node):
+        raise StreamExprError("delete(collection, innerStream) expected")
+    if node.args[0] != "documents":
+        raise StreamExprError("delete() targets the indexed corpus: collection must be 'documents'")
+    ds, _ = _compile(node.args[1], sf_dir)
+    ds = ds.materialize()
+    n = ds.count()
+    if n > HASHED_SIDE_MAX:
+        raise StreamExprError(f"delete(): {n} keys (> {HASHED_SIDE_MAX})")
+    cols = ds.schema().names
+    if "url" not in cols:
+        raise StreamExprError("delete() tuples need the uniqueKey field 'url'")
+    urls = [r["url"] for r in ds.select_columns(["url"]).take_all()]
+    deleted = delete_by_url(ensure_doc_index(sf_dir), urls)
+    return ray.data.from_arrow(
+        pa.table({"totalDeleted": pa.array([float(deleted)])})
+    ), None
+
+
 def _op_commit(node: Node, sf_dir: str):
     """CommitStream (``CommitStream.java``): wrap update(); after the child
     finishes, write the destination's commit manifest atomically
@@ -2027,6 +2058,7 @@ _OPS = {
     "tuple": _op_tuple,
     "random": _op_random,
     "update": _op_update,
+    "delete": _op_delete,
     "commit": _op_commit,
     "nodes": _op_nodes,
     "gatherNodes": _op_nodes,

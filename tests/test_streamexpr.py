@@ -495,3 +495,28 @@ def test_select_replace_operation(ray_session):
     assert df.value.notna().all()
     with pytest.raises(StreamExprError, match="withValue"):
         stream_expr(SF, 'select(search(events, q="*:*", fl="event_id"), "event_id", replace(event_id, null))')
+
+
+def test_delete_stream_tombstones(ray_session):
+    import shutil
+
+    from apache___solr_ray.deletes import clear_tombstones, load_tombstones
+    from apache___solr_ray.pipelines.indexq import ensure_doc_index
+    from apache___solr_ray.query import IndexReader
+
+    idx = ensure_doc_index(SF)
+    clear_tombstones(idx)
+    before = IndexReader(idx).topk("data", k=5)[0]
+    assert len(before) == 5
+    # delete the top hit by url via a tuple() stream carrying the uniqueKey
+    url = f"doc://{int(before[0]):012d}"
+    out = stream_expr(SF, f'delete(documents, tuple(url="{url}"))').to_pandas()
+    assert out.totalDeleted[0] == 1.0
+    assert int(before[0]) in set(load_tombstones(idx).tolist())
+    # a FRESH reader no longer returns the tombstoned doc
+    after = IndexReader(idx).topk("data", k=5)[0]
+    assert int(before[0]) not in set(int(x) for x in after)
+    # deleting a missing key is a no-op
+    out = stream_expr(SF, 'delete(documents, tuple(url="doc://nope"))').to_pandas()
+    assert out.totalDeleted[0] == 0.0
+    clear_tombstones(idx)
