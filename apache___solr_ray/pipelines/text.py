@@ -594,6 +594,93 @@ def multimodal_audio_real(sf_dir: str):
     ).select_columns(["clip_id", "duration_sec", "rms", "channels", "rate"])
 
 
+# -- REAL video decode: uncompressed-AVI frames from actual bytes ------------
+
+_VIDEO_CORPUS = "/tmp/apache___solr_ray_cache/videocorpus_v1/clips.parquet"
+_VIDEO_N = 96
+
+
+def ensure_video_corpus() -> str:
+    """Deterministic uncompressed-AVI corpus (fixed path for the static
+    oracle): 96 seeded clips — gradient + noise frames, varied geometry
+    (5–28 px), 6–40 frames, fps in {10, 20, 25} — with per-frame mean
+    ground truth computed from the PRE-encode pixels (raw-DIB encode is
+    lossless, so the engine must recover the exact pixels from the RIFF
+    bytes alone)."""
+    import os
+
+    import numpy as np2
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.stages.videocodec import encode_avi
+
+    if os.path.exists(_VIDEO_CORPUS):
+        return _VIDEO_CORPUS
+    os.makedirs(os.path.dirname(_VIDEO_CORPUS), exist_ok=True)
+    rng = np2.random.Generator(np2.random.PCG64(20260820))
+    rows = {k: [] for k in ("vid_id", "payload", "n_frames_true", "fps_true", "frame_means_true")}
+    for i in range(_VIDEO_N):
+        h = int(rng.integers(5, 29))
+        w = int(rng.integers(5, 29))
+        n = int(rng.integers(6, 41))
+        fps = (10, 20, 25)[i % 3]
+        base = rng.integers(0, 256, size=(h, w, 3), dtype=np2.uint8).astype(np2.int64)
+        drift = rng.integers(-4, 5, size=(n, 1, 1, 1))
+        frames = np2.clip(base[None] + drift * np2.arange(1, n + 1)[:, None, None, None] % 7, 0, 255).astype(np2.uint8)
+        means = np2.floor(frames.astype(np2.float64).mean(axis=(1, 2, 3)) * 10000 + 0.5) / 10000
+        rows["vid_id"].append(i)
+        rows["payload"].append(encode_avi(frames, fps))
+        rows["n_frames_true"].append(n)
+        rows["fps_true"].append(fps)
+        rows["frame_means_true"].append([float(m) for m in means])
+    tbl = pa.table(
+        {
+            "vid_id": pa.array(rows["vid_id"], pa.int64()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "n_frames_true": pa.array(rows["n_frames_true"], pa.int32()),
+            "fps_true": pa.array(rows["fps_true"], pa.int32()),
+            "frame_means_true": pa.array(rows["frame_means_true"], pa.list_(pa.float64())),
+        }
+    )
+    tmp = _VIDEO_CORPUS + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _VIDEO_CORPUS)
+    return _VIDEO_CORPUS
+
+
+@q(
+    "multimodal_video_real",
+    f"""
+    SELECT vid_id, idx - 1 AS frame_idx,
+           CAST((idx - 1) * (1000 // fps_true) AS BIGINT) AS ts_ms,
+           m AS mean_px
+    FROM (
+      SELECT vid_id, fps_true, unnest(frame_means_true) AS m,
+             generate_subscripts(frame_means_true, 1) AS idx
+      FROM read_parquet('{_VIDEO_CORPUS}')
+    )
+    WHERE (idx - 1) % 5 = 0
+    """,
+)
+def multimodal_video_real(sf_dir: str):
+    """REAL video frame sampling (no fake): uncompressed-AVI payload bytes
+    through the RealVideoFrameSampler actor pool (stages/videocodec.py —
+    RIFF container parse, raw-DIB frame decode), every 5th frame exploded
+    to a row with its genuinely decoded mean pixel value; the oracle is
+    the corpus's pre-encode per-frame ground truth, so one wrong pixel in
+    one frame fails the hash. Reference role: SolrContentHandler's
+    media->fields extraction applied to video."""
+    import ray.data as rd
+
+    from apache___solr_ray.stages.multimodal import RealVideoFrameSampler
+
+    path = ensure_video_corpus()
+    ds = rd.read_parquet(path, columns=["vid_id", "payload"])
+    return ds.map_batches(
+        RealVideoFrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+
+
 # -- second wave: unnest / significant terms / more-like-this ----------------
 
 
@@ -2052,5 +2139,6 @@ def mlt_interesting_terms(sf_dir: str):
 try:
     ensure_image_corpus()
     ensure_audio_corpus()
+    ensure_video_corpus()
 except OSError:  # read-only /tmp etc. — the entry itself will retry
     pass

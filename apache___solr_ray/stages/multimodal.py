@@ -2,14 +2,17 @@
 
 Treats media as opaque ``binary`` columns with typed metadata, exactly as a
 100 TB training-data pipeline would. The Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested; the actual
-codec calls are stubbed because no image/audio libraries ship in this
-container:
+signature, batch sizing, output layout — is real and tested, and all three
+modalities now have REAL pure-stdlib codecs behind the same contracts:
 
-- ``decode_image`` raises ``NotImplementedError`` (clearly marked stub);
-- ``FakeImageDecoder`` / ``FakeAudioFeaturizer`` are deterministic stand-ins
-  (dimensions/features derived from the payload bytes) so the pipeline
-  shape, schemas and tests are exercised end-to-end.
+- image: ``RealImageDecoder`` (BMP / PPM / zlib PNG, ``imagecodec.py``);
+- audio: ``RealAudioFeaturizer`` (PCM WAV, ``audiocodec.py``);
+- video: ``RealVideoFrameSampler`` (uncompressed AVI, ``videocodec.py``).
+
+Compressed formats (JPEG, MP3, H.264, ...) need codec libraries this
+container doesn't ship; ``FakeImageDecoder`` / ``FakeAudioFeaturizer`` /
+``FakeVideoFrameSampler`` remain as deterministic stand-ins so pipelines
+over such payloads still exercise the schemas and actor shapes end-to-end.
 
 Usage shape (the pattern that matters at scale)::
 
@@ -169,6 +172,42 @@ class ImageResizePlanner:
         rh = (h * 2 * self.box + m) // (2 * m)
         return t.append_column("rwidth", pa.array(rw.astype(np.int32))).append_column(
             "rheight", pa.array(rh.astype(np.int32))
+        )
+
+
+class RealVideoFrameSampler:
+    """Actor-pool frame-sampling stage over REAL bytes (uncompressed AVI
+    via ``stages/videocodec.py``): decodes the RIFF container, samples
+    every ``stride``-th frame and emits ONE ROW PER SAMPLED FRAME with the
+    frame's true mean pixel value — the explode/flat-map shape of a real
+    video pipeline, with genuinely decoded pixels."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "vid_id", stride: int = 5):
+        from apache___solr_ray.stages.videocodec import avi_frame_stats
+
+        self.col = payload_col
+        self.id_col = id_col
+        self.stride = stride
+        self.stats = avi_frame_stats
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy()
+        out_id: list[int] = []
+        idx_parts, ts_parts, mean_parts = [], [], []
+        for i, b in enumerate(t.column(self.col).to_pylist()):
+            st = self.stats(b, stride=self.stride)
+            out_id.extend([int(ids[i])] * len(st["frame_idx"]))
+            idx_parts.append(st["frame_idx"])
+            ts_parts.append(st["ts_ms"])
+            mean_parts.append(st["mean_px"])
+        cat = np.concatenate
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(cat(idx_parts) if idx_parts else np.array([], np.int64)),
+                "ts_ms": pa.array(cat(ts_parts) if ts_parts else np.array([], np.int64)),
+                "mean_px": pa.array(cat(mean_parts) if mean_parts else np.array([], np.float64)),
+            }
         )
 
 
