@@ -278,6 +278,34 @@ def jaccard_near_dup_pairs(sf_dir: str):
     return jaccard_pairs_exact(ds, "text", "doc_id", threshold_num=9, threshold_den=10)
 
 
+@q(
+    "exact_substring_dup_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+    ),
+    gc AS (SELECT gram, count(*) AS n FROM w GROUP BY gram)
+    SELECT w.doc_id, count(*) AS n_windows,
+           CAST(sum(CASE WHEN gc.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+    FROM w JOIN gc USING (gram)
+    GROUP BY w.doc_id
+    """,
+)
+def exact_substring_dup_stats_q(sf_dir: str):
+    """Exact-substring duplicate-span stats (Lee et al. 2022's dedup
+    criterion: any 8-token span occurring >= 2 times corpus-wide is a
+    duplicate span): per doc, total k-token windows and duplicated
+    windows. One gram-hash shuffle, 8-byte rolling hashes instead of gram
+    strings — see stages/dedup.exact_substring_dup_stats."""
+    from apache___solr_ray.stages.dedup import exact_substring_dup_stats
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substring_dup_stats(ds, "text", "doc_id", k=8)
+
+
 # -- rows-only entries (no SQL equivalent; driver records row-count check) ---
 
 

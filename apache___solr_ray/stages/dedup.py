@@ -1075,3 +1075,109 @@ def _radius_partial_fn(cref):
         return pa.table({"c": pa.array(np.arange(len(Cl))), "rmax": pa.array(rmax)})
 
     return radius_partial
+
+
+# -- exact-substring (k-token span) duplication ------------------------------
+#
+# The "exact substring dedup" operator from web-scale training pipelines
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better": any >= k-token span appearing more than once in the corpus is a
+# duplicate span). Reference analog: the MinHashFilter/shingle machinery
+# (solr/modules/analysis-extras MinHashFilterFactory; ShingleFilter) applied
+# corpus-wide. Distributed shape: every k-token window becomes a 64-bit
+# rolling hash, windows pre-aggregate per (gram, doc) inside each batch,
+# global window counts attach via ONE gram-hash shuffle (grouped_map — the
+# doc_unigram_logprob cogroup shape, no vocabulary broadcast), and per-doc
+# results reduce with (sum, sum) partials. Shuffle rows shrink by the
+# within-doc repetition factor and each gram ships as 8 bytes, never the
+# k-token string.
+
+
+def kgram_window_counts(col: str, id_col: str, k: int = 8):
+    """map_batches stage: (gh, doc_id, c) — c = occurrences of the k-token
+    window with rolling hash ``gh`` inside the doc. Fully vectorized: the
+    batch's tokens are flattened into one array, hashed once, and the
+    k-window polynomial hash is k numpy shifts over the flat array (window
+    start positions are generated per doc, so no window crosses a doc
+    boundary)."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        tok_lists = [simple_tokenize(x or "") for x in t.column(col).to_pylist()]
+        lens = np.fromiter(
+            (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        m = np.maximum(lens - k + 1, 0)  # windows per doc
+        W = int(m.sum())
+        empty = pa.table(
+            {
+                "gh": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if W == 0:
+            return empty
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in tok_lists if x]
+        )
+        th = _hash_strings(flat)  # uint64, vectorized
+        n = th.size
+        acc = th[: n - k + 1].copy()
+        B = np.uint64(1099511628211)  # FNV prime; wraps mod 2^64
+        for j in range(1, k):
+            acc = acc * B + th[j : n - k + 1 + j]
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_idx = np.repeat(np.arange(len(lens)), m)
+        within = np.arange(W) - np.repeat(np.cumsum(m) - m, m)
+        gh = acc[offsets[doc_idx] + within].view(np.int64)
+        df = pd.DataFrame({"gh": gh, id_col: ids[doc_idx]})
+        g = df.groupby(["gh", id_col], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "gh": pa.array(g["gh"].to_numpy()),
+                id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return stage
+
+
+def exact_substring_dup_stats(ds, col: str, id_col: str, k: int = 8):
+    """Per-doc exact-substring duplication stats: ``n_windows`` (k-token
+    windows in the doc) and ``n_dup_windows`` (windows whose exact token
+    span occurs >= 2 times corpus-wide, counting all positions — the Lee
+    et al. duplicate-span criterion, which includes within-doc repeats).
+
+    One gram-hash shuffle total: the global count of a gram and the rows
+    that need it land in the same hash partition, so the attach is a
+    pandas ``transform('sum')`` inside ``grouped_map`` — no join, no
+    broadcast, no driver materialization. 64-bit gram hashes stand in for
+    gram strings (collision odds ~W^2/2^65 — negligible below ~10^8
+    windows per verification scope; at larger scale add the gram length
+    to the key)."""
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines.common import combine_partials, grouped_map
+
+    wc = ds.map_batches(kgram_window_counts(col, id_col, k), batch_format="pyarrow")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("gh")["c"].transform("sum").to_numpy()
+        c = df["c"].to_numpy()
+        g = df.assign(dup=np.where(tot >= 2, c, 0)).groupby(id_col, sort=False)
+        return pd.DataFrame(
+            {"n_windows": g["c"].sum(), "n_dup_windows": g["dup"].sum()}
+        ).reset_index()
+
+    parts = grouped_map(wc, "gh", attach)
+    return combine_partials(
+        parts,
+        [id_col],
+        [
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("n_dup_windows", alias_name="n_dup_windows"),
+        ],
+        sum_cols=["n_windows", "n_dup_windows"],
+    )

@@ -161,3 +161,58 @@ def test_jaccard_exact_guard(ray_session, monkeypatch):
     monkeypatch.setattr(dd, "JACCARD_EXACT_MAX", 5)
     with pytest.raises(ValueError, match="lsh_verified_pairs"):
         dd.jaccard_pairs_exact(ds, "text", "doc_id", 9, 10, shingle=3)
+
+
+# -- exact-substring (k-gram span) duplication --------------------------------
+
+
+def _brute_kgram_stats(texts, k):
+    """Reference implementation: string grams, corpus-wide counts."""
+    from collections import Counter
+
+    from apache___solr_ray.analyze import simple_tokenize
+
+    grams_per_doc = []
+    corpus = Counter()
+    for t in texts:
+        toks = simple_tokenize(t or "")
+        g = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        grams_per_doc.append(g)
+        corpus.update(g)
+    out = {}
+    for i, g in enumerate(grams_per_doc):
+        if g:
+            out[i] = (len(g), sum(1 for x in g if corpus[x] >= 2))
+    return out
+
+
+def test_exact_substring_dup_stats_equals_brute(ray_session):
+    import ray
+
+    from apache___solr_ray.stages.dedup import exact_substring_dup_stats
+
+    texts = [
+        "a b c d e f g h i j",          # shares the a..h window with doc 2
+        "z y x w v u t s",              # unique 8-token doc: 1 window, 0 dup
+        "a b c d e f g h zz",           # duplicate of doc 0's first window
+        "r r r r r r r r r r r r",      # within-doc repeated window
+        "too short",                     # < k tokens: no windows, absent
+        "",                              # empty: absent
+    ]
+    k = 8
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = (
+        exact_substring_dup_stats(ds, "text", "doc_id", k=k)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = _brute_kgram_stats(texts, k)
+    assert sorted(got.index) == sorted(want)
+    for did, (nw, nd) in want.items():
+        assert got.loc[did, "n_windows"] == nw, did
+        assert got.loc[did, "n_dup_windows"] == nd, did
+    # doc 3 is 12 'r' tokens: 5 windows, all the same gram -> all duplicated
+    assert got.loc[3, "n_windows"] == 5 and got.loc[3, "n_dup_windows"] == 5
