@@ -275,6 +275,33 @@ def eval_node(node, env: dict, col_fn):
             else:
                 out[k] = float(v)
         return out
+    if node.name == "monteCarlo":
+        # MonteCarloEvaluator (io/eval/MonteCarloEvaluator.java): LAZY — the
+        # first operand is re-evaluated `n` times and the results collected;
+        # distributions inside re-sample each iteration. Deterministic here:
+        # the iteration index offsets the sampling seed.
+        if len(node.args) != 2:
+            raise MathExprError("monteCarlo(expr, iterations) expects two operands")
+
+        def _ev(a):
+            if hasattr(a, "name"):
+                return eval_node(a, env, col_fn)
+            if isinstance(a, str):
+                return env[a] if a in env else float(a)
+            return a
+
+        n_it = int(_ev(node.args[1]))
+        if not 1 <= n_it <= 1_000_000:
+            raise MathExprError("monteCarlo: iterations out of range")
+        global _MC_OFFSET
+        out = np.empty(n_it, dtype=np.float64)
+        try:
+            for i in range(n_it):
+                _MC_OFFSET = i + 1
+                out[i] = float(_ev(node.args[0]))
+        finally:
+            _MC_OFFSET = 0
+        return out
     fn = EVALS.get(node.name)
     if fn is None:
         raise MathExprError(f"unknown evaluator {node.name!r}")
@@ -885,6 +912,9 @@ def _ifft(m):
 # ---------------------------------------------------------------------------
 
 _SAMPLE_SEED = 20260818
+#: per-iteration seed offset set by monteCarlo() so each lazy re-evaluation
+#: draws fresh (but deterministic) samples; 0 everywhere else
+_MC_OFFSET = 0
 
 
 def _d_normal(mean, sd):
@@ -1053,7 +1083,7 @@ def _dist_cum(d, x):
 def _dist_sample(d, n=1):
     if not _is_dist(d):
         raise MathExprError("sample(dist[, n]) expects a distribution")
-    rng = np.random.default_rng(_SAMPLE_SEED)
+    rng = np.random.default_rng(_SAMPLE_SEED + _MC_OFFSET)
     n = int(n)
     kind = d["dist"]
     if kind == "normal":
@@ -1623,7 +1653,7 @@ def _prob_all(d, x, x2=None):
 
 def _sample_all(d, n=1):
     if _is_dist(d) and d["dist"] in ("beta", "gamma", "geometric", "lognormal", "weibull", "markov"):
-        rng = np.random.default_rng(_SAMPLE_SEED)
+        rng = np.random.default_rng(_SAMPLE_SEED + _MC_OFFSET)
         out = _ext_sample(d, rng, int(n))
         return float(out[0]) if int(n) == 1 else out
     return _base_sample(d, n)
@@ -2247,3 +2277,53 @@ EVALS.update(
         "predict": _predict_any,
     }
 )
+
+
+# -- caches / cell (Lang.java putCache/getCache/listCache/removeCache, cell) --
+#
+# Reference: io/eval/PutCacheEvaluator.java, GetCacheEvaluator.java,
+# ListCacheEvaluator.java, RemoveCacheEvaluator.java store objects in the
+# /stream handler's ConcurrentHashMap-of-spaces ("objectCache"); cell()
+# (CellStream.java) wraps a value into a single named tuple. Here the cache
+# is a driver-process module global — same single-JVM visibility the
+# reference gives one Solr node.
+
+_OBJECT_CACHE: dict = {}
+
+
+def _cache_put(space, key, value):
+    _OBJECT_CACHE.setdefault(str(space), {})[str(key)] = value
+    return value
+
+
+def _cache_get(space, key):
+    try:
+        return _OBJECT_CACHE[str(space)][str(key)]
+    except KeyError:
+        raise MathExprError(f"getCache: no entry {space!r}/{key!r}") from None
+
+
+def _cache_remove(space, key):
+    try:
+        return _OBJECT_CACHE.get(str(space), {}).pop(str(key))
+    except KeyError:
+        raise MathExprError(f"removeCache: no entry {space!r}/{key!r}") from None
+
+
+def _cache_list(space=None):
+    if space is None:
+        return sorted(_OBJECT_CACHE)
+    return sorted(_OBJECT_CACHE.get(str(space), {}))
+
+
+EVALS.update(
+    {
+        "putCache": _cache_put,
+        "getCache": _cache_get,
+        "removeCache": _cache_remove,
+        "listCache": _cache_list,
+        # CellStream: one named tuple holding the evaluated value
+        "cell": lambda name, value: {str(name): value},
+    }
+)
+_LITERAL_STR_FNS.update({"putCache", "getCache", "removeCache", "listCache", "cell"})

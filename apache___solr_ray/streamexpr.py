@@ -265,6 +265,13 @@ def _op_search(node: Node, sf_dir: str):
             lambda t, _fl=list(fl): t.select(_fl), batch_format="pyarrow"
         )
     sort = _parse_sort(node.params["sort"]) if "sort" in node.params else None
+    # rows= truncates like the /select handler's rows param (the reference's
+    # search() pages; /export — shuffle/export aliases — streams everything,
+    # so rows only binds on the literal search() name)
+    if node.name == "search" and "rows" in node.params:
+        if sort:
+            ds = ds.sort([c for c, _ in sort], descending=[d for _, d in sort])
+        ds = ds.limit(int(node.params["rows"]))
     # the sort contract is declared lazily: ops that NEED the order
     # (unique, top output) apply it; a plain scan stays unsorted
     return ds, sort
@@ -1924,6 +1931,70 @@ def _op_topic(node: Node, sf_dir: str):
     return ray.data.from_arrow(out), [("doc_id", False)]
 
 
+def _op_priority(node: Node, sf_dir: str):
+    """PriorityStream (reference ``PriorityStream.java``: wraps two topics;
+    the high-priority topic is read first and the low-priority one is
+    opened ONLY when the high-priority tick emits nothing — a two-level
+    task queue). Compiling lazily preserves the reference's checkpoint
+    contract: an unopened topic() never advances its checkpoint."""
+    inner = [a for a in node.args if isinstance(a, Node)]
+    if len(inner) != 2:
+        raise StreamExprError("priority(highPriorityTopic, lowPriorityTopic) expected")
+    for s in inner:
+        if s.name != "topic":
+            raise StreamExprError("priority() operands must be topic() streams")
+    hi, hi_sort = _compile(inner[0], sf_dir)
+    if hi.count() > 0:
+        return hi, hi_sort
+    return _compile(inner[1], sf_dir)
+
+
+#: executor() task-count guard: a tick that dequeues more than this many
+#: stored expressions is a runaway queue, not a tick
+EXECUTOR_TASK_MAX = 10_000
+
+
+def _op_executor(node: Node, sf_dir: str):
+    """ExecutorStream (reference ``ExecutorStream.java``: reads tuples each
+    carrying a streaming expression in ``expr_s``, executes each to
+    completion for its side effects and discards its tuples — the worker
+    end of a topic()-fed job queue). Each compile = one tick: the inner
+    stream's task tuples are drained (count-guarded — task queues are
+    small; the WORK runs distributed), each ``expr_s`` compiles through
+    this same factory and is consumed via count() (never collected), and
+    the emitted tuples report completion order."""
+    import ray
+
+    inner = [a for a in node.args if isinstance(a, Node)]
+    if len(inner) != 1:
+        raise StreamExprError("executor(stream) expects one inner stream")
+    tasks_ds, _ = _compile(inner[0], sf_dir)
+    n = tasks_ds.count()
+    if n > EXECUTOR_TASK_MAX:
+        raise StreamExprError(
+            f"executor(): {n} queued tasks exceeds EXECUTOR_TASK_MAX "
+            f"({EXECUTOR_TASK_MAX}) — drain the queue in smaller ticks"
+        )
+    tasks = tasks_ds.to_pandas()
+    if "expr_s" not in tasks.columns:
+        raise StreamExprError("executor(): inner tuples must carry expr_s")
+    ids, exprs, counts = [], [], []
+    for i, row in tasks.iterrows():
+        expr = str(row["expr_s"])
+        ds, _s = _compile(parse_stream_expr(expr), sf_dir)
+        counts.append(float(ds.count()))  # execute fully; tuples discarded
+        ids.append(str(row["id"]) if "id" in tasks.columns else str(i))
+        exprs.append(expr)
+    out = pa.table(
+        {
+            "id": pa.array(ids, pa.string()),
+            "expr_s": pa.array(exprs, pa.string()),
+            "tupleCount": pa.array(counts, pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(out), None
+
+
 def _op_features_selection(node: Node, sf_dir: str):
     """FeaturesSelectionStream (reference ``FeaturesSelectionStream.java``):
     information-gain-scored top terms of ``field=`` against the binary
@@ -2029,6 +2100,8 @@ _OPS = {
     "textLogit": _op_text_logit,
     "train": _op_text_logit,  # Lang.java: train -> TextLogitStream
     "topic": _op_topic,
+    "priority": _op_priority,
+    "executor": _op_executor,
     "noop": _op_noop,
     "eval": _op_eval,
     "shortestPath": _op_shortest_path,

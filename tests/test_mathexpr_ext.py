@@ -546,3 +546,56 @@ def test_second_tranche_signal_labels_misc():
     b = E["bicubicSpline"](x, y, np.add.outer(x, y))
     assert E["predict"](b, 2.5, 3.25) == pytest.approx(5.75)
     assert E["predict"]({"slope": 2.0, "intercept": 1.0}, 3.0) == 7.0
+
+
+# --- round-5 wave 2: monteCarlo + object cache + cell ------------------------
+
+
+def test_monte_carlo_lazy_resampling():
+    from apache___solr_ray.streamexpr import parse_stream_expr
+
+    node = parse_stream_expr("monteCarlo(mean(sample(normalDistribution(10, 2), 50)), 30)")
+    out = mx.eval_node(node, {}, None)
+    assert out.shape == (30,)
+    # lazy re-evaluation: iterations draw DIFFERENT samples...
+    assert len(set(np.round(out, 12))) > 1
+    # ...that concentrate around the true mean
+    assert abs(float(out.mean()) - 10.0) < 1.0
+    # deterministic across runs
+    out2 = mx.eval_node(parse_stream_expr(
+        "monteCarlo(mean(sample(normalDistribution(10, 2), 50)), 30)"), {}, None)
+    assert np.array_equal(out, out2)
+    # seed offset restored: plain sample() unchanged by a prior monteCarlo
+    s1 = mx.eval_node(parse_stream_expr("sample(normalDistribution(0, 1), 5)"), {}, None)
+    assert mx._MC_OFFSET == 0
+    s2 = mx.eval_node(parse_stream_expr("sample(normalDistribution(0, 1), 5)"), {}, None)
+    assert np.array_equal(s1, s2)
+
+
+def test_monte_carlo_guards():
+    from apache___solr_ray.streamexpr import parse_stream_expr
+
+    with pytest.raises(mx.MathExprError):
+        mx.eval_node(parse_stream_expr("monteCarlo(add(1, 1))"), {}, None)
+    with pytest.raises(mx.MathExprError):
+        mx.eval_node(parse_stream_expr("monteCarlo(add(1, 1), 0)"), {}, None)
+
+
+def test_object_cache_roundtrip_and_cell():
+    from apache___solr_ray.streamexpr import parse_stream_expr
+
+    mx._OBJECT_CACHE.clear()
+    v = mx.eval_node(
+        parse_stream_expr('putCache("sp", "k", array(1, 2, 3))'), {}, None
+    )
+    assert list(v) == [1.0, 2.0, 3.0]
+    got = mx.eval_node(parse_stream_expr('getCache("sp", "k")'), {}, None)
+    assert list(got) == [1.0, 2.0, 3.0]
+    assert mx.eval_node(parse_stream_expr("listCache()"), {}, None) == ["sp"]
+    assert mx.eval_node(parse_stream_expr('listCache("sp")'), {}, None) == ["k"]
+    rem = mx.eval_node(parse_stream_expr('removeCache("sp", "k")'), {}, None)
+    assert list(rem) == [1.0, 2.0, 3.0]
+    with pytest.raises(mx.MathExprError):
+        mx.eval_node(parse_stream_expr('getCache("sp", "k")'), {}, None)
+    cellv = mx.eval_node(parse_stream_expr('cell("named", array(7, 8))'), {}, None)
+    assert list(cellv) == ["named"] and list(cellv["named"]) == [7.0, 8.0]

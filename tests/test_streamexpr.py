@@ -520,3 +520,44 @@ def test_delete_stream_tombstones(ray_session):
     out = stream_expr(SF, 'delete(documents, tuple(url="doc://nope"))').to_pandas()
     assert out.totalDeleted[0] == 0.0
     clear_tombstones(idx)
+
+
+def test_priority_reads_high_topic_first(ray_session):
+    import shutil
+
+    shutil.rmtree("/tmp/apache___solr_ray_cache/topics", ignore_errors=True)
+    hi = 'topic(ck, documents, q="text:data", id=prio_hi, rows=50)'
+    lo = 'topic(ck, documents, q="text:merge", id=prio_lo, rows=50)'
+    expr = f"priority({hi}, {lo})"
+    first = stream_expr(SF, expr).to_pandas()
+    assert len(first) == 50  # the high-priority tick fed the output
+    # unopened low topic never advanced its checkpoint
+    import os
+
+    assert not os.path.exists(
+        "/tmp/apache___solr_ray_cache/topics/ck__prio_lo.json"
+    )
+    # drain the high topic, then the low one takes over
+    for _ in range(50):
+        if len(stream_expr(SF, hi).to_pandas()) == 0:
+            break
+    nxt = stream_expr(SF, expr).to_pandas()
+    assert len(nxt) == 50
+    lo_alone = stream_expr(SF, lo).to_pandas()
+    if len(lo_alone):
+        assert nxt.doc_id.max() < lo_alone.doc_id.min()
+    with pytest.raises(StreamExprError, match="topic"):
+        stream_expr(SF, "priority(echo(a), echo(b))")
+
+
+def test_executor_runs_stored_expressions(ray_session):
+    df = stream_expr(
+        SF,
+        'executor(list(tuple(id=t1, expr_s="echo(hello)"),'
+        ' tuple(id=t2, expr_s="search(documents, q=\\"*:*\\",'
+        ' fl=\\"doc_id\\", sort=\\"doc_id asc\\", rows=7)")))',
+    ).to_pandas()
+    assert list(df["id"]) == ["t1", "t2"]
+    assert list(df["tupleCount"]) == [1.0, 7.0]
+    with pytest.raises(StreamExprError, match="expr_s"):
+        stream_expr(SF, "executor(echo(nope))")
