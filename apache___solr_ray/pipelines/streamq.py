@@ -898,3 +898,16 @@ _expr(
     SELECT event_id, COALESCE(props, 'missing') AS props FROM events
     """,
 )
+
+
+_expr(
+    "stream_select_concat_expr",
+    """top(select(search(customer, q="*:*", fl="c_custkey,c_name,c_mktsegment"),
+                  "c_custkey", "tag",
+                  concat(fields="c_mktsegment,c_name", as="tag", delim="-")),
+           n=10, sort="c_custkey asc")""",
+    """
+    SELECT c_custkey, c_mktsegment || '-' || c_name AS tag
+    FROM customer ORDER BY c_custkey ASC LIMIT 10
+    """,
+)

@@ -315,11 +315,21 @@ def _op_select(node: Node, sf_dir: str):
     # select() OPERATIONS (reference ops/ReplaceWithValueOperation.java,
     # ReplaceWithFieldOperation.java): replace(field, null|value,
     # withValue=v | withField=f) rewrites the field before projection
-    replaces = []
+    replaces, concats = [], []
     for a in node.args[1:]:
         if isinstance(a, Node):
+            if a.name == "concat":
+                # ConcatOperation (reference ops/ConcatOperation.java:
+                # concat(fields="a,b", as="out", delim="-") joins the
+                # stringified field values; nulls concatenate as "")
+                flds = [f.strip() for f in a.params.get("fields", "").split(",") if f.strip()]
+                out_name = a.params.get("as")
+                if not flds or not out_name:
+                    raise StreamExprError('concat() needs fields="f1,f2" and as=')
+                concats.append((tuple(flds), out_name, a.params.get("delim", "-")))
+                continue
             if a.name != "replace" or len(a.args) != 2:
-                raise StreamExprError("select() operation must be replace(field, value, withValue=|withField=)")
+                raise StreamExprError("select() operation must be replace(...) or concat(...)")
             fldr, match = a.args[0], a.args[1]
             wv, wf = a.params.get("withValue"), a.params.get("withField")
             if (wv is None) == (wf is None):
@@ -356,6 +366,20 @@ def _op_select(node: Node, sf_dir: str):
             return t
 
         ds = ds.map_batches(apply_replace, batch_format="pyarrow")
+    if concats:
+        ccs = tuple(concats)
+
+        def apply_concat(t: pa.Table, _c=ccs) -> pa.Table:
+            for flds, out_name, delim in _c:
+                parts = [
+                    pc.fill_null(pc.cast(t.column(f), pa.string()), "") for f in flds
+                ]
+                t = t.append_column(
+                    out_name, pc.binary_join_element_wise(*parts, delim)
+                )
+            return t
+
+        ds = ds.map_batches(apply_concat, batch_format="pyarrow")
     pairs = []  # (col_expr prefix form | plain column name, out name)
     for a in node.args[1:]:
         if isinstance(a, Node):

@@ -561,3 +561,28 @@ def test_executor_runs_stored_expressions(ray_session):
     assert list(df["tupleCount"]) == [1.0, 7.0]
     with pytest.raises(StreamExprError, match="expr_s"):
         stream_expr(SF, "executor(echo(nope))")
+
+
+def test_select_concat_operation_nulls(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from apache___solr_ray.streamexpr import _compile, parse_stream_expr
+
+    # nulls concatenate as "" (documented divergence-free: the reference
+    # stringifies tuple values; absent values contribute nothing)
+    t = pa.table({"a": ["x", None], "b": ["1", "2"]})
+    ds = ray.data.from_arrow(t)
+    node = parse_stream_expr(
+        'select(echo(z), "a", "b", "j", concat(fields="a,b", as="j", delim="_"))'
+    )
+    # swap the echo() placeholder for our in-memory dataset
+    import apache___solr_ray.streamexpr as se
+
+    orig = se._OPS["echo"]
+    se._OPS["echo"] = lambda n, s: (ds, None)
+    try:
+        out = se._compile(node, "/root/testdata/sf0.001")[0].to_pandas()
+    finally:
+        se._OPS["echo"] = orig
+    assert list(out["j"]) == ["x_1", "_2"]
