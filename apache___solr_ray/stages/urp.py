@@ -185,6 +185,59 @@ def first_value(out: str, name: str) -> Stage:
     return run
 
 
+def last_value(out: str, name: str) -> Stage:
+    """LastFieldValueUpdateProcessorFactory: keep the last list element."""
+
+    def run(t: pa.Table) -> pa.Table:
+        col = t.column(name)
+        vals = [v[-1] if v else None for v in col.to_pylist()]
+        return t.append_column(out, pa.array(vals, col.type.value_type))
+
+    return run
+
+
+def timestamp_field(out: str, ts) -> Stage:
+    """TimestampUpdateProcessorFactory: stamp every doc with the request
+    time. The reference stamps NOW per update request; a deterministic
+    batch build passes the job's logical timestamp in (reproducible runs
+    — same input + same job ts => byte-identical output)."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+
+    def run(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out, pa.array([ts] * t.num_rows, pa.timestamp("us"))
+        )
+
+    return run
+
+
+def template_field(out: str, template: str) -> Stage:
+    """TemplateUpdateProcessorFactory: render ``{field}`` placeholders from
+    the row's own columns (vectorized: one binary_join per literal chunk)."""
+    import re as _re
+
+    parts = _re.split(r"\{(\w+)\}", template)  # [lit, field, lit, field, ...]
+
+    def run(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = []
+        for i, p in enumerate(parts):
+            if i % 2 == 0:
+                if p:
+                    cols.append(pa.array([p] * n, pa.string()))
+            else:
+                cols.append(pc.fill_null(pc.cast(t.column(p), pa.string()), ""))
+        if not cols:
+            return t.append_column(out, pa.array([""] * n, pa.string()))
+        joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, "")
+        return t.append_column(out, joined)
+
+    return run
+
+
 def uniq_values(name: str) -> Stage:
     """Within-row dedup of a list column (UniqFieldsUpdateProcessorFactory)."""
 

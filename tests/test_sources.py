@@ -150,3 +150,26 @@ def test_partitioned_sink_resume_and_crash_recovery(ray_session, tmp_path):
     a = back.sort_values(["event_type", "event_id"]).reset_index(drop=True)
     b = src.sort_values(["event_type", "event_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_urp_last_timestamp_template():
+    import pyarrow as pa
+
+    from apache___solr_ray.stages.urp import last_value, template_field, timestamp_field
+
+    t = pa.table(
+        {
+            "tags": pa.array([["a", "b", "c"], ["x"], None], pa.list_(pa.string())),
+            "name": ["n1", None, "n3"],
+            "k": [1, 2, 3],
+        }
+    )
+    out = last_value("last_tag", "tags")(t)
+    assert out.column("last_tag").to_pylist() == ["c", "x", None]
+
+    out = timestamp_field("ingested_at", "2026-08-18T00:00:00")(t)
+    vals = out.column("ingested_at").to_pylist()
+    assert len(set(vals)) == 1 and vals[0].year == 2026
+
+    out = template_field("title", "doc-{k}: {name}!")(t)
+    assert out.column("title").to_pylist() == ["doc-1: n1!", "doc-2: !", "doc-3: n3!"]
