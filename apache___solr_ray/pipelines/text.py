@@ -279,6 +279,63 @@ def jaccard_near_dup_pairs(sf_dir: str):
 
 
 @q(
+    "training_corpus_prep",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks,
+             regexp_replace(text, '[0-9]+', '#', 'g') AS red
+      FROM documents),
+    f AS (
+      SELECT * FROM t
+      WHERE len(toks) >= 10 AND 10 * len(list_distinct(toks)) >= 5 * len(toks)),
+    d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY red)
+    SELECT f.doc_id, f.lang,
+           CAST(len(f.toks) AS BIGINT) AS n_tokens,
+           CAST(length(f.red) AS BIGINT) AS n_chars_red
+    FROM f JOIN d USING (doc_id)
+    """,
+)
+def training_corpus_prep(sf_dir: str):
+    """The composed END-TO-END training-data prep pipeline (the flagship
+    shape a user runs over 100 TB; CLI face: ``jobs/corpus_prep_job.py``):
+    quality gate (min length + Gopher duplicate-word rule, integer-exact)
+    → PII-style redaction (vectorized regex) → exact dedup on the REDACTED
+    text (hash-partition keep-min) → token/char accounting. ONE streaming
+    pass: the filter+redact stage fuses into a single map_batches, the only
+    shuffle is the dedup signature groupby, and rows never reach the
+    driver. Reference analog: the URP chain composed exactly like
+    solrconfig chains RegexReplace + Signature + LangDetect processors
+    ahead of the index sink."""
+    from apache___solr_ray.stages.dedup import exact_dedup
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def gate_redact(t: pa.Table) -> pa.Table:
+        toks = [simple_tokenize(x or "") for x in t.column("text").to_pylist()]
+        n = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+        nd = np.fromiter((len(set(x)) for x in toks), np.int64, count=len(toks))
+        keep = (n >= 10) & (10 * nd >= 5 * n)
+        t2 = t.filter(pa.array(keep))
+        red = pc.replace_substring_regex(
+            t2.column("text"), pattern="[0-9]+", replacement="#"
+        )
+        return pa.table(
+            {
+                "doc_id": t2.column("doc_id"),
+                "lang": t2.column("lang"),
+                "n_tokens": pa.array(n[keep]),
+                "n_chars_red": pc.utf8_length(red).cast(pa.int64()),
+                "red": red,
+            }
+        )
+
+    kept = exact_dedup(
+        ds.map_batches(gate_redact, batch_format="pyarrow"), "red", "doc_id"
+    )
+    return kept.select_columns(["doc_id", "lang", "n_tokens", "n_chars_red"])
+
+
+@q(
     "exact_substring_dup_stats",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
