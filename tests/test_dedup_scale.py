@@ -4,6 +4,7 @@ stage is the oracle; the LSH path is what runs at 100 TB). Similarity is
 3-gram-shingle Jaccard on both sides (the near_dup_components metric)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -216,3 +217,45 @@ def test_exact_substring_dup_stats_equals_brute(ray_session):
         assert got.loc[did, "n_dup_windows"] == nd, did
     # doc 3 is 12 'r' tokens: 5 windows, all the same gram -> all duplicated
     assert got.loc[3, "n_windows"] == 5 and got.loc[3, "n_dup_windows"] == 5
+
+
+def test_combine_partials_distributed_fallback_equals_driver(ray_session, monkeypatch):
+    """Above PARTIAL_DRIVER_COMBINE_MAX combine_partials takes the
+    grouped_map hash-shuffle plan (NOT Ray's sort Aggregate — measured
+    430 s at 3.4M partials); force the bound to 0 and assert the plan is
+    value-identical to the driver pandas combine, nulls included."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines import common
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 40, n),
+            "k2": rng.choice(["a", "b", None], n),
+            "v": rng.normal(size=n),
+            "w": rng.integers(0, 9, n).astype(float),
+        }
+    )
+    df.loc[df.index % 7 == 0, "v"] = np.nan
+    parts = ray.data.from_pandas(df).repartition(8)
+
+    def run():
+        return (
+            common.combine_partials(
+                parts,
+                ["k1", "k2"],
+                [Sum("v", alias_name="v"), Sum("w", alias_name="w")],
+                sum_cols=["v", "w"],
+            )
+            .to_pandas()
+            .sort_values(["k1", "k2"], na_position="last")
+            .reset_index(drop=True)
+        )
+
+    driver = run()
+    monkeypatch.setattr(common, "PARTIAL_DRIVER_COMBINE_MAX", 0)
+    dist = run()
+    pd.testing.assert_frame_equal(driver, dist, check_like=True)
