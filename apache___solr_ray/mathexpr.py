@@ -302,6 +302,31 @@ def eval_node(node, env: dict, col_fn):
         finally:
             _MC_OFFSET = 0
         return out
+    if node.name in ("latlonVectors", "termVectors"):
+        # named-parameter evaluators (field=/minTermLength=/minDocFreq=/
+        # maxDocFreq=/exclude=) — the generic path below is positional-only
+        if len(node.args) != 1:
+            raise MathExprError(f"{node.name} takes one tuple-list operand")
+        a = node.args[0]
+        if isinstance(a, str):
+            if a not in env:
+                raise MathExprError(f"unbound variable {a!r}")
+            tl = env[a]
+        else:
+            tl = eval_node(a, env, col_fn)
+        p = node.params
+        if node.name == "latlonVectors":
+            if "field" not in p:
+                raise MathExprError('latlonVectors requires field=')
+            return EVALS["latlonVectors"](tl, str(p["field"]))
+        excludes = tuple(s for s in str(p.get("exclude", "")).split(",") if s)
+        return EVALS["termVectors"](
+            tl,
+            p.get("minTermLength", 3),
+            p.get("minDocFreq", 0.05),
+            p.get("maxDocFreq", 0.5),
+            excludes,
+        )
     fn = EVALS.get(node.name)
     if fn is None:
         raise MathExprError(f"unknown evaluator {node.name!r}")
@@ -2327,3 +2352,102 @@ EVALS.update(
     }
 )
 _LITERAL_STR_FNS.update({"putCache", "getCache", "removeCache", "listCache", "cell"})
+
+
+# -- tuple-list evaluators (Lang.java val/pivot/latlonVectors/termVectors) --
+#
+# Reference: io/eval/RawValueEvaluator.java (val), PivotEvaluator.java
+# (pivot: tuple list -> labeled matrix), LatLonVectorsEvaluator.java
+# (field="lat,lon" strings -> n x 2 matrix), TermVectorsEvaluator.java
+# (docs with a terms list -> sqrt(tf) * (log((n+1)/(df+1)) + 1) TF-IDF
+# matrix with doc-frequency pruning). Tuple lists come from let()-bound
+# streams — streamexpr binds each stream variable as a lazy collector
+# (object-store blocks until an evaluator needs rows, LET_VECTOR_MAX cap).
+
+
+def _tuples(x, who: str):
+    if hasattr(x, "_as_tuples"):
+        x = x._as_tuples()
+    if not isinstance(x, list) or (x and not isinstance(x[0], dict)):
+        raise MathExprError(f"{who} expects a list of tuples (a let()-bound stream)")
+    if not x:
+        raise MathExprError(f"{who}: empty tuple list")
+    return x
+
+
+def _pivot(tuples, x, y, v):
+    tuples = _tuples(tuples, "pivot")
+    xs = sorted({str(t[x]) for t in tuples})  # reference uses TreeSet order
+    ys = sorted({str(t[y]) for t in tuples})
+    xi = {k: i for i, k in enumerate(xs)}
+    yi = {k: i for i, k in enumerate(ys)}
+    data = np.zeros((len(xs), len(ys)), dtype=np.float64)
+    for t in tuples:
+        data[xi[str(t[x])], yi[str(t[y])]] = float(t[v])
+    return _ParamArray(data, rowLabels=xs, colLabels=ys)
+
+
+def _latlon_vectors(tuples, field: str):
+    tuples = _tuples(tuples, "latlonVectors")
+    out = np.empty((len(tuples), 2), dtype=np.float64)
+    row_labels = []
+    for i, t in enumerate(tuples):
+        raw = str(t[field])
+        parts = raw.split(",") if "," in raw else raw.split(" ")
+        out[i, 0] = float(parts[0].strip())
+        out[i, 1] = float(parts[1].strip())
+        if t.get("id") is not None:
+            row_labels.append(str(t["id"]))
+    return _ParamArray(out, rowLabels=row_labels, colLabels=["lat", "lon"])
+
+
+def _term_vectors(tuples, min_term_length=3, min_doc_freq=0.05, max_doc_freq=0.5, excludes=()):
+    tuples = _tuples(tuples, "termVectors")
+    min_len = int(min_term_length)
+    doc_freqs: dict = {}
+    row_labels = []
+    doc_term_lists = []
+    for t in tuples:
+        terms = t.get("terms")
+        if terms is None:
+            raise MathExprError("termVectors: document tuples must contain a 'terms' field")
+        terms = list(terms)
+        row_labels.append(str(t.get("id")))
+        kept = [
+            w
+            for w in terms
+            if len(w) >= min_len and not any(e in w for e in excludes)
+        ]
+        doc_term_lists.append(kept)
+        for w in set(kept):
+            doc_freqs[w] = doc_freqs.get(w, 0) + 1
+    n = len(tuples)
+    lo, hi = int(n * float(min_doc_freq)), int(n * float(max_doc_freq))
+    feats = sorted(w for w, df in doc_freqs.items() if lo <= df <= hi)
+    fi = {w: i for i, w in enumerate(feats)}
+    dfv = np.array([doc_freqs[w] for w in feats], dtype=np.float64)
+    idf = np.log((n + 1) / (dfv + 1)) + 1.0
+    mat = np.zeros((n, len(feats)), dtype=np.float64)
+    for d, kept in enumerate(doc_term_lists):
+        for w in kept:
+            j = fi.get(w)
+            if j is not None:
+                mat[d, j] += 1.0
+    mat = np.sqrt(mat) * idf
+    return _ParamArray(
+        mat,
+        rowLabels=row_labels,
+        colLabels=feats,
+        docFreqs={w: int(doc_freqs[w]) for w in feats},
+    )
+
+
+EVALS.update(
+    {
+        "val": lambda x: x,  # RawValueEvaluator: the literal itself
+        "pivot": _pivot,
+        "latlonVectors": _latlon_vectors,
+        "termVectors": _term_vectors,
+    }
+)
+_LITERAL_STR_FNS.update({"val", "pivot"})

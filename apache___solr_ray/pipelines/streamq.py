@@ -911,3 +911,201 @@ _expr(
     FROM customer ORDER BY c_custkey ASC LIMIT 10
     """,
 )
+
+
+# -- Lang.java closing wave: the last registered names (round 5) ----------
+# calc/plot/zplot (CalculatorStream.java, PlotStream.java, ZplotStream.java),
+# recNum/val/pivot/latlonVectors/termVectors/memset (io/eval), distinct
+# (ops/DistinctOperation.java), model (ModelStream.java), stream (GetStream).
+
+_expr(
+    "stream_calc_expr",
+    """select(calc(), "add(1.5, 2.25) as s")""",
+    """SELECT CAST(3.75 AS DOUBLE) AS s""",
+)
+
+_expr(
+    "stream_val_expr",
+    """let(x=val(2.5), round(add(x, 0.25), 4))""",
+    """SELECT CAST(2.75 AS DOUBLE) AS result""",
+)
+
+_expr(
+    "stream_recnum_expr",
+    """select(search(events, q="event_type:error", fl="event_id,value",
+                     sort="event_id asc"),
+              "recNum() as rec", "event_id")""",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS rec,
+           event_id
+    FROM events WHERE event_type = 'error'
+    """,
+)
+
+_expr(
+    "stream_zplot_expr",
+    """let(a=col(search(events, q="event_type:error", fl="event_id,value",
+                        sort="event_id asc"), "value"),
+           zplot(x=sequence(length(a), 0, 1), y=precision(cumulativeSum(a), 4)))""",
+    """
+    WITH s AS (SELECT value, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events WHERE event_type = 'error')
+    SELECT CAST(rn - 1 AS DOUBLE) AS x,
+           floor(sum(value) OVER (ORDER BY rn) * 10000 + 0.5) / 10000 AS y
+    FROM s
+    """,
+)
+
+_expr(
+    "stream_pivot_expr",
+    """let(a=rollup(select(search(events, q="*:*", fl="event_type,user_id"),
+                           "event_type", "mod(user_id, 3) as bucket"),
+                    over="event_type,bucket", count(*)),
+           pivot(a, "event_type", "bucket", "count(*)"))""",
+    """
+    WITH g AS (SELECT event_type, user_id % 3 AS bucket,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM events GROUP BY 1, 2),
+         xs AS (SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS i
+                FROM (SELECT DISTINCT event_type FROM g)),
+         ys AS (SELECT bucket, row_number() OVER (ORDER BY bucket) - 1 AS j
+                FROM (SELECT DISTINCT bucket FROM g))
+    SELECT xs.i, ys.j, COALESCE(g.n, 0.0) AS value
+    FROM xs CROSS JOIN ys
+    LEFT JOIN g ON g.event_type = xs.event_type AND g.bucket = ys.bucket
+    """,
+)
+
+_expr(
+    "stream_memset_expr",
+    """let(m=memset(search(events, q="*:*", fl="event_id,value,user_id",
+                           sort="event_id asc"),
+                    cols="value,user_id", vars="a,b"),
+           round(corr(a, b), 6))""",
+    """
+    SELECT floor(corr(value, user_id) * 1000000 + 0.5) / 1000000 AS result
+    FROM events
+    """,
+)
+
+_expr(
+    "stream_latlon_expr",
+    """let(a=select(search(customer, q="*:*", fl="c_custkey,c_acctbal,c_nationkey",
+                           sort="c_custkey asc"),
+                    "c_custkey as id", "loc",
+                    concat(fields="c_acctbal,c_nationkey", as="loc", delim=",")),
+           latlonVectors(a, field="loc"))""",
+    """
+    WITH s AS (SELECT c_acctbal, CAST(c_nationkey AS DOUBLE) AS nk,
+                      row_number() OVER (ORDER BY c_custkey) - 1 AS rn
+               FROM customer)
+    SELECT rn AS i, CAST(0 AS BIGINT) AS j, c_acctbal AS value FROM s
+    UNION ALL
+    SELECT rn, CAST(1 AS BIGINT), nk FROM s
+    """,
+)
+
+_expr(
+    "stream_distinct_reduce_expr",
+    """reduce(search(events, q="*:*", fl="user_id,event_id",
+                     sort="user_id asc, event_id asc"),
+              by="user_id", distinct())""",
+    """
+    SELECT user_id, min(event_id) AS event_id, CAST(1 AS BIGINT) AS groupSize
+    FROM events GROUP BY user_id
+    """,
+)
+
+
+def _plot_entry(sf_dir: str):
+    """PlotStream: one tuple, plot type + [x, y] pair list (nested list
+    column — no relational oracle; pair values are pytest-pinned)."""
+    return stream_expr(
+        sf_dir,
+        """let(a=col(search(events, q="event_type:error", fl="event_id,value",
+                            sort="event_id asc"), "value"),
+               plot(type="scatter", y=movingAvg(a, 5)))""",
+    )
+
+
+_plot_entry.__name__ = "stream_plot_expr"
+QUERIES["stream_plot_expr"] = _plot_entry
+
+
+def _model_entry(sf_dir: str):
+    """ModelStream: train() -> update(models collection) -> model() fetches
+    the highest-iteration tuples (the reference's 'latest cached model').
+    Iterative logistic training has no SQL oracle; invariants are
+    pytest-gated (tests/test_textml.py) and the fetch contract here."""
+    stream_expr(
+        sf_dir,
+        """update(q_models, train(documents,
+                 featuresSelection(documents, q="*:*", field="text",
+                                   outcome="lang", positiveLabel="en", numTerms=15),
+                 q="*:*", field="text", outcome="lang", positiveLabel="en",
+                 maxIterations=3))""",
+    ).materialize()
+    return stream_expr(sf_dir, "model(q_models)")
+
+
+_model_entry.__name__ = "stream_model_expr"
+QUERIES["stream_model_expr"] = _model_entry
+
+
+def _termvectors_entry(sf_dir: str):
+    """TermVectorsEvaluator (reference io/eval/TermVectorsEvaluator.java:
+    docs with a terms list -> sqrt(tf) * (ln((n+1)/(df+1)) + 1) TF-IDF
+    matrix, features pruned to df in [floor(n*minDocFreq),
+    floor(n*maxDocFreq)] and term length >= minTermLength, feature columns
+    sorted). The evaluator is bounded in-memory math (a let()-context
+    tuple list, LET_VECTOR_MAX contract); the lang=de analysis subset is
+    collected like any col() vector, tokenized with the engine analyzer's
+    simple_tokenize (== the oracle's regexp_split_to_array)."""
+    import numpy as np
+    import ray
+
+    import pyarrow.compute as _pc
+
+    from apache___solr_ray import mathexpr
+    from apache___solr_ray.analyze import simple_tokenize
+    from apache___solr_ray.sources import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("lang"), "de")),
+        batch_format="pyarrow",
+    )
+    pdf = ds.select_columns(["doc_id", "text"]).to_pandas().sort_values("doc_id")
+    tuples = [
+        {"id": int(r.doc_id), "terms": simple_tokenize(r.text or "")}
+        for r in pdf.itertuples()
+    ]
+    m = mathexpr.EVALS["termVectors"](tuples, 3, 0.02, 0.8)
+    rounded = np.floor(np.asarray(m) * 1_000_000 + 0.5) / 1_000_000
+    return ray.data.from_arrow(mathexpr.result_to_table(rounded))
+
+
+_termvectors_entry.__name__ = "stream_termvectors_tfidf"
+QUERIES["stream_termvectors_tfidf"] = _termvectors_entry
+ORACLE["stream_termvectors_tfidf"] = """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE lang = 'de'),
+         n AS (SELECT count(*) AS nd FROM docs),
+         toks AS (SELECT doc_id,
+                         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                            x -> x <> '')) AS term
+                  FROM docs),
+         toks3 AS (SELECT * FROM toks WHERE length(term) >= 3),
+         dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks3 GROUP BY term),
+         feats AS (SELECT term, df, row_number() OVER (ORDER BY term) - 1 AS j
+                   FROM dfs, n
+                   WHERE df BETWEEN CAST(floor(nd * 0.02) AS BIGINT)
+                                AND CAST(floor(nd * 0.8) AS BIGINT)),
+         drows AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i FROM docs),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM toks3 GROUP BY doc_id, term)
+    SELECT drows.i, feats.j,
+           floor(COALESCE(sqrt(tf.tf) * (ln((n.nd + 1) / CAST(feats.df + 1 AS DOUBLE)) + 1),
+                          0) * 1000000 + 0.5) / 1000000 AS value
+    FROM drows CROSS JOIN feats CROSS JOIN n
+    LEFT JOIN tf ON tf.doc_id = drows.doc_id AND tf.term = feats.term
+"""

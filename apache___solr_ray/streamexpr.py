@@ -388,6 +388,17 @@ def _op_select(node: Node, sf_dir: str):
             raise StreamExprError("select() fields must be strings")
         m = re.match(r"^(.*?)(?:\s+as\s+(\w+))?$", a.strip(), re.IGNORECASE)
         src = m.group(1).strip()
+        if re.fullmatch(r"recNum\(\s*\)", src):
+            # RecNumEvaluator: 0-based record number in the stream's sort
+            # order — attach it once, then project it like a plain column
+            if not sort:
+                raise StreamExprError(
+                    "recNum() needs the inner stream to declare sort= (record "
+                    "order is the sort contract)"
+                )
+            ds = _attach_recnum(ds, sort)
+            pairs.append(("recNum()", m.group(2) or "recNum()"))
+            continue
         expr = _parse_value_expr(src)
         if not isinstance(expr, str) and m.group(2) is None:
             raise StreamExprError(f"computed select field {a!r} needs 'as <name>'")
@@ -1070,25 +1081,74 @@ def _op_parallel(node: Node, sf_dir: str):
 LET_VECTOR_MAX = 10_000_000
 
 
-def _op_let(node: Node, sf_dir: str):
-    """Math expressions (reference ``LetStream.java`` + the ``io/eval/``
-    evaluator pack; guide ``math-expressions.adoc``): bind variables in
-    declared order — ``col(stream, field)`` collects ONE column of a
-    compiled (distributed) stream under LET_VECTOR_MAX — then evaluate the
-    final expression via apache___solr_ray.mathexpr and emit the result as
-    a tuple stream."""
-    import ray
+class _LazyTuples:
+    """A let()-bound stream exposed to the tuple-list evaluators (pivot/
+    latlonVectors/termVectors — reference ``LetStream.java`` holds bound
+    streams in memory as tuple lists). The Dataset's blocks stay in the
+    object store until an evaluator actually asks for rows; collection is
+    capped by LET_VECTOR_MAX like col()."""
 
-    from apache___solr_ray import mathexpr
+    def __init__(self, mds, srt):
+        self._mds, self._srt, self._rows = mds, srt, None
+
+    def _as_tuples(self):
+        if self._rows is None:
+            n = self._mds.count()
+            if n > LET_VECTOR_MAX:
+                raise StreamExprError(
+                    f"let() stream binding has {n} rows (> LET_VECTOR_MAX); "
+                    "tuple-list evaluators are bounded in-memory state"
+                )
+            mds = self._mds
+            if self._srt:
+                mds = mds.sort(
+                    [c for c, _ in self._srt], descending=[d for _, d in self._srt]
+                )
+            self._rows = mds.to_pandas().to_dict("records")
+        return self._rows
+
+
+def _bind_memset(v: Node, env: dict, sf_dir: str) -> dict:
+    """MemsetEvaluator (reference ``io/eval/MemsetEvaluator.java:40-115``):
+    read ONE stream, copy ``cols`` into vectors bound as ``vars`` (visible
+    to the rest of the let() like any other variable); ``size`` truncates.
+    Returns the var->vector map (the binding name itself holds the map)."""
+    if not v.args or not isinstance(v.args[0], Node):
+        raise StreamExprError("memset(stream, cols=, vars=) expected")
+    cols = [c.strip() for c in v.params.get("cols", "").split(",") if c.strip()]
+    vars_ = [c.strip() for c in v.params.get("vars", "").split(",") if c.strip()]
+    if not cols or len(cols) != len(vars_):
+        raise StreamExprError("memset: cols and vars lists must be the same size")
+    mds, msort = _compile(v.args[0], sf_dir)
+    if msort:
+        mds = mds.sort([c for c, _ in msort], descending=[d for _, d in msort])
+    mds = mds.select_columns(cols).materialize()
+    n = mds.count()
+    if n > LET_VECTOR_MAX:
+        raise StreamExprError(f"memset: stream has {n} rows (> LET_VECTOR_MAX)")
+    pdf = mds.to_pandas()
+    if "size" in v.params:
+        pdf = pdf.head(int(v.params["size"]))
+    bound = {}
+    for c, var in zip(cols, vars_):
+        vec = pdf[c].to_numpy(dtype=np.float64)
+        env[var] = vec
+        bound[var] = vec
+    return bound
+
+
+def _make_col_fn(sf_dir: str):
+    """col(stream, "field") resolver shared by let()/plot()/zplot().
+
+    NOTE pairing determinism: a col() WITHOUT sort= collects in the
+    executor's block-completion order, which is NOT guaranteed stable
+    across runs. Order-insensitive evaluators (mean/percentile/
+    describe/hist/ttest) are safe either way; PAIRING-sensitive ones
+    (corr/cov/regress, and any vector result indexed by i) must draw
+    every col() from a stream with a declared sort= (the reference's
+    streams always carry a sort contract for the same reason)."""
 
     def col_fn(cnode: Node):
-        """NOTE pairing determinism: a col() WITHOUT sort= collects in the
-        executor's block-completion order, which is NOT guaranteed stable
-        across runs. Order-insensitive evaluators (mean/percentile/
-        describe/hist/ttest) are safe either way; PAIRING-sensitive ones
-        (corr/cov/regress, and any vector result indexed by i) must draw
-        every col() from a stream with a declared sort= (the reference's
-        streams always carry a sort contract for the same reason)."""
         if len(cnode.args) < 2 or not isinstance(cnode.args[0], Node) or not isinstance(cnode.args[1], str):
             raise StreamExprError('col(stream, "field") expected')
         cds, csort = _compile(cnode.args[0], sf_dir)
@@ -1104,12 +1164,30 @@ def _op_let(node: Node, sf_dir: str):
             )
         return cds.to_pandas()[fldname].to_numpy(dtype=np.float64)
 
+    return col_fn
+
+
+def _op_let(node: Node, sf_dir: str):
+    """Math expressions (reference ``LetStream.java`` + the ``io/eval/``
+    evaluator pack; guide ``math-expressions.adoc``): bind variables in
+    declared order — ``col(stream, field)`` collects ONE column of a
+    compiled (distributed) stream under LET_VECTOR_MAX — then evaluate the
+    final expression via apache___solr_ray.mathexpr and emit the result as
+    a tuple stream."""
+    import ray
+
+    from apache___solr_ray import mathexpr
+
+    col_fn = _make_col_fn(sf_dir)
     env: dict = {}
     scope: dict = {}
     _LET_SCOPES.append(scope)
+    _LET_ENVS.append(env)
     try:
         for k, v in node.params.items():
-            if (
+            if isinstance(v, Node) and v.name == "memset":
+                env[k] = _bind_memset(v, env, sf_dir)
+            elif (
                 isinstance(v, Node)
                 and v.name in _OPS
                 and v.name not in set(mathexpr.EVALS) | {"tuple", "col"}
@@ -1117,9 +1195,12 @@ def _op_let(node: Node, sf_dir: str):
                 # stream variable (LetStream binds TupleStreams too; the
                 # reference holds the tuples in memory — materialize keeps
                 # the blocks in the object store instead, and get() re-emits
-                # them without recomputing)
+                # them without recomputing; tuple-list evaluators see the
+                # same binding lazily via _LazyTuples)
                 ds, srt = _compile(v, sf_dir)
-                scope[k] = (ds.materialize(), srt)
+                mds = ds.materialize()
+                scope[k] = (mds, srt)
+                env[k] = _LazyTuples(mds, srt)
             elif isinstance(v, Node):
                 env[k] = mathexpr.eval_node(v, env, col_fn)
             else:
@@ -1140,10 +1221,13 @@ def _op_let(node: Node, sf_dir: str):
         return ray.data.from_arrow(mathexpr.result_to_table(res)), None
     finally:
         _LET_SCOPES.pop()
+        _LET_ENVS.pop()
 
 
 #: let()-bound stream variables, innermost scope last (GetStream reads them)
 _LET_SCOPES: list[dict] = []
+#: let() variable environments, innermost last (plot()/zplot() read them)
+_LET_ENVS: list[dict] = []
 
 
 def _op_get(node: Node, sf_dir: str):
@@ -1176,14 +1260,25 @@ def _op_reduce(node: Node, sf_dir: str):
     by = [c.strip() for c in node.params.get("by", "").split(",") if c.strip()]
     if not by:
         raise StreamExprError("reduce() requires by=")
-    gops = [a for a in node.args[1:] if isinstance(a, Node) and a.name == "group"]
+    gops = [
+        a for a in node.args[1:] if isinstance(a, Node) and a.name in ("group", "distinct")
+    ]
     if len(gops) != 1:
-        raise StreamExprError("reduce() needs one group(sort=, n=) operation")
-    gsort = _parse_sort(gops[0].params.get("sort", ""))
-    if not gsort:
-        raise StreamExprError("group() requires sort=")
-    n = int(gops[0].params.get("n", "1"))
-    ds, _ = _compile(node.args[0], sf_dir)
+        raise StreamExprError(
+            "reduce() needs one group(sort=, n=) or distinct() operation"
+        )
+    ds, inner_sort = _compile(node.args[0], sf_dir)
+    if gops[0].name == "distinct":
+        # DistinctOperation (reference ops/DistinctOperation.java): keep the
+        # FIRST tuple per by-group in stream order — the inner stream's sort
+        # contract, or the by-fields ascending when none is declared
+        gsort = inner_sort or [(c, False) for c in by]
+        n = 1
+    else:
+        gsort = _parse_sort(gops[0].params.get("sort", ""))
+        if not gsort:
+            raise StreamExprError("group() requires sort=")
+        n = int(gops[0].params.get("n", "1"))
 
     def head_per_group(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -1381,6 +1476,162 @@ def _op_tuple(node: Node, sf_dir: str):
         except ValueError:
             cols[k] = pa.array([str(v)])
     return ray.data.from_arrow(pa.table(cols)), None
+
+
+def _op_calc(node: Node, sf_dir: str):
+    """CalculatorStream (reference ``CalculatorStream.java:82-90``): emits
+    exactly one tuple so select() can evaluate pure math with no collection
+    scan. The placeholder field is dropped by select()'s projection."""
+    import ray
+
+    return ray.data.from_arrow(pa.table({"calc": pa.array([1])})), None
+
+
+def _eval_viz_param(v, env, col_fn):
+    """plot()/zplot() named-parameter resolver: evaluator expression,
+    let()-bound variable name, or numeric/string literal (the reference's
+    PlotStream.java:161-210 resolves params against the let context the
+    same way)."""
+    from apache___solr_ray import mathexpr
+
+    if isinstance(v, Node):
+        try:
+            return mathexpr.eval_node(v, env, col_fn)
+        except mathexpr.MathExprError as e:
+            raise StreamExprError(str(e)) from None
+    if isinstance(v, str):
+        if v in env:
+            return env[v]
+        try:
+            return float(v) if "." in v else int(v)
+        except ValueError:
+            return v
+    return v
+
+
+def _op_plot(node: Node, sf_dir: str):
+    """PlotStream (reference ``PlotStream.java:161-210``): one tuple with
+    ``plot`` = the plot type and ``data`` = the [x, y] pair list; when x=
+    is omitted the reference numbers the points 1..n."""
+    import ray
+
+    env = _LET_ENVS[-1] if _LET_ENVS else {}
+    col_fn = _make_col_fn(sf_dir)
+    y = _eval_viz_param(node.params.get("y"), env, col_fn) if "y" in node.params else None
+    if y is None:
+        raise StreamExprError("plot() requires y= (a vector)")
+    y = np.asarray(y, dtype=np.float64)
+    if "x" in node.params:
+        x = np.asarray(_eval_viz_param(node.params["x"], env, col_fn), dtype=np.float64)
+    else:
+        x = np.arange(1, len(y) + 1, dtype=np.float64)
+    if len(x) != len(y):
+        raise StreamExprError("plot(): x and y lengths differ")
+    typ = str(node.params.get("type", "scatter"))
+    data = pa.array([np.stack([x, y], axis=1).tolist()], pa.list_(pa.list_(pa.float64())))
+    return ray.data.from_arrow(pa.table({"plot": pa.array([typ]), "data": data})), None
+
+
+def _op_zplot(node: Node, sf_dir: str):
+    """ZplotStream (reference ``ZplotStream.java:116-220``, vectors case):
+    every named parameter evaluates to an equal-length vector; one tuple
+    per index with the parameter names as fields. The table=/dist=/
+    clusters=/heat= Zeppelin shapes are visualization-host plumbing and
+    raise here."""
+    import ray
+
+    env = _LET_ENVS[-1] if _LET_ENVS else {}
+    col_fn = _make_col_fn(sf_dir)
+    cols = {}
+    for name, v in node.params.items():
+        if name in ("table", "dist", "clusters", "heat"):
+            raise StreamExprError(f"zplot: {name}= is Zeppelin plumbing; pass vectors")
+        vec = np.asarray(_eval_viz_param(v, env, col_fn), dtype=np.float64)
+        if vec.ndim != 1:
+            raise StreamExprError(f"zplot: {name}= must evaluate to a vector")
+        cols[name] = vec
+    if not cols:
+        raise StreamExprError("zplot() needs >= 1 vector params")
+    n = {len(v) for v in cols.values()}
+    if len(n) != 1:
+        raise StreamExprError("zplot: all vectors must have the same length")
+    return ray.data.from_arrow(pa.table({k: pa.array(v) for k, v in cols.items()})), None
+
+
+def _op_model(node: Node, sf_dir: str):
+    """ModelStream (reference ``ModelStream.java``: fetch the latest stored
+    model by id from a models collection). train()/textLogit() emits
+    per-iteration model tuples and update() stores them as a collection;
+    model(collection, id=...) reads that stored collection (falling back
+    to an sf_dir table of the same name), filters to the requested model
+    id when the column exists, and emits the highest-iteration tuples —
+    the reference's 'latest cached model' contract."""
+    import os
+
+    import ray
+
+    from apache___solr_ray.sources import load
+
+    if not node.args or not isinstance(node.args[0], str):
+        raise StreamExprError("model(collection, ...) expected")
+    coll = node.args[0]
+    stored = os.path.join(_STREAM_UPDATES_DIR, coll)
+    if os.path.isdir(stored):
+        ds = ray.data.read_parquet(stored)
+    else:
+        ds = load(sf_dir, coll)
+    names = ds.schema().names
+    mid = node.params.get("id")
+    if mid is not None:
+        for c in ("id_s", "id", "name_s", "name"):
+            if c in names:
+                ds = ds.map_batches(
+                    lambda t, _c=c, _v=str(mid): t.filter(
+                        pc.equal(pc.cast(t.column(_c), pa.string()), _v)
+                    ),
+                    batch_format="pyarrow",
+                )
+                break
+    if "iteration" in names:
+        last = ds.max("iteration")
+        ds = ds.map_batches(
+            lambda t, _it=last: t.filter(pc.equal(t.column("iteration"), _it)),
+            batch_format="pyarrow",
+        )
+    return ds, None
+
+
+def _attach_recnum(ds, sort):
+    """RecNumEvaluator (reference ``io/eval/RecNumEvaluator.java``): the
+    0-based record number in stream order. The stream's sort contract IS
+    the order; after one Ray sort the materialized blocks are globally
+    ordered, so per-block offsets come from block METADATA (num_rows —
+    no block is read on the driver) and each block numbers itself in a
+    task."""
+    import ray
+
+    sds = ds.sort([c for c, _ in sort], descending=[d for _, d in sort]).materialize()
+    refs, counts = [], []
+    for b in sds.iter_internal_ref_bundles():
+        for ref, meta in b.blocks:
+            nr = meta.num_rows
+            if nr is None:  # pragma: no cover - materialized blocks carry counts
+                nr = len(ray.get(ref))
+            refs.append(ref)
+            counts.append(int(nr))
+    if not refs:
+        return sds
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    @ray.remote
+    def _add(tbl, off):
+        return tbl.append_column(
+            "recNum()", pa.array(np.arange(off, off + tbl.num_rows, dtype=np.int64))
+        )
+
+    return ray.data.from_arrow_refs(
+        [_add.remote(r, int(o)) for r, o in zip(refs, offs)]
+    )
 
 
 def _op_random(node: Node, sf_dir: str):
@@ -2154,6 +2405,11 @@ _OPS = {
     "null": _op_null,
     "tuple": _op_tuple,
     "random": _op_random,
+    "calc": _op_calc,
+    "plot": _op_plot,
+    "zplot": _op_zplot,
+    "model": _op_model,
+    "stream": _op_get,  # Lang.java: stream -> GetStream (re-emit a let() binding)
     "update": _op_update,
     "delete": _op_delete,
     "commit": _op_commit,

@@ -599,3 +599,45 @@ def test_object_cache_roundtrip_and_cell():
         mx.eval_node(parse_stream_expr('getCache("sp", "k")'), {}, None)
     cellv = mx.eval_node(parse_stream_expr('cell("named", array(7, 8))'), {}, None)
     assert list(cellv) == ["named"] and list(cellv["named"]) == [7.0, 8.0]
+
+
+def test_val_pivot_latlon_termvectors_evaluators():
+    import numpy as np
+
+    from apache___solr_ray import mathexpr
+
+    assert mathexpr.EVALS["val"](7) == 7
+    assert mathexpr.EVALS["val"]("raw") == "raw"
+
+    tl = [
+        {"x": "b", "y": "q", "v": 2.0},
+        {"x": "a", "y": "p", "v": 1.0},
+        {"x": "a", "y": "q", "v": 3.0},
+    ]
+    m = mathexpr.EVALS["pivot"](tl, "x", "y", "v")
+    assert m.meta["rowLabels"] == ["a", "b"] and m.meta["colLabels"] == ["p", "q"]
+    assert np.allclose(m, [[1.0, 3.0], [0.0, 2.0]])
+
+    ll = mathexpr.EVALS["latlonVectors"](
+        [{"loc": "1.5, 2.5", "id": 7}, {"loc": "3 4", "id": 8}], "loc"
+    )
+    assert np.allclose(ll, [[1.5, 2.5], [3.0, 4.0]])
+    assert ll.meta["rowLabels"] == ["7", "8"]
+
+    # reference formula: sqrt(tf) * (ln((n+1)/(df+1)) + 1); df window
+    # [floor(n*minDf), floor(n*maxDf)]; features sorted; length filter
+    docs = [
+        {"id": 1, "terms": ["hello", "hello", "world", "xy"]},
+        {"id": 2, "terms": ["world", "foo"]},
+    ]
+    tv = mathexpr.EVALS["termVectors"](docs, 3, 0.0, 1.0)
+    assert tv.meta["colLabels"] == ["foo", "hello", "world"]
+    n = 2
+    want_hello = np.sqrt(2) * (np.log((n + 1) / 2) + 1)
+    want_world = 1.0 * (np.log((n + 1) / 3) + 1)
+    assert abs(tv[0][tv.meta["colLabels"].index("hello")] - want_hello) < 1e-12
+    assert abs(tv[0][tv.meta["colLabels"].index("world")] - want_world) < 1e-12
+    assert tv.meta["docFreqs"] == {"foo": 1, "hello": 1, "world": 2}
+    # df pruning: world (df=2) alone survives [2, 2]
+    tv2 = mathexpr.EVALS["termVectors"](docs, 3, 1.0, 1.0)
+    assert tv2.meta["colLabels"] == ["world"]

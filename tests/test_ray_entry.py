@@ -7,6 +7,7 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -48,7 +49,19 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(float)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # nested list/array cells (e.g. plot() data pairs) are unsortable keys
+    sortable = [
+        c
+        for c in df.columns
+        if not (
+            df[c].dtype == object
+            and len(df)
+            and isinstance(df[c].iloc[0], (list, dict, np.ndarray))
+        )
+    ]
+    if not sortable:
+        return df.reset_index(drop=True)
+    return df.sort_values(sortable).reset_index(drop=True)
 
 
 @pytest.fixture(scope="module")

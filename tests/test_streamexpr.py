@@ -586,3 +586,127 @@ def test_select_concat_operation_nulls(ray_session):
     finally:
         se._OPS["echo"] = orig
     assert list(out["j"]) == ["x_1", "_2"]
+
+
+# -- Lang.java closing wave (round 5): calc/plot/zplot/model/stream,
+#    recNum/val/pivot/latlonVectors/termVectors/memset, distinct() --------
+
+
+def test_lang_name_registry_complete():
+    """Every Lang.java withFunctionName registration has an engine-side
+    binding (the rollup metrics and select()/reduce() operations are
+    grammar positions, not top-level ops)."""
+    from apache___solr_ray import mathexpr
+    from apache___solr_ray import streamexpr as se
+
+    newly = {"calc", "plot", "zplot", "model", "stream"}
+    assert newly <= set(se._OPS)
+    assert {"val", "pivot", "latlonVectors", "termVectors"} <= set(mathexpr.EVALS)
+
+
+def test_calc_single_tuple_select(ray_session):
+    df = stream_expr(SF, 'select(calc(), "add(2, 3) as s")').to_pandas()
+    assert len(df) == 1 and float(df["s"][0]) == 5.0
+
+
+def test_recnum_global_order_across_blocks(ray_session):
+    df = stream_expr(
+        SF,
+        'select(search(events, q="*:*", fl="event_id,value", sort="event_id asc"),'
+        ' "recNum() as rec", "event_id")',
+    ).to_pandas()
+    df = df.sort_values("event_id").reset_index(drop=True)
+    assert list(df["rec"]) == list(range(len(df)))
+    with pytest.raises(StreamExprError, match="sort"):
+        stream_expr(
+            SF, 'select(search(events, q="*:*", fl="event_id"), "recNum() as r")'
+        )
+
+
+def test_reduce_distinct_equals_group_head(ray_session):
+    a = stream_expr(
+        SF,
+        'reduce(search(events, q="*:*", fl="user_id,event_id",'
+        ' sort="user_id asc, event_id asc"), by="user_id", distinct())',
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    b = stream_expr(
+        SF,
+        'reduce(search(events, q="*:*", fl="user_id,event_id",'
+        ' sort="user_id asc"), by="user_id", group(sort="event_id asc", n=1))',
+    ).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert a[["user_id", "event_id"]].equals(b[["user_id", "event_id"]])
+    assert (a["groupSize"] == 1).all()
+
+
+def test_memset_binds_vars_and_size(ray_session):
+    df = stream_expr(
+        SF,
+        'let(m=memset(search(events, q="*:*", fl="event_id,value",'
+        ' sort="event_id asc"), cols="value", vars="a", size=5),'
+        ' sumf(a))',
+    ).to_pandas()
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT sum(value) FROM (SELECT value FROM read_parquet('{SF}/events.parquet')"
+        " ORDER BY event_id LIMIT 5)"
+    ).fetchone()[0]
+    assert abs(float(df["result"][0]) - want) < 1e-9
+
+
+def test_zplot_vectors_and_errors(ray_session):
+    df = stream_expr(
+        SF,
+        'let(a=col(search(events, q="event_type:error", fl="event_id,value",'
+        ' sort="event_id asc"), "value"),'
+        ' zplot(x=sequence(length(a), 0, 1), y=cumulativeSum(a)))',
+    ).to_pandas()
+    assert list(df.columns) == ["x", "y"]
+    assert df["x"].iloc[0] == 0.0 and len(df) > 1
+    with pytest.raises(StreamExprError, match="Zeppelin|vector"):
+        stream_expr(SF, "zplot(dist=normalDistribution(0, 1))")
+
+
+def test_plot_pairs_and_default_x(ray_session):
+    df = stream_expr(
+        SF, "let(a=array(5, 7, 9), plot(type=line, y=a))"
+    ).to_pandas()
+    assert df["plot"][0] == "line"
+    assert [list(p) for p in df["data"][0]] == [[1.0, 5.0], [2.0, 7.0], [3.0, 9.0]]
+
+
+def test_stream_alias_reemits_let_binding(ray_session):
+    df = stream_expr(
+        SF,
+        'let(s=search(events, q="event_type:error", fl="event_id",'
+        ' sort="event_id asc"), stream(s))',
+    ).to_pandas()
+    assert len(df) > 0 and "event_id" in df.columns
+
+
+def test_model_fetches_latest_iteration(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    import apache___solr_ray.streamexpr as se
+
+    t = pa.table(
+        {
+            "term": ["a", "b", "a", "b"],
+            "weight": [0.1, 0.2, 0.3, 0.4],
+            "iteration": [1, 1, 2, 2],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    orig = se._OPS["echo"]
+    se._OPS["echo"] = lambda n, s: (ds, None)
+    try:
+        out = stream_expr(SF, "update(tmodels, echo(z))").to_pandas()
+        assert out["batchIndexed"][0] == 4.0
+    finally:
+        se._OPS["echo"] = orig
+    got = stream_expr(SF, "model(tmodels)").to_pandas()
+    assert sorted(got["term"]) == ["a", "b"]
+    assert (got["iteration"] == 2).all()
+    assert sorted(np.round(got["weight"], 6)) == [0.3, 0.4]
