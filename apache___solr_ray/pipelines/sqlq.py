@@ -312,3 +312,52 @@ _sql(
     ORDER BY bucket
     """,
 )
+
+# -- round-5 closing: WITH (non-recursive CTEs) + derived tables ----------
+# (sql.py WithQuery: definitions compile on demand, memoized per
+# statement, materialized once however many FROMs reference them)
+
+_sql(
+    "sql_cte_group",
+    """
+    WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                 WHERE o_totalprice > 100000)
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM big GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey LIMIT 20
+    """,
+)
+
+_sql(
+    "sql_cte_join_reuse",
+    """
+    WITH f AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderstatus = 'F'),
+         names AS (SELECT c_custkey, c_name FROM customer)
+    SELECT c_name, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM f JOIN names ON o_custkey = c_custkey
+    GROUP BY c_name
+    ORDER BY revenue DESC, c_name LIMIT 15
+    """,
+)
+
+_sql(
+    "sql_derived_table_agg",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_cust,
+           floor(avg(n) * 10000 + 0.5) / 10000 AS avg_orders,
+           CAST(max(n) AS BIGINT) AS max_orders
+    FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) t
+    """,
+)
+
+_sql(
+    "sql_cte_union_distinct",
+    """
+    WITH u AS (SELECT c_nationkey AS k FROM customer
+               UNION SELECT s_nationkey FROM supplier)
+    SELECT CAST(count(*) AS BIGINT) AS n FROM u
+    """,
+)

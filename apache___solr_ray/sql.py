@@ -37,6 +37,11 @@ Dialect (documented subset — everything else raises ``SqlError``):
   body (UNION [ALL] body)+ folds left-associatively (plain UNION dedupes
         the accumulated result with one groupby); the trailing
         ORDER BY/LIMIT/OFFSET applies to the whole union
+  WITH name AS (query) [, ...] query  -- non-recursive CTEs; FROM
+        (SELECT ...) alias derived tables are anonymous definitions on
+        the same machinery. Definitions compile on demand (first FROM
+        reference), materialize once and memoize per statement; cycles
+        raise.
   WHERE-clause subqueries: e [NOT] IN (SELECT ...), [NOT] EXISTS
         (one equality correlation decorrelates to a semi-join),
         scalar (SELECT ...) folds to a literal
@@ -253,6 +258,18 @@ class UnionQuery:
     offset: int
 
 
+@dataclass
+class WithQuery:
+    """``WITH name AS (query) [, ...] query`` — non-recursive CTEs, plus
+    the anonymous definitions synthesized for derived tables
+    (``FROM (SELECT ...) alias``). Definitions compile ON DEMAND (a rel is
+    materialized the first time a FROM references it, memoized for reuse),
+    so declaration order doesn't constrain reference order; cycles raise."""
+
+    defs: list  # [(name, Query | UnionQuery)]
+    main: object  # Query | UnionQuery
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -270,7 +287,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "where", "group", "by", "having", "order",
     "limit", "as", "and", "or", "not", "in", "like", "is", "null", "between",
     "cast", "asc", "desc", "join", "inner", "left", "outer", "on",
-    "case", "when", "then", "else", "end", "exists", "union", "all",
+    "case", "when", "then", "else", "end", "exists", "union", "all", "with",
 }
 
 
@@ -374,13 +391,31 @@ class _Parser:
 
     # -- grammar ------------------------------------------------------------
     def parse(self) -> Query:
+        self._defs: list = []
+        if self.eat_kw("with"):
+            while True:
+                typ, name = self.next()
+                if typ != "id":
+                    raise SqlError("expected CTE name after WITH")
+                self.expect_kw("as")
+                self.expect_op("(")
+                self._defs.append((name, self._query_expr()))
+                self.expect_op(")")
+                if not self.eat_op(","):
+                    break
+        q = self._query_expr()
+        if self.peek() != (None, None):
+            raise SqlError(f"unexpected trailing tokens: {self.peek()}")
+        if self._defs:
+            return WithQuery(list(self._defs), q)
+        return q
+
+    def _query_expr(self) -> Query:
         q = self._parse_body()
         links = []
         while self.eat_kw("union"):
             is_all = self.eat_kw("all")
             links.append((is_all, self._parse_body()))
-        if self.peek() != (None, None):
-            raise SqlError(f"unexpected trailing tokens: {self.peek()}")
         if not links:
             return q
         last = links[-1][1]
@@ -403,8 +438,22 @@ class _Parser:
         while self.eat_op(","):
             items.append(self.select_item())
         self.expect_kw("from")
-        table = self.ident()
-        table_alias = self.table_alias()
+        if self.at_op("("):
+            # derived table: FROM (SELECT ...) alias — synthesized as an
+            # anonymous WITH definition under the alias name
+            self.i += 1
+            sub = self._query_expr()
+            self.expect_op(")")
+            alias = self.table_alias()
+            if not alias:
+                raise SqlError("derived table needs an alias: FROM (SELECT ...) name")
+            if not hasattr(self, "_defs"):
+                self._defs = []
+            self._defs.append((alias, sub))
+            table, table_alias = alias, alias
+        else:
+            table = self.ident()
+            table_alias = self.table_alias()
         joins = []
         while True:
             j = self.join_clause()
@@ -1012,11 +1061,63 @@ def _item_name(item: Item) -> str:
 SQL_BROADCAST_MAX = 2_000_000
 
 
+#: in-flight WITH/derived-table definitions, innermost statement last:
+#: {name: [node, compiled_Dataset_or_None_or_"__compiling__"]}
+_REL_DEFS: list[dict] = []
+
+
+def _resolve_rel(sf_dir: str, name: str):
+    """Return the materialized Dataset for a WITH/derived-table name, or
+    None for a plain parquet table. Definitions compile on first use and
+    memoize (one execution per statement however many FROMs reference it);
+    the marker value catches circular references."""
+    for frame in reversed(_REL_DEFS):
+        if name in frame:
+            slot = frame[name]
+            if slot[1] == "__compiling__":
+                raise SqlError(f"circular WITH reference: {name!r}")
+            if slot[1] is None:
+                slot[1] = "__compiling__"
+                node = slot[0]
+                fn = _compile_union if isinstance(node, UnionQuery) else _compile_query
+                slot[1] = fn(sf_dir, node).materialize()
+            return slot[1]
+    return None
+
+
+def _load_rel(sf_dir: str, table: str, columns=None):
+    """FROM-relation loader: WITH/derived definitions resolve to their
+    materialized Datasets (column-pruned by select_columns); everything
+    else is the pruned parquet read."""
+    ds = _resolve_rel(sf_dir, table)
+    if ds is None:
+        from apache___solr_ray.sources import load
+
+        return load(sf_dir, table, columns=columns)
+    return ds.select_columns(list(columns)) if columns else ds
+
+
+def _load_rel_arrow(sf_dir: str, table: str, columns=None) -> pa.Table:
+    ds = _resolve_rel(sf_dir, table)
+    if ds is None:
+        from apache___solr_ray.sources import load_arrow
+
+        return load_arrow(sf_dir, table, columns=columns)
+    import ray
+
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+
+
 def _table_schema_names(sf_dir: str, table: str) -> list[str]:
     import os
 
     import pyarrow.parquet as pq
 
+    ds = _resolve_rel(sf_dir, table)
+    if ds is not None:
+        return list(ds.schema().names)
     return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).schema_arrow.names
 
 
@@ -1025,6 +1126,9 @@ def _table_rows(sf_dir: str, table: str) -> int:
 
     import pyarrow.parquet as pq
 
+    ds = _resolve_rel(sf_dir, table)
+    if ds is not None:
+        return ds.count()  # materialized: block-metadata count
     return pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
 
 
@@ -1099,7 +1203,7 @@ def _compile_join(sf_dir: str, q: Query, cols: set):
         for lk in lkeys:
             need[owner_of(None, lk, k)].add(lk)
 
-    acc = load(sf_dir, rels[0][0], columns=sorted(need[0]))
+    acc = _load_rel(sf_dir, rels[0][0], columns=sorted(need[0]))
     for k, j in enumerate(q.joins):
         lkeys, rkeys = join_keys[k]
         rcols = sorted(need[k + 1])
@@ -1111,7 +1215,7 @@ def _compile_join(sf_dir: str, q: Query, cols: set):
 
             from apache___solr_ray.sources import load_arrow
 
-            rt = load_arrow(sf_dir, j.table, columns=rcols).to_pandas()
+            rt = _load_rel_arrow(sf_dir, j.table, columns=rcols).to_pandas()
             ref = ray.put(rt)
             state: dict = {}
 
@@ -1133,7 +1237,7 @@ def _compile_join(sf_dir: str, q: Query, cols: set):
         # (aggregator-actor count must not wedge small sessions)
         from apache___solr_ray.stages.dedup import _default_join_partitions
 
-        rds = load(sf_dir, j.table, columns=rcols)
+        rds = _load_rel(sf_dir, j.table, columns=rcols)
         acc = acc.join(
             rds,
             join_type=("left_outer" if j.kind == "left" else "inner"),
@@ -1323,6 +1427,17 @@ def sql_query(sf_dir: str, sql: str):
     (the same views the DuckDB oracle sees), so the SQL string itself is
     both the engine input and the oracle."""
     q = parse_sql(sql)
+    if isinstance(q, WithQuery):
+        _REL_DEFS.append({name: [node, None] for name, node in q.defs})
+        try:
+            main = q.main
+            if isinstance(main, UnionQuery):
+                return _compile_union(sf_dir, main)
+            return _compile_query(sf_dir, main)
+        finally:
+            # compile resolved (and materialized) every referenced rel
+            # eagerly, so the returned lazy Dataset never needs the frame
+            _REL_DEFS.pop()
     if isinstance(q, UnionQuery):
         return _compile_union(sf_dir, q)
     return _compile_query(sf_dir, q)
@@ -1448,7 +1563,7 @@ def _compile_query(sf_dir: str, q: Query):
     if q.joins:
         ds = _compile_join(sf_dir, q, cols)
     else:
-        ds = load(sf_dir, q.table, columns=sorted(cols))
+        ds = _load_rel(sf_dir, q.table, columns=sorted(cols))
 
     # -- WHERE (SolrFilter push-down): one vectorized mask per batch ---------
     if q.where is not None:

@@ -418,3 +418,38 @@ def test_group_by_expressions(ray_session):
         _mine("SELECT floor(value/100) FROM events GROUP BY floor(value/100)")
     with pytest.raises(SqlError, match="GROUP BY"):
         _mine("SELECT value FROM events GROUP BY floor(sum(value))")
+
+
+def test_with_cte_and_derived_tables(ray_session):
+    """WITH defs compile on demand and memoize; derived tables synthesize
+    anonymous defs; cycles raise (sql.WithQuery/_resolve_rel)."""
+    import pytest as _pytest
+
+    from apache___solr_ray.sql import SqlError, sql_query
+
+    cases = [
+        """WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                        WHERE o_totalprice > 120000)
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM big
+           GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 10""",
+        """SELECT CAST(max(n) AS BIGINT) AS mx
+           FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) t""",
+        """WITH a AS (SELECT c_custkey, c_nationkey FROM customer),
+                b AS (SELECT c_custkey AS k FROM a WHERE c_nationkey = 3)
+           SELECT CAST(count(*) AS BIGINT) AS n FROM b""",
+    ]
+    for q in cases:
+        got = sql_query(SF, q).to_pandas()
+        want = _duck(q)
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        assert got.shape == want.shape, q
+        for c in got.columns:
+            assert got[c].tolist() == want[c].tolist(), (q, c)
+    with _pytest.raises(SqlError, match="circular"):
+        sql_query(
+            SF,
+            "WITH a AS (SELECT k FROM b), b AS (SELECT k FROM a) SELECT k FROM a",
+        ).to_pandas()
+    with _pytest.raises(SqlError, match="alias"):
+        sql_query(SF, "SELECT n FROM (SELECT count(*) AS n FROM orders)")
