@@ -160,20 +160,106 @@ def grouped_map(ds, keys: list[str] | str, fn, num_parts: int | None = None):
     )
 
 
-def materialize_with_retry(ds_factory, attempts: int = 3):
+def materialize_with_retry(ds_factory, attempts: int = 3, fallback=None):
     """Execute a Dataset-producing thunk with retries — guard for Ray
     2.49's Dataset.join empty-partition race (a hash-join partition that
     receives no block for one side builds a schema-less table and Acero
-    raises ArrowInvalid; rare and nondeterministic). Retrying re-plans
-    the join; the race class must not be able to fail a correctness-gate
-    entry."""
+    raises ArrowInvalid/KeyError; rare and nondeterministic). Retrying
+    re-plans the join; if ``fallback`` is given it runs after the retries
+    are exhausted (a different physical plan for the same result) — the
+    race class must not be able to fail a correctness-gate entry."""
     last = None
     for _ in range(attempts):
         try:
             return ds_factory().materialize()
         except Exception as e:  # noqa: BLE001 - surfaces after retries
             last = e
+    if fallback is not None:
+        return fallback()
     raise last
+
+
+def cogroup_join(lds, rds, lk, rk, how: str, num_parts: int | None = None):
+    """Distributed equi-join as ONE key-hash co-location of both sides
+    (``grouped_map`` over the side-tagged union) + a vectorized pandas
+    merge per partition. Output schema matches Ray's ``Dataset.join``:
+    payload columns keep their names, exactly one key column survives
+    under the LEFT key's name (coalesced left/right for ``full``).
+    Assumes all rows of a key fit one partition (salt hot keys otherwise).
+    Race-free (no Acero hash-join partitions), so it doubles as the
+    fallback plan behind :func:`native_join`."""
+
+    def tag(side: int, keymap):
+        def run(t: pa.Table) -> pa.Table:
+            cols = {"__side": pa.array(np.full(t.num_rows, side, dtype=np.int8))}
+            for i, k in enumerate(keymap):
+                cols[f"__k{i}"] = t.column(k)
+            for c in t.column_names:
+                cols[f"c{side}_{c}"] = t.column(c)
+            return pa.table(cols)
+
+        return run
+
+    both = lds.map_batches(tag(0, lk), batch_format="pyarrow").union(
+        rds.map_batches(tag(1, rk), batch_format="pyarrow")
+    )
+    kcols = [f"__k{i}" for i in range(len(lk))]
+
+    rk_drop = {f"c1_{k}" for k in rk}  # join output keeps ONE key column
+    lk_drop = {f"c0_{k}" for k in lk}  # full outer: key comes from kcols
+    pd_how = {"left": "left", "full": "outer"}.get(how, "inner")
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        lcols = [
+            c for c in df.columns
+            if c.startswith("c0_") and not (how == "full" and c in lk_drop)
+        ]
+        rcols = [c for c in df.columns if c.startswith("c1_") and c not in rk_drop]
+        out = l[kcols + lcols].merge(r[kcols + rcols], on=kcols, how=pd_how)
+        if how == "full":
+            # right-only rows have NULL c0_* — the coalesced key lives in
+            # the kcols (every tagged row carried it); surface it under the
+            # left key's name (FullOuterJoinStream merges into one tuple)
+            out = out.rename(columns=dict(zip(kcols, [f"c0_{k}" for k in lk])))
+        else:
+            out = out.drop(columns=kcols)
+        names = [c[3:] for c in out.columns]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"join output column collision {sorted(names)}; select()-rename a side"
+            )
+        out.columns = names
+        return out
+
+    return grouped_map(both, kcols, merge_part, num_parts=num_parts)
+
+
+_JOIN_TYPE_TO_COGROUP = {"inner": "inner", "left_outer": "left", "full_outer": "full"}
+
+
+def native_join(l, r, join_type: str, num_partitions: int, on, right_on=None,
+                attempts: int = 3):
+    """Ray ``Dataset.join`` with its empty-partition race double-guarded:
+    retries re-plan the Acero hash join; if the race persists, the same
+    result is produced by :func:`cogroup_join` (identical output schema —
+    right key coalesced into the left key's column, exactly as Ray's join
+    emits). All catalog join sites route through here so the race class
+    cannot fail a correctness-gate entry."""
+    on = tuple(on)
+    right_on = tuple(right_on) if right_on is not None else on
+
+    def attempt():
+        return l.join(r, join_type, num_partitions, on=on, right_on=right_on)
+
+    def fallback():
+        return cogroup_join(
+            l, r, list(on), list(right_on), _JOIN_TYPE_TO_COGROUP[join_type],
+            num_parts=num_partitions,
+        ).materialize()
+
+    return materialize_with_retry(attempt, attempts=attempts, fallback=fallback)
 
 
 def round_cols(ds, spec: dict[str, int]):

@@ -58,10 +58,13 @@ def _hop(edge_ds, key_col: str, out_col: str, frontier_ds):
         keys = [r["node"] for r in frontier_ds.take_all()]
         reached = semi_join_filter(edge_ds, key_col, keys)
     else:
-        reached = edge_ds.join(
+        from apache___solr_ray.pipelines.common import native_join
+
+        reached = native_join(
+            edge_ds,
             frontier_ds,
-            join_type="inner",
-            num_partitions=_default_join_partitions(),
+            "inner",
+            _default_join_partitions(),
             on=(key_col,),
             right_on=("node",),
         )

@@ -1354,24 +1354,29 @@ def full_outer_join_customers_events(sf_dir: str):
         .aggregate(Count(alias_name="n_events"))
     )
     cust = load(sf_dir, "customer", columns=["c_custkey"])
-    from apache___solr_ray.pipelines.common import materialize_with_retry
+    from apache___solr_ray.pipelines.common import native_join
 
+    # __c marks left-side presence: the join coalesces the right key into
+    # the left key's column, so the key itself can't distinguish a
+    # matched customer from a right-only event user
+    cust = cust.map_batches(
+        lambda t: t.append_column(
+            "__c", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+    )
     ev = ev.materialize()
-    joined = materialize_with_retry(
-        lambda: cust.join(
-            ev, "full_outer", 8, on=("c_custkey",), right_on=("user_id",)
-        )
+    joined = native_join(
+        cust, ev, "full_outer", 8, on=("c_custkey",), right_on=("user_id",)
     )
 
     def proj(t: pa.Table) -> pa.Table:
-        c = pc.cast(t.column("c_custkey"), pa.int64())
-        # the right key survives as its own column in outer joins
-        u = pc.cast(t.column("user_id"), pa.int64()) if "user_id" in t.column_names else c
+        key = pc.cast(t.column("c_custkey"), pa.int64())  # coalesced by the join
         n = pc.cast(t.column("n_events"), pa.int64())
         return pa.table(
             {
-                "key": pc.coalesce(c, u),
-                "has_customer": pc.cast(pc.is_valid(c), pa.int64()),
+                "key": key,
+                "has_customer": pc.cast(pc.is_valid(t.column("__c")), pa.int64()),
                 "n_events": pc.fill_null(n, 0),
             }
         )
@@ -2174,7 +2179,7 @@ def big_join_priority_revenue(sf_dir: str):
     then the partial+final rollup. The broadcast joins elsewhere are the
     small-side fast path; this is the shape that survives when both sides
     are 100 TB."""
-    from apache___solr_ray.pipelines.common import cents, partial_sum_count
+    from apache___solr_ray.pipelines.common import cents, native_join, partial_sum_count
     from apache___solr_ray.stages.dedup import _default_join_partitions
 
     li = load(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
@@ -2188,10 +2193,11 @@ def big_join_priority_revenue(sf_dir: str):
         batch_format="pyarrow",
     )
     orders = load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = li.join(
+    joined = native_join(
+        li,
         orders,
-        join_type="inner",
-        num_partitions=_default_join_partitions(),
+        "inner",
+        _default_join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -1039,8 +1039,10 @@ def connected_components_ds(
     for _ in range(max_rounds):
         # neighbor messages: old=BIG sentinel; own messages: old=label —
         # after groupby-min, changed == (label < old) with no extra join
-        neigh = edges.join(
-            labels, "inner", num_partitions, on=("src",), right_on=("node",)
+        from apache___solr_ray.pipelines.common import native_join
+
+        neigh = native_join(
+            edges, labels, "inner", num_partitions, on=("src",), right_on=("node",)
         ).map_batches(
             lambda t: pa.table(
                 {

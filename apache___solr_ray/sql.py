@@ -1237,11 +1237,14 @@ def _compile_join(sf_dir: str, q: Query, cols: set):
         # (aggregator-actor count must not wedge small sessions)
         from apache___solr_ray.stages.dedup import _default_join_partitions
 
+        from apache___solr_ray.pipelines.common import native_join
+
         rds = _load_rel(sf_dir, j.table, columns=rcols)
-        acc = acc.join(
+        acc = native_join(
+            acc,
             rds,
-            join_type=("left_outer" if j.kind == "left" else "inner"),
-            num_partitions=_default_join_partitions(),
+            ("left_outer" if j.kind == "left" else "inner"),
+            _default_join_partitions(),
             on=tuple(lkeys),
             right_on=tuple(rkeys),
         )

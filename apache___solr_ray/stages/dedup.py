@@ -561,10 +561,12 @@ def lsh_verified_pairs(
 
         return run
 
-    j = cand.join(
-        tok_ds, "inner", num_partitions, on=("a",), right_on=(id_col,)
+    from apache___solr_ray.pipelines.common import native_join
+
+    j = native_join(
+        cand, tok_ds, "inner", num_partitions, on=("a",), right_on=(id_col,)
     ).map_batches(_rename_th("_a"), batch_format="pyarrow")
-    j = j.join(tok_ds, "inner", num_partitions, on=("b",), right_on=(id_col,))
+    j = native_join(j, tok_ds, "inner", num_partitions, on=("b",), right_on=(id_col,))
 
     def verify(t: pa.Table) -> pa.Table:
         return _verify_table(

@@ -586,54 +586,12 @@ def _join_keys(node: Node):
 def _cogroup_join(lds, rds, lk, rk, how: str):
     """ONE key-hash co-location of both sides (grouped_map over the tagged
     union), vectorized pandas merge per partition. Assumes all rows of a
-    key fit one partition (salt hot keys otherwise)."""
-    from apache___solr_ray.pipelines.common import grouped_map
+    key fit one partition (salt hot keys otherwise). Shared implementation
+    in ``pipelines.common.cogroup_join`` (it doubles as the race-free
+    fallback plan for Ray's native Dataset.join)."""
+    from apache___solr_ray.pipelines.common import cogroup_join
 
-    def tag(side: int, keymap):
-        def run(t: pa.Table) -> pa.Table:
-            cols = {"__side": pa.array(np.full(t.num_rows, side, dtype=np.int8))}
-            for i, k in enumerate(keymap):
-                cols[f"__k{i}"] = t.column(k)
-            for c in t.column_names:
-                cols[f"c{side}_{c}"] = t.column(c)
-            return pa.table(cols)
-
-        return run
-
-    both = lds.map_batches(tag(0, lk), batch_format="pyarrow").union(
-        rds.map_batches(tag(1, rk), batch_format="pyarrow")
-    )
-    kcols = [f"__k{i}" for i in range(len(lk))]
-
-    rk_drop = {f"c1_{k}" for k in rk}  # join output keeps ONE key column
-    lk_drop = {f"c0_{k}" for k in lk}  # full outer: key comes from kcols
-    pd_how = {"left": "left", "full": "outer"}.get(how, "inner")
-
-    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0]
-        r = df[df["__side"] == 1]
-        lcols = [
-            c for c in df.columns
-            if c.startswith("c0_") and not (how == "full" and c in lk_drop)
-        ]
-        rcols = [c for c in df.columns if c.startswith("c1_") and c not in rk_drop]
-        out = l[kcols + lcols].merge(r[kcols + rcols], on=kcols, how=pd_how)
-        if how == "full":
-            # right-only rows have NULL c0_* — the coalesced key lives in
-            # the kcols (every tagged row carried it); surface it under the
-            # left key's name (FullOuterJoinStream merges into one tuple)
-            out = out.rename(columns=dict(zip(kcols, [f"c0_{k}" for k in lk])))
-        else:
-            out = out.drop(columns=kcols)
-        names = [c[3:] for c in out.columns]
-        if len(set(names)) != len(names):
-            raise StreamExprError(
-                f"join output column collision {sorted(names)}; select()-rename a side"
-            )
-        out.columns = names
-        return out
-
-    return grouped_map(both, kcols, merge_part)
+    return cogroup_join(lds, rds, lk, rk, how)
 
 
 def _op_inner_join(node: Node, sf_dir: str):

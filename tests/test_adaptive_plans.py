@@ -55,3 +55,58 @@ def test_asof_bucketed_plan_equals_broadcast(ray_session):
         "last_purchase_ts"
     ].fillna(pd.Timestamp(0)).tolist()
     assert base["last_purchase_ts"].notna().sum() > 0
+
+
+def _join_fixture():
+    import ray
+
+    l = ray.data.from_items(
+        [{"k": i, "x": i * 10} for i in range(1, 7)]  # keys 1..6
+    )
+    r = ray.data.from_items(
+        [{"j": i, "y": i * 100} for i in range(4, 10)]  # keys 4..9
+    )
+    return l, r
+
+
+def _join_norm(ds):
+    df = ds.to_pandas()
+    df = df[sorted(df.columns)]
+    return (
+        df.sort_values(list(df.columns)).reset_index(drop=True).fillna(-1).astype(int)
+    )
+
+
+def test_cogroup_join_matches_native_join(ray_session):
+    """cogroup_join is the race-free fallback behind native_join — its
+    output (schema and rows, right key coalesced into the left key's
+    column) must be identical to Ray's Dataset.join for every join type."""
+    from apache___solr_ray.pipelines.common import cogroup_join, native_join
+
+    for jt, how in [("inner", "inner"), ("left_outer", "left"), ("full_outer", "full")]:
+        l, r = _join_fixture()
+        nat = _join_norm(native_join(l, r, jt, 4, on=("k",), right_on=("j",)))
+        l, r = _join_fixture()
+        cog = _join_norm(cogroup_join(l, r, ["k"], ["j"], how, num_parts=4))
+        assert list(nat.columns) == list(cog.columns) == ["k", "x", "y"], jt
+        assert nat.values.tolist() == cog.values.tolist(), jt
+
+
+def test_native_join_falls_back_on_persistent_race(ray_session, monkeypatch):
+    """If Ray's hash join keeps raising (the empty-partition race class),
+    native_join must still return the correct rows via the cogroup plan."""
+    import ray
+
+    from apache___solr_ray.pipelines import common
+
+    def boom(self, *a, **k):
+        raise KeyError("j")  # the race's signature failure
+
+    monkeypatch.setattr(ray.data.Dataset, "join", boom)
+    l, r = _join_fixture()
+    out = _join_norm(common.native_join(l, r, "full_outer", 4, on=("k",), right_on=("j",)))
+    # keys 1..9, matched 4..6
+    assert out["k"].tolist() == list(range(1, 10))
+    assert out[out["k"] == 5]["y"].iloc[0] == 500
+    assert (out[out["k"] <= 3]["y"] == -1).all()
+    assert (out[out["k"] >= 7]["x"] == -1).all()
