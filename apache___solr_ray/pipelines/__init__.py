@@ -16,9 +16,9 @@ that is the driver's correctness contract.
                     graph expressions, SURVEY §2.4)
 """
 
-from apache___solr_ray.pipelines import cluster, graph, indexq, relational, schemaq, similarity, sqlq, streamq, text  # noqa: F401
+from apache___solr_ray.pipelines import cluster, graph, indexq, lmq, relational, schemaq, similarity, sqlq, streamq, text  # noqa: F401
 
-_MODULES = (relational, text, similarity, indexq, graph, cluster, sqlq, streamq, schemaq)
+_MODULES = (relational, text, similarity, indexq, graph, cluster, sqlq, streamq, schemaq, lmq)
 
 
 def all_queries():

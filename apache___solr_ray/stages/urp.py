@@ -371,3 +371,57 @@ def ignore_large_documents(col: str, max_bytes: int) -> Stage:
         )
 
     return run
+
+
+def script_processor(fn: Callable[[dict], dict | None]) -> Stage:
+    """ScriptUpdateProcessor analog (reference
+    solr/modules/scripting/src/java/org/apache/solr/scripting/update/
+    ScriptUpdateProcessorFactory.java: a user script's ``processAdd(cmd)``
+    runs per document and may mutate fields or return false to drop the
+    doc). The script here is a plain Python callable ``doc_dict ->
+    doc_dict | None`` (None drops the doc, mirroring ``return false``).
+    Per-row by CONTRACT — this is the escape hatch for logic the
+    vectorized URPs can't express, exactly the reference's positioning;
+    keep hot-path transforms in the pyarrow stages."""
+
+    def run(t: pa.Table) -> pa.Table:
+        out = [r for r in (fn(row) for row in t.to_pylist()) if r is not None]
+        if not out:
+            return t.schema.empty_table()
+        return pa.Table.from_pylist(out)
+
+    return run
+
+
+def collation_key(name: str, out: str, strength: str = "primary") -> Stage:
+    """ICUCollationField analog (reference solr/modules/analysis-extras/
+    src/java/org/apache/solr/schema/ICUCollationField.java: locale-aware
+    binary sort keys; strength=primary ignores case and accents,
+    secondary ignores case only). ICU itself isn't available, so the key
+    is the documented locale-independent fold: NFKD-decompose and strip
+    combining marks (accent fold), then casefold — which is precisely
+    DuckDB's ``lower(strip_accents(x))`` for primary and
+    ``strip_accents``-less casefold for secondary, so entries sorting by
+    the key have an exact SQL mirror."""
+    import unicodedata
+
+    if strength not in ("primary", "secondary"):
+        raise ValueError("strength must be 'primary' or 'secondary'")
+
+    def key_one(s):
+        if s is None:
+            return None
+        if strength == "primary":
+            s = "".join(
+                c for c in unicodedata.normalize("NFKD", s)
+                if not unicodedata.combining(c)
+            )
+        return s.lower()
+
+    def run(t: pa.Table) -> pa.Table:
+        keys = pa.array([key_one(s) for s in t.column(name).to_pylist()], pa.string())
+        if out in t.column_names:
+            return _replace(t, out, keys)
+        return t.append_column(out, keys)
+
+    return run
