@@ -321,3 +321,82 @@ def ann_ivf_top20(sf_dir: str):
     top = ivf_topk(index_dir, qv, k=20, nprobe=4, exclude_id=0)
     cos = pc.round(top.column("cos"), ndigits=6)
     return pa.table({"vec_id": top.column("vec_id"), "cos": cos})
+
+
+@q(
+    "semantic_dedup_keepers",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ),
+    sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    reach(node, reach) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT s.a, r.reach FROM sym s JOIN reach r ON s.b = r.node
+    ),
+    comp AS (SELECT node, min(reach) AS component FROM reach GROUP BY node)
+    SELECT component AS keeper, count(*)::BIGINT AS group_size
+    FROM comp GROUP BY component
+    ORDER BY keeper
+    """,
+)
+def semantic_dedup_keepers(sf_dir: str):
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023, public:
+    cluster embeddings, find near-duplicate pairs ONLY within clusters,
+    keep one representative per duplicate group). Cluster assignment here
+    is the corpus's precomputed coarse bucket (``label`` — the IVF/k-means
+    list id role; ``ensure_ivf_index`` shows the from-scratch training
+    path). The quadratic pair scan is confined to single clusters — the
+    scale argument of the paper: cluster sizes are bounded, so total cost
+    is sum of per-cluster squares, not corpus². Pipeline: one hash
+    shuffle on label (``grouped_map``), per-partition vectorized matmul
+    over whole groups, distributed min-label components, keeper = min
+    vec_id per component (count 1 = unique doc kept trivially)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from apache___solr_ray.pipelines.common import grouped_map
+    from apache___solr_ray.pipelines.text import connected_components_ds
+
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def pairs_in_clusters(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for _, g in df.groupby("label", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            E = np.array(g["embedding"].tolist(), dtype=np.float64)[order]
+            En = E / np.maximum(1e-300, np.linalg.norm(E, axis=1, keepdims=True))
+            sims = En @ En.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= 0.4
+            out_a.append(ids[iu[hit]])
+            out_b.append(ids[ju[hit]])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a).astype(np.int64),
+             "b": np.concatenate(out_b).astype(np.int64)}
+        )
+
+    pairs = grouped_map(ds, "label", pairs_in_clusters)
+    nodes = load(sf_dir, "embeddings", columns=["vec_id"])
+    labels = connected_components_ds(pairs, nodes)
+    comp = labels.groupby("label").aggregate(Count(alias_name="group_size"))
+    return comp.map_batches(
+        lambda t: pa.table(
+            {"keeper": t.column("label").cast(pa.int64()),
+             "group_size": t.column("group_size").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

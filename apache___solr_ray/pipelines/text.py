@@ -2229,3 +2229,67 @@ try:
     ensure_video_corpus()
 except OSError:  # read-only /tmp etc. — the entry itself will retry
     pass
+
+
+@q(
+    "training_mix_quota_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_TOKS})::BIGINT AS n_tokens,
+             ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens
+    FROM w WHERE COALESCE(prior, 0) < 600
+    ORDER BY doc_id
+    """,
+)
+def training_mix_quota_sample(sf_dir: str):
+    """Training-mix construction: sample documents per source up to a
+    per-source TOKEN quota (the mixing step of LLM corpus prep — fix a
+    token budget per domain, then take a deterministic uniform sample of
+    each domain until its budget fills; e.g. Dolma/RedPajama-style mix
+    tables, public). Deterministic 'random' order = md5(doc_id) — seeded,
+    resumable, and reproducible in SQL. One map_batches computes token
+    counts + hash keys (the corpus text never shuffles); ONE hash
+    shuffle on source partitions the budget scan; inside a partition the
+    per-source cumulative sum is pandas C kernels over whole groups. A
+    doc is kept while the budget is not yet exhausted BEFORE it (so the
+    quota may overshoot by at most one doc — the reference-free contract
+    stated by the oracle's window)."""
+    import hashlib
+
+    from apache___solr_ray.analyze import simple_tokenize
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    QUOTA = 600
+    ds = load(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        toks = [len(simple_tokenize(s)) for s in t.column("text").to_pylist()]
+        hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "h": pa.array(hs, pa.uint64()),
+            }
+        )
+
+    def budget_scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        prior = (
+            df.groupby("source", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        )
+        keep = df[prior < QUOTA]
+        return keep[["doc_id", "source", "n_tokens"]]
+
+    return grouped_map(ds.map_batches(prep, batch_format="pyarrow"), "source", budget_scan)
