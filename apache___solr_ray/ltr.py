@@ -106,3 +106,51 @@ class LinearModel:
             s += w * f.extract(reader, doc_ids, first_pass)
         return s
 
+
+
+@dataclass
+class MultipleAdditiveTreesModel:
+    """Additive tree ensemble (reference
+    org.apache.solr.ltr.model.MultipleAdditiveTreesModel: score = Σ over
+    trees of the leaf reached by 'feature <= threshold ? left : right'
+    traversal — the LambdaMART/GBDT deployment format).
+
+    A tree node is either ``{"value": v}`` (leaf) or
+    ``{"feature": name, "threshold": t, "left": node, "right": node}``.
+    Evaluation is vectorized: each node splits the candidate mask with one
+    numpy comparison over the pre-extracted feature column, so ensemble
+    cost is O(window × nodes), never per-row Python."""
+
+    features: list[Feature] = field(default_factory=list)
+    trees: list[dict] = field(default_factory=list)
+
+    def rescore(self, reader, doc_ids: np.ndarray, first_pass: np.ndarray) -> np.ndarray:
+        cols = {f.name: f.extract(reader, doc_ids, first_pass) for f in self.features}
+        out = np.zeros(len(doc_ids), dtype=np.float64)
+        mask = np.ones(len(doc_ids), dtype=bool)
+        for t in self.trees:
+            self._eval(t, cols, mask, out)
+        return out
+
+    def _eval(self, node: dict, cols, mask: np.ndarray, out: np.ndarray) -> None:
+        if "value" in node:
+            out[mask] += float(node["value"])
+            return
+        f = cols[node["feature"]]
+        go_left = mask & (f <= float(node["threshold"]))
+        self._eval(node["left"], cols, go_left, out)
+        self._eval(node["right"], cols, mask & ~go_left, out)
+
+
+def tree_to_sql(node: dict, col_sql: dict[str, str]) -> str:
+    """Render one tree as a nested SQL CASE WHEN — the DuckDB oracle mirror
+    of MultipleAdditiveTreesModel traversal. ``col_sql`` maps feature name
+    to the SQL expression computing that feature, so the engine and the
+    oracle score from ONE tree definition."""
+    if "value" in node:
+        return repr(float(node["value"]))
+    return (
+        f"(CASE WHEN {col_sql[node['feature']]} <= {float(node['threshold'])!r} "
+        f"THEN {tree_to_sql(node['left'], col_sql)} "
+        f"ELSE {tree_to_sql(node['right'], col_sql)} END)"
+    )

@@ -1503,7 +1503,10 @@ _LTR_WINDOW = 50
 _LTR_W = (0.6, 1.5, -0.01)  # originalScore, solrFeature('hash join'), doc_len
 
 
-def _ltr_oracle_sql() -> str:
+def _ltr_prefix_sql() -> str:
+    """The WITH-body shared by every LTR oracle: analyzed tokens → doc
+    lengths → quantized-norm lookup → per-(doc,term) f64 BM25 partial
+    scores → first-pass window of ``_LTR_WINDOW`` docs carrying (s1, s2)."""
     from apache___solr_ray.lucene import LENGTH_TABLE
 
     vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
@@ -1514,7 +1517,6 @@ def _ltr_oracle_sql() -> str:
     )
     s1 = " + ".join(f"s_{t}" for t in _LTR_FIRST)
     s2 = " + ".join(f"s_{t}" for t in _LTR_FEATURE_Q)
-    w0, w1, w2 = _LTR_W
     return f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -1532,7 +1534,12 @@ def _ltr_oracle_sql() -> str:
            CROSS JOIN st),
     pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id),
     fp AS (SELECT doc_id, {s1} AS s1, {s2} AS s2 FROM pd WHERE {s1} > 0),
-    top AS (SELECT doc_id, s1, s2 FROM fp ORDER BY s1 DESC, doc_id LIMIT {_LTR_WINDOW}),
+    top AS (SELECT doc_id, s1, s2 FROM fp ORDER BY s1 DESC, doc_id LIMIT {_LTR_WINDOW})"""
+
+
+def _ltr_oracle_sql() -> str:
+    w0, w1, w2 = _LTR_W
+    return f"""{_ltr_prefix_sql()},
     feat AS (SELECT top.doc_id,
                     {w0}*s1 + {w1}*s2 + {w2}*dl.dl AS m
              FROM top JOIN dl ON dl.doc_id = top.doc_id)
@@ -1581,6 +1588,114 @@ def ltr_linear_rerank_topk(sf_dir: str):
             FieldValueFeature(column="doc_len"),
         ],
         weights=list(_LTR_W),
+    )
+    m = model.rescore(r, ids_c[top], s1_c[top])
+    ext_top = ext_c[top]
+    final = np.lexsort((ext_top, -m))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ext_top[final], pa.int64()),
+            "score": pa.array(
+                np.floor(m[final] * 10000 + 0.5) / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
+# -- learning-to-rank (additive tree ensemble / LambdaMART deployment) --------
+
+# One tree definition drives BOTH the engine (vectorized numpy traversal)
+# and the DuckDB oracle (nested CASE WHEN via ltr.tree_to_sql).
+_LTR_TREES = [
+    {
+        "feature": "solrFeature",
+        "threshold": 0.5,
+        "left": {"value": -0.5},
+        "right": {
+            "feature": "originalScore",
+            "threshold": 8.0,
+            "left": {"value": 1.0},
+            "right": {"value": 2.0},
+        },
+    },
+    {
+        "feature": "fieldValue",
+        "threshold": 60.0,
+        "left": {"value": 0.8},
+        "right": {"value": -0.3},
+    },
+    {
+        "feature": "originalScore",
+        "threshold": 10.0,
+        "left": {
+            "feature": "fieldValue",
+            "threshold": 40.0,
+            "left": {"value": 0.2},
+            "right": {"value": 0.05},
+        },
+        "right": {"value": 1.2},
+    },
+]
+
+
+def _ltr_trees_oracle_sql() -> str:
+    from apache___solr_ray.ltr import tree_to_sql
+
+    col_sql = {
+        "originalScore": "s1",
+        "solrFeature": "s2",
+        "fieldValue": "CAST(dl.dl AS DOUBLE)",
+    }
+    m = " + ".join(tree_to_sql(t, col_sql) for t in _LTR_TREES)
+    return f"""{_ltr_prefix_sql()},
+    feat AS (SELECT top.doc_id, {m} AS m
+             FROM top JOIN dl ON dl.doc_id = top.doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY m DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(m*10000 + 0.5)/10000.0 AS score
+    FROM feat ORDER BY m DESC, doc_id LIMIT 10
+    """
+
+
+@q("ltr_trees_rerank_topk", _ltr_trees_oracle_sql())
+def ltr_trees_rerank_topk(sf_dir: str):
+    """LTR tree-ensemble rescoring (reference
+    solr/modules/ltr/src/java/org/apache/solr/ltr/model/MultipleAdditiveTreesModel.java:
+    score = Σ over trees of the leaf reached by 'feature <= threshold'
+    traversal — Solr's LambdaMART/GBDT deployment format). Same first pass
+    and feature store as ``ltr_linear_rerank_topk`` (f64 BM25 window of
+    50, OriginalScore / SolrFeature('hash join') / FieldValue(doc_len));
+    the model is the 3-tree ensemble in ``_LTR_TREES``, evaluated with
+    vectorized mask splits over the pre-extracted feature columns. The
+    oracle scores the SAME trees rendered as nested CASE WHEN — tree
+    thresholds compare f64 values that both engines compute IEEE-op-
+    identically, so branch decisions (and thus scores) match exactly."""
+    from apache___solr_ray.ltr import (
+        FieldValueFeature,
+        MultipleAdditiveTreesModel,
+        OriginalScoreFeature,
+        SolrFeature,
+    )
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    eng_ids, cols = _f64_term_score_cols(r, None, _LTR_FIRST)
+    s1 = cols[_LTR_FIRST[0]].copy()
+    for t in _LTR_FIRST[1:]:
+        s1 = s1 + cols[t]
+    cand = s1 > 0
+    ids_c, s1_c = eng_ids[cand], s1[cand]
+    ext_c = np.array([idmap[int(d)] for d in ids_c], dtype=np.int64)
+    top = np.lexsort((ext_c, -s1_c))[:_LTR_WINDOW]
+    model = MultipleAdditiveTreesModel(
+        features=[
+            OriginalScoreFeature(name="originalScore"),
+            SolrFeature(query=" ".join(_LTR_FEATURE_Q), name="solrFeature"),
+            FieldValueFeature(column="doc_len", name="fieldValue"),
+        ],
+        trees=_LTR_TREES,
     )
     m = model.rescore(r, ids_c[top], s1_c[top])
     ext_top = ext_c[top]

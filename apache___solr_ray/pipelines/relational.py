@@ -2204,3 +2204,136 @@ def big_join_priority_revenue(sf_dir: str):
     return partial_sum_count(
         joined, "o_orderpriority", [("rev_cents", "rev_cents")], count_alias="n"
     )
+
+
+@q(
+    "facet_pivot_status_priority_year",
+    """
+    WITH l3 AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+      FROM orders GROUP BY 1, 2, 3),
+    l2 AS (SELECT s, p, CAST(sum(n) AS BIGINT) AS n, CAST(sum(rc) AS BIGINT) AS rc
+           FROM l3 GROUP BY 1, 2),
+    l1 AS (SELECT s, CAST(sum(n) AS BIGINT) AS n, CAST(sum(rc) AS BIGINT) AS rc
+           FROM l2 GROUP BY 1),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY s ORDER BY n DESC, p ASC) AS rn
+           FROM l2),
+    r3 AS (SELECT l3.*, row_number() OVER (
+             PARTITION BY l3.s, l3.p ORDER BY l3.n DESC, l3.y ASC) AS rn
+           FROM l3 JOIN r2 ON l3.s = r2.s AND l3.p = r2.p WHERE r2.rn <= 3)
+    SELECT CAST(1 AS BIGINT) AS level, s AS o_orderstatus, '' AS o_orderpriority,
+           '' AS o_year, n, rc AS rev_cents FROM l1
+    UNION ALL
+    SELECT 2, s, p, '', n, rc FROM r2 WHERE rn <= 3
+    UNION ALL
+    SELECT 3, s, p, CAST(y AS VARCHAR), n, rc FROM r3 WHERE rn <= 2
+    """,
+)
+def facet_pivot_status_priority_year(sf_dir: str):
+    """Classic pivot facets (``facet.pivot=f1,f2,f3`` — reference
+    solr/core/src/java/org/apache/solr/handler/component/PivotFacetProcessor.java:65
+    ``process()`` builds the complete value tree per pivot string;
+    PivotFacetField.java handles per-level facet.limit/facet.sort=count and
+    the distributed refinement of the same tree). Three-level pivot over
+    ``orders``: o_orderstatus -> o_orderpriority -> year(o_orderdate),
+    every bucket carrying count plus an attached stat (sum of totalprice
+    in exact integer cents — the stats-component-in-pivot hookup,
+    PivotFacetHelper.java). Per-level limits mirror facet.limit: all
+    statuses, top-3 priorities per status, top-2 years per surviving
+    (status, priority); sort=count desc, ties by value asc — children are
+    emitted only under parents that survived their level's limit, exactly
+    like the reference's response tree.
+
+    Distributed shape: per-batch pandas partial over (s,p,y) — the finest
+    grain, a few hundred distinct triples regardless of corpus size — ONE
+    groupby sums partials, then grouped_map hash-partitions by the ROOT
+    value so every pivot subtree lands whole in one task and all three
+    levels + limits are computed with vectorized pandas kernels. The tree
+    is returned flattened (level, path columns, '' for unused levels) so
+    the DuckDB oracle can express it relationally."""
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    ds = load(
+        sf_dir,
+        "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rc = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "s": df["o_orderstatus"].to_numpy(),
+                "p": df["o_orderpriority"].to_numpy(),
+                "y": pd.to_datetime(df["o_orderdate"]).dt.year.to_numpy().astype(np.int64),
+                "n": np.ones(len(df), dtype=np.int64),
+                "rc": rc,
+            }
+        )
+        return g.groupby(["s", "p", "y"], sort=False, as_index=False).agg(
+            n=("n", "sum"), rc=("rc", "sum")
+        )
+
+    leaf = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["s", "p", "y"])
+        .aggregate(Sum("n", alias_name="n"), Sum("rc", alias_name="rc"))
+    )
+
+    def build_tree(g: pd.DataFrame) -> pd.DataFrame:
+        l2 = g.groupby(["s", "p"], as_index=False).agg(n=("n", "sum"), rc=("rc", "sum"))
+        l1 = l2.groupby(["s"], as_index=False).agg(n=("n", "sum"), rc=("rc", "sum"))
+        empty = lambda k: np.full(k, "", dtype=object)  # noqa: E731
+        rows = [
+            pd.DataFrame(
+                {
+                    "level": np.ones(len(l1), dtype=np.int64),
+                    "o_orderstatus": l1["s"].to_numpy(),
+                    "o_orderpriority": empty(len(l1)),
+                    "o_year": empty(len(l1)),
+                    "n": l1["n"].to_numpy().astype(np.int64),
+                    "rev_cents": l1["rc"].to_numpy().astype(np.int64),
+                }
+            )
+        ]
+        # level 2: facet.limit=3 per status, facet.sort=count (ties value asc)
+        l2 = l2.sort_values(["n", "p"], ascending=[False, True], kind="mergesort")
+        l2["rn"] = l2.groupby("s", sort=False).cumcount() + 1
+        keep2 = l2[l2["rn"] <= 3]
+        rows.append(
+            pd.DataFrame(
+                {
+                    "level": np.full(len(keep2), 2, dtype=np.int64),
+                    "o_orderstatus": keep2["s"].to_numpy(),
+                    "o_orderpriority": keep2["p"].to_numpy(),
+                    "o_year": empty(len(keep2)),
+                    "n": keep2["n"].to_numpy().astype(np.int64),
+                    "rev_cents": keep2["rc"].to_numpy().astype(np.int64),
+                }
+            )
+        )
+        # level 3: only under surviving level-2 parents, facet.limit=2
+        l3 = g.merge(keep2[["s", "p"]], on=["s", "p"])
+        l3 = l3.sort_values(["n", "y"], ascending=[False, True], kind="mergesort")
+        l3["rn"] = l3.groupby(["s", "p"], sort=False).cumcount() + 1
+        keep3 = l3[l3["rn"] <= 2]
+        rows.append(
+            pd.DataFrame(
+                {
+                    "level": np.full(len(keep3), 3, dtype=np.int64),
+                    "o_orderstatus": keep3["s"].to_numpy(),
+                    "o_orderpriority": keep3["p"].to_numpy(),
+                    "o_year": keep3["y"].to_numpy().astype(np.int64).astype(str).astype(object),
+                    "n": keep3["n"].to_numpy().astype(np.int64),
+                    "rev_cents": keep3["rc"].to_numpy().astype(np.int64),
+                }
+            )
+        )
+        return pd.concat(rows, ignore_index=True)
+
+    return grouped_map(leaf, "s", build_tree)

@@ -650,3 +650,100 @@ def test_sorted_cursor_pages_equal_topk_prefix(ray_session):
         cursor = (float(v[-1]), int(d[-1]))
     assert got_d == d_all.tolist()
     assert got_v == v_all.tolist()
+
+
+def test_ltr_trees_model_traversal_vectorized_vs_scalar(ray_session):
+    """MultipleAdditiveTreesModel's vectorized mask traversal must equal a
+    scalar per-row walk of the same trees, and the catalog entry must rank
+    by the ensemble sum."""
+    import numpy as np
+
+    from apache___solr_ray.ltr import MultipleAdditiveTreesModel
+    from apache___solr_ray.pipelines.indexq import _LTR_TREES
+
+    rng = np.random.default_rng(7)
+    cols = {
+        "originalScore": rng.uniform(0, 20, 500),
+        "solrFeature": rng.uniform(0, 3, 500),
+        "fieldValue": rng.integers(1, 120, 500).astype(np.float64),
+    }
+    # thresholds sit exactly on some values too: force boundary hits
+    cols["originalScore"][:5] = 8.0
+    cols["fieldValue"][:5] = 60.0
+
+    def walk(node, i):
+        while "value" not in node:
+            f = cols[node["feature"]][i]
+            node = node["left"] if f <= node["threshold"] else node["right"]
+        return node["value"]
+
+    class _Fake:
+        def __init__(self, name):
+            self.name = name
+
+        def extract(self, reader, ids, fp):
+            return cols[self.name]
+
+    model = MultipleAdditiveTreesModel(
+        features=[_Fake("originalScore"), _Fake("solrFeature"), _Fake("fieldValue")],
+        trees=_LTR_TREES,
+    )
+    got = model.rescore(None, np.arange(500), np.zeros(500))
+    want = np.array(
+        [sum(walk(t, i) for t in _LTR_TREES) for i in range(500)]
+    )
+    assert np.array_equal(got, want)
+
+
+def test_ltr_trees_entry_matches_linear_window(ray_session):
+    """The trees entry reranks the SAME first-pass window as the linear
+    entry (both use _LTR_FIRST / _LTR_WINDOW), so its top-10 doc set must
+    be a subset of that window and scores must be ensemble sums."""
+    from apache___solr_ray.pipelines.indexq import QUERIES as IQ
+
+    sf = "/root/testdata/sf0.001"
+    got = IQ["ltr_trees_rerank_topk"](sf).to_pandas()
+    assert len(got) == 10
+    assert got["rank"].tolist() == list(range(1, 11))
+    # ensemble leaves are sums of at most 3 leaf values from the tree set
+    leaves1 = {-0.5, 1.0, 2.0}
+    leaves2 = {0.8, -0.3}
+    leaves3 = {0.2, 0.05, 1.2}
+    valid = {round(a + b + c, 4) for a in leaves1 for b in leaves2 for c in leaves3}
+    assert set(round(float(s), 4) for s in got["score"]) <= valid
+    # descending by score, ties by doc_id
+    pairs = list(zip(got["score"].tolist(), got["doc_id"].tolist()))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_facet_pivot_tree_consistency(ray_session):
+    """facet.pivot invariants: level-1 counts equal the sum of ALL their
+    level-2 children pre-limit (i.e. equal the table's per-status counts),
+    every level-3 row's parent survived the level-2 limit, per-parent
+    child counts respect the limits, and counts are sorted desc per
+    parent."""
+    import pyarrow.parquet as pq
+
+    from apache___solr_ray.pipelines.relational import QUERIES as RQ
+
+    sf = "/root/testdata/sf0.001"
+    got = RQ["facet_pivot_status_priority_year"](sf).to_pandas()
+    orders = pq.read_table(
+        f"{sf}/orders.parquet", columns=["o_orderstatus"]
+    ).to_pandas()
+
+    l1 = got[got["level"] == 1]
+    truth = orders.groupby("o_orderstatus").size()
+    assert dict(zip(l1["o_orderstatus"], l1["n"])) == truth.to_dict()
+
+    l2 = got[got["level"] == 2]
+    l3 = got[got["level"] == 3]
+    for s, grp in l2.groupby("o_orderstatus"):
+        assert len(grp) <= 3
+        ns = grp["n"].tolist()
+        assert ns == sorted(ns, reverse=True)
+    surviving = set(zip(l2["o_orderstatus"], l2["o_orderpriority"]))
+    for (s, p), grp in l3.groupby(["o_orderstatus", "o_orderpriority"]):
+        assert (s, p) in surviving
+        assert len(grp) <= 2
+        assert grp["n"].tolist() == sorted(grp["n"].tolist(), reverse=True)
