@@ -234,6 +234,91 @@ def bm25_topk_docs(sf_dir: str):
     )
 
 
+_BM25_F64_QUERIES = [["fast", "join"], ["hash", "merge", "scan"], ["vector", "window", "dup"]]
+
+
+def _bm25_f64_oracle_sql() -> str:
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    all_terms = sorted({t for qt in _BM25_F64_QUERIES for t in qt})
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    in_list = ", ".join(repr(t) for t in all_terms)
+    case_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN s END), 0) AS s_{t}" for t in all_terms
+    )
+    per_q = []
+    for qi, qterms in enumerate(_BM25_F64_QUERIES):
+        s = " + ".join(f"s_{t}" for t in dict.fromkeys(qterms))
+        per_q.append(f"SELECT {qi} AS qid, doc_id, {s} AS s FROM pd WHERE {s} > 0")
+    un = "\n          UNION ALL ".join(per_q)
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({in_list}) GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id),
+    allq AS ({un}),
+    rk AS (SELECT qid, doc_id, s, row_number() OVER (
+             PARTITION BY qid ORDER BY s DESC, doc_id) AS rank FROM allq)
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, doc_id,
+           floor(s*10000 + 0.5)/10000.0 AS score
+    FROM rk WHERE rank <= 10
+    """
+
+
+@q("bm25_f64_topk_docs", _bm25_f64_oracle_sql())
+def bm25_f64_topk_docs(sf_dir: str):
+    """Oracle-checked BM25 top-10 over three query strings — the north
+    rule's 'matching top-k docIDs and BM25 scores' contract made
+    SQL-verifiable: the f64 rescoring path (quantized SmallFloat norms +
+    DOUBLE arithmetic, reference BM25Similarity.java k1=1.2 b=0.75 with
+    the same length-norm encoding) scores every posting of the query
+    terms, sums per-term scores in query order (IEEE-op-identical to the
+    oracle's left-to-right SUM), and takes top-10 by (score desc, doc_id).
+    The float32 Lucene-exact path stays in ``bm25_topk_docs`` (rows-only,
+    parity pytest-asserted); this companion proves the same ranking
+    end-to-end against DuckDB."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    qids: list[int] = []
+    ranks: list[int] = []
+    dids: list[int] = []
+    scores: list[float] = []
+    for qi, qterms in enumerate(_BM25_F64_QUERIES):
+        ids, cols = _f64_term_score_cols(r, idmap, qterms)
+        s = np.zeros(len(ids), dtype=np.float64)
+        for t in dict.fromkeys(qterms):
+            s = s + cols[t]
+        m = s > 0
+        ids_c, s_c = ids[m], s[m]
+        top = np.lexsort((ids_c, -s_c))[:10]
+        qids.extend([qi] * len(top))
+        ranks.extend(range(1, len(top) + 1))
+        dids.extend(int(x) for x in ids_c[top])
+        scores.extend((np.floor(s_c[top] * 10000 + 0.5) / 10000.0).tolist())
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 @q("index_scatter_gather_topk")
 def index_scatter_gather_topk(sf_dir: str):
     """Distributed query path: doc-range sharded scoring + coordinator merge

@@ -2337,3 +2337,256 @@ def facet_pivot_status_priority_year(sf_dir: str):
         return pd.concat(rows, ignore_index=True)
 
     return grouped_map(leaf, "s", build_tree)
+
+
+@q(
+    "facet_domain_multiselect",
+    """
+    WITH types AS (
+      SELECT 'types' AS facet, event_type AS bucket, count(*) AS n
+      FROM events WHERE value >= 20 GROUP BY event_type
+    ),
+    users AS (
+      SELECT 'users' AS facet, CAST(user_id AS VARCHAR) AS bucket, count(*) AS n
+      FROM events
+      WHERE value >= 20 AND event_type IN ('click', 'view')
+      GROUP BY user_id ORDER BY n DESC, bucket ASC LIMIT 5
+    )
+    SELECT * FROM types UNION ALL SELECT * FROM users
+    """,
+)
+def facet_domain_multiselect(sf_dir: str):
+    """JSON Facet domain changes — multi-select faceting (reference
+    solr/core/src/java/org/apache/solr/search/facet/FacetRequest.java
+    domain parsing: ``domain:{excludeTags:...}`` re-computes a facet's
+    base DocSet without the tagged filters, the classic multi-select UI;
+    documented in json-facet-api.adoc). Query: fq tagged ``type`` =
+    event_type IN (click, view); fq2 = value >= 20. The ``types`` facet
+    excludes the tag (its domain is fq2 only — every type stays visible
+    with its would-be count); the ``users`` facet keeps the full domain
+    (top-5 by count, ties bucket asc).
+
+    ONE streaming pass computes BOTH domain masks per batch (the domains
+    differ only by masks, never by extra scans), emits (facet, bucket)
+    partial counts, one groupby sums them, and the per-facet limit runs
+    in a grouped_map whose input is already bucket-level (tiny)."""
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    ds = load(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        et = df["event_type"].to_numpy()
+        fq2 = v >= 20
+        tagged = (et == "click") | (et == "view")
+        types = (
+            pd.DataFrame({"bucket": et[fq2]})
+            .groupby("bucket", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        types.insert(0, "facet", "types")
+        full = fq2 & tagged
+        users = (
+            pd.DataFrame({"bucket": df["user_id"].to_numpy()[full].astype(str)})
+            .groupby("bucket", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        users.insert(0, "facet", "users")
+        out = pd.concat([types, users], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["facet", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def trim(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "bucket"], ascending=[False, True], kind="mergesort")
+        g["rn"] = g.groupby("facet", sort=False).cumcount() + 1
+        keep = g[(g["facet"] != "users") | (g["rn"] <= 5)]
+        out = keep[["facet", "bucket"]].copy()
+        out["n"] = keep["n"].to_numpy().astype(np.int64)
+        return out
+
+    return grouped_map(agg, "facet", trim)
+
+
+@q(
+    "facet_uniqueblock_returnflag",
+    """
+    SELECT l_returnflag AS bucket, count(DISTINCT l_orderkey) AS parents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def facet_uniqueblock_returnflag(sf_dir: str):
+    """uniqueBlock aggregate (reference
+    solr/core/src/java/org/apache/solr/search/facet/UniqueBlockAgg.java:
+    ``uniqueBlock(_root_)`` counts each parent BLOCK once per child facet
+    bucket, however many of its children land in the bucket — the cheap
+    block-aware form of unique()). Child table = lineitem, bucket =
+    l_returnflag, parent = the order block.
+
+    Scale shape: per-batch (bucket, parent) dedup shrinks the stream
+    BEFORE the shuffle (a parent's children arrive together in practice —
+    exactly the contiguous-block assumption UniqueBlockAgg exploits), one
+    (bucket, parent) groupby finishes the dedup, then per-batch bucket
+    partials + one tiny groupby count parents. No count-distinct sketch,
+    no driver materialization."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = load(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_returnflag", "l_orderkey"])
+
+    uniq = (
+        ds.map_batches(dedup_partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_orderkey"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", sort=False).size().reset_index(name="parents")
+        g.columns = ["bucket", "parents"]
+        g["parents"] = g["parents"].astype(np.int64)
+        return g
+
+    return (
+        uniq.map_batches(bucket_partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("parents", alias_name="parents"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("parents"),
+                "parents",
+                t.column("parents").cast(pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_DM_NOW = "2024-01-25T13:37:42Z"  # explicit NOW= (SolrRequestInfo.getNOW())
+
+
+@q(
+    "datemath_window_by_type",
+    f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE ts >= date_trunc('day', TIMESTAMP '2024-01-25 13:37:42') - INTERVAL 14 DAY
+      AND ts <  date_trunc('day', TIMESTAMP '2024-01-25 13:37:42') + INTERVAL 1 DAY
+    GROUP BY event_type
+    """,
+)
+def datemath_window_by_type(sf_dir: str):
+    """Date-math range filter (reference
+    solr/solrj/src/java/org/apache/solr/util/DateMathParser.java — the
+    ``NOW/DAY-14DAYS`` mini-language behind every date range query and
+    range-facet gap; NOW is pinned per request, SolrRequestInfo.getNOW()).
+    Filter: ``ts:[NOW/DAY-14DAYS TO NOW/DAY+1DAY}`` with NOW =
+    2024-01-25T13:37:42Z, then count + exact-cents sum per event_type.
+    The date-math resolves ONCE on the driver to concrete microsecond
+    bounds; the scan applies them as vectorized Arrow comparisons — the
+    oracle mirrors the same math with date_trunc/INTERVAL, so the parser
+    semantics (round-then-shift, left to right) are what's checked."""
+    from datetime import datetime
+
+    from apache___solr_ray.datemath import parse_date_math
+    from apache___solr_ray.pipelines.common import partial_sum_count
+
+    now = datetime.strptime(_DM_NOW, "%Y-%m-%dT%H:%M:%SZ")
+    lo = parse_date_math("NOW/DAY-14DAYS", now)
+    hi = parse_date_math("NOW/DAY+1DAY", now)
+
+    ds = load(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        mask = pc.and_(
+            pc.greater_equal(ts, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less(ts, pa.scalar(hi, pa.timestamp("us"))),
+        )
+        t = t.filter(mask)
+        from apache___solr_ray.pipelines.common import cents
+
+        return pa.table(
+            {"event_type": t.column("event_type"), "cents": cents(t.column("value"))}
+        )
+
+    return partial_sum_count(
+        ds.map_batches(window, batch_format="pyarrow"),
+        "event_type",
+        [("cents", "cents")],
+        count_alias="n",
+    )
+
+
+@q(
+    "facet_range_other_value",
+    """
+    WITH b AS (
+      SELECT CAST(CAST(50 + 100 * floor((value - 50) / 100) AS BIGINT) AS VARCHAR) AS bucket,
+             count(*) AS n
+      FROM events WHERE value >= 50 AND value < 350 GROUP BY 1
+    ),
+    o AS (
+      SELECT 'before' AS bucket, count(*) AS n FROM events WHERE value < 50
+      UNION ALL
+      SELECT 'after', count(*) FROM events WHERE value >= 350
+      UNION ALL
+      SELECT 'between', count(*) FROM events WHERE value >= 50 AND value < 350
+    )
+    SELECT * FROM b UNION ALL SELECT * FROM o
+    """,
+)
+def facet_range_other_value(sf_dir: str):
+    """Range facet ``other`` buckets (reference
+    solr/core/src/java/org/apache/solr/handler/component/RangeFacetProcessor.java
+    + FacetParams.FacetRangeOther: alongside the gap buckets, Solr emits
+    ``before`` (< start), ``after`` (>= end) and ``between`` (the whole
+    [start,end) span) when facet.range.other asks for them). start=50,
+    end=350, gap=100 over events.value; one streaming pass computes all
+    six masks per batch (3 gap buckets + 3 other buckets), partial counts,
+    one groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = load(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy()
+        labels: list[str] = []
+        counts: list[int] = []
+        inr = (v >= 50) & (v < 350)
+        b = 50 + 100 * np.floor((v[inr] - 50) / 100)
+        if len(b):
+            uniq, cnt = np.unique(b, return_counts=True)
+            labels += [str(int(x)) for x in uniq]
+            counts += cnt.tolist()
+        labels += ["before", "after", "between"]
+        counts += [int((v < 50).sum()), int((v >= 350).sum()), int(inr.sum())]
+        return pa.table(
+            {
+                "bucket": pa.array(labels, pa.string()),
+                "n": pa.array(np.asarray(counts, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("n"), "n", t.column("n").cast(pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
