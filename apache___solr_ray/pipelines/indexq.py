@@ -148,10 +148,13 @@ def _doc_id_map(index_dir: str) -> dict[int, int]:
 def index_term_df(sf_dir: str):
     """Full term dictionary dumped from the built segments (df/ttf summed
     across salted parts) — must equal DuckDB recounting from raw text."""
+    return _term_df_table(ensure_doc_index(sf_dir))
+
+
+def _term_df_table(index_dir: str) -> pa.Table:
     from apache___solr_ray.query import IndexReader
     from apache___solr_ray.segment import SegmentReader
 
-    index_dir = ensure_doc_index(sf_dir)
     r = IndexReader(index_dir)
     agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
     for segs in r._segments_by_tkey.values():
@@ -170,6 +173,39 @@ def index_term_df(sf_dir: str):
             "ttf": pa.array([agg[t][1] for t in terms], pa.int64()),
         }
     )
+
+
+_RESTORED_CACHE: dict[str, str] = {}
+
+
+@q(
+    "backup_restore_term_df",
+    ORACLE["index_term_df"],  # backup+restore must preserve content exactly
+)
+def backup_restore_term_df(sf_dir: str):
+    """Backup → restore → query round-trip (reference SnapShooter.java
+    commit-point snapshot + IncrementalShardBackup.java shared immutable
+    files + the BackupManager restore/verify contract): snapshot the
+    committed index into a content-addressed pool, restore it into a FRESH
+    directory (checksum-verified, staged + atomic rename), then dump the
+    term dictionary FROM THE RESTORED INDEX — same oracle as
+    ``index_term_df``, so the round-trip is value-checked end to end."""
+    from apache___solr_ray import backup as bk
+
+    index_dir = ensure_doc_index(sf_dir)
+    hit = _RESTORED_CACHE.get(sf_dir)
+    if hit is None:
+        base = os.path.dirname(os.path.normpath(index_dir))
+        bdir = os.path.join(base, "backups")
+        restored = os.path.join(base, "index_restored")
+        bk.create_backup(index_dir, bdir, "snap1")
+        if os.path.exists(restored):
+            import shutil
+
+            shutil.rmtree(restored)
+        bk.restore_backup(bdir, "snap1", restored)
+        _RESTORED_CACHE[sf_dir] = hit = restored
+    return _term_df_table(hit)
 
 
 @q(

@@ -747,3 +747,50 @@ def test_facet_pivot_tree_consistency(ray_session):
         assert (s, p) in surviving
         assert len(grp) <= 2
         assert grp["n"].tolist() == sorted(grp["n"].tolist(), reverse=True)
+
+
+def test_backup_restore_roundtrip_and_incremental(built, tmp_path):
+    """SnapShooter/IncrementalShardBackup analog: restore preserves the
+    index fingerprint AND every queryable term; a second backup of the
+    unchanged index writes ZERO new pool bodies; corruption is caught."""
+    import pytest as _pytest
+
+    from apache___solr_ray import backup as bk
+    from apache___solr_ray.manifest import index_fingerprint
+    from apache___solr_ray.pipelines.indexq import _term_df_table
+
+    idx, _cfg, _man = built
+    bdir = str(tmp_path / "backups")
+
+    m1 = bk.create_backup(idx, bdir, "b1")
+    assert m1["new_pool_files"] == len(m1["files"])  # first backup: all new
+
+    # incremental: unchanged index -> zero new bodies, same file table
+    m2 = bk.create_backup(idx, bdir, "b2")
+    assert m2["new_pool_files"] == 0
+    assert m2["files"] == m1["files"]
+    assert bk.list_backups(bdir) == ["b1", "b2"]
+
+    dest = str(tmp_path / "restored")
+    fp = bk.restore_backup(bdir, "b1", dest)
+    assert fp == index_fingerprint(idx) == m1["index_fingerprint"]
+    got = _term_df_table(dest)
+    want = _term_df_table(idx)
+    assert got.equals(want)
+
+    # restore refuses to clobber
+    with _pytest.raises(bk.BackupError):
+        bk.restore_backup(bdir, "b1", dest)
+
+    # tamper with a pool body -> verify and restore both fail
+    import os
+
+    sha = next(iter(m1["files"].values()))["sha1"]
+    body = os.path.join(bdir, "pool", sha)
+    with open(body, "r+b") as f:
+        f.seek(0)
+        f.write(b"\xff")
+    with _pytest.raises(bk.BackupError):
+        bk.verify_backup(bdir, "b1")
+    with _pytest.raises(bk.BackupError):
+        bk.restore_backup(bdir, "b1", str(tmp_path / "restored2"))
