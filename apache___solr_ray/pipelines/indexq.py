@@ -175,6 +175,53 @@ def _term_df_table(index_dir: str) -> pa.Table:
     )
 
 
+@q(
+    "index_luke_field_summary",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    td AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+    SELECT 'num_docs' AS metric, (SELECT count(*) FROM documents) AS value
+    UNION ALL SELECT 'num_terms', (SELECT count(*) FROM td)
+    UNION ALL SELECT 'sum_total_tf', (SELECT count(*) FROM toks)
+    UNION ALL SELECT 'top:' || term, df
+      FROM (SELECT term, df FROM td ORDER BY df DESC, term LIMIT 5)
+    """,
+)
+def index_luke_field_summary(sf_dir: str):
+    """Luke handler analog (reference
+    solr/core/src/java/org/apache/solr/handler/admin/LukeRequestHandler.java:
+    /admin/luke reports per-field index metadata — docs, distinct terms,
+    totals, topTerms — straight from the index, never from stored source).
+    Same discipline here: num_docs and sum_total_tf come from the commit's
+    ``stats.json``, num_terms and the top-5 topTerms from the ``termdf``
+    sidecar read AS A DATASET (count() is block-metadata, top-5 is a
+    distributed sort+limit) — nothing re-tokenizes the corpus."""
+    import json
+
+    import ray
+
+    index_dir = ensure_doc_index(sf_dir)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    td = ray.data.read_parquet(os.path.join(index_dir, "termdf"))
+    n_terms = td.count()
+    top5 = td.sort(["df", "term"], descending=[True, False]).limit(5).take_all()
+    metrics = ["num_docs", "num_terms", "sum_total_tf"] + [
+        f"top:{r['term']}" for r in top5
+    ]
+    values = [
+        int(stats["doc_count"]),
+        int(n_terms),
+        int(stats["sum_total_tf"]),
+    ] + [int(r["df"]) for r in top5]
+    return pa.table(
+        {
+            "metric": pa.array(metrics, pa.string()),
+            "value": pa.array(values, pa.int64()),
+        }
+    )
+
+
 _RESTORED_CACHE: dict[str, str] = {}
 
 
@@ -680,6 +727,80 @@ def index_boolean_and_match(sf_dir: str):
     r = IndexReader(index_dir)
     idmap = _doc_id_map(index_dir)
     docs = r.match_docs("merge join the", mode="and")
+    ids = sorted(idmap[int(d)] for d in docs)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+@q(
+    "json_query_bool_docs",
+    f"""
+    WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS dl,
+                      list_distinct({_TOKS}) AS toks
+               FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_intersect(toks, ['merge', 'join'])) = 2
+      AND dl >= 40 AND lang <> 'de'
+    """,
+)
+def json_query_bool_docs(sf_dir: str):
+    """JSON Query DSL (reference JSON Request API — RequestUtil.java
+    json.query expansion, JsonQueryConverter.java, json-query-dsl.adoc):
+    ``bool`` with a required lucene clause (q.op=AND), a sidecar range
+    filter (doc_len >= 40 — the docValues length column, the fq/filterCache shape — evaluated as a
+    lazy mask over candidates, never a corpus scan) and a must_not on a
+    metadata field. Set algebra over posting-derived id sets."""
+    from apache___solr_ray.jsonquery import json_query_docs
+    from apache___solr_ray.query import IndexReader
+
+    r = IndexReader(ensure_doc_index(sf_dir))
+    idmap = _doc_id_map(r.dir)
+    docs = json_query_docs(
+        r,
+        {
+            "bool": {
+                "must": [{"lucene": {"query": "merge join", "q.op": "AND"}}],
+                "filter": [{"range": {"f": "doc_len", "lower": 40}}],
+                "must_not": [{"field": {"f": "lang", "query": "de"}}],
+            }
+        },
+    )
+    ids = sorted(idmap[int(d)] for d in docs)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+@q(
+    "json_query_should_mm_docs",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_intersect(toks, ['fast', 'slow', 'vector'])) >= 2
+      AND len(list_filter(toks, x -> x LIKE 'du%')) = 0
+    """,
+)
+def json_query_should_mm_docs(sf_dir: str):
+    """JSON Query DSL: pure-should ``bool`` with minimum_should_match=2
+    over three field clauses plus a must_not PREFIX clause (term-dict
+    expansion) — the mm counting runs vectorized (np.isin per should set
+    over the candidate base)."""
+    from apache___solr_ray.jsonquery import json_query_docs
+    from apache___solr_ray.query import IndexReader
+
+    r = IndexReader(ensure_doc_index(sf_dir))
+    idmap = _doc_id_map(r.dir)
+    docs = json_query_docs(
+        r,
+        {
+            "bool": {
+                "should": [
+                    {"field": {"f": "text", "query": "fast"}},
+                    {"field": {"f": "text", "query": "slow"}},
+                    {"field": {"f": "text", "query": "vector"}},
+                ],
+                "minimum_should_match": 2,
+                "must_not": [{"prefix": {"query": "du"}}],
+            }
+        },
+    )
     ids = sorted(idmap[int(d)] for d in docs)
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 

@@ -794,3 +794,69 @@ def test_backup_restore_roundtrip_and_incremental(built, tmp_path):
         bk.verify_backup(bdir, "b1")
     with _pytest.raises(bk.BackupError):
         bk.restore_backup(bdir, "b1", str(tmp_path / "restored2"))
+
+
+def test_json_query_dsl_algebra(built):
+    """JSON Query DSL over the small fixture: bool algebra must equal
+    hand-computed set operations on match_docs results; nested bools,
+    phrase leaves, pure-should union, and error paths."""
+    import numpy as np
+    import pytest as _pytest
+
+    from apache___solr_ray.jsonquery import JsonQueryError, json_query_docs
+    from apache___solr_ray.query import IndexReader
+
+    idx, _cfg, _man = built
+    r = IndexReader(idx)
+
+    def s(q, mode="or"):
+        return np.sort(r.match_docs(q, mode=mode))
+
+    # must AND + must_not
+    got = json_query_docs(
+        r,
+        {"bool": {"must": [{"lucene": {"query": "merge join", "q.op": "AND"}}],
+                  "must_not": [{"field": {"f": "text", "query": "slow"}}]}},
+    )
+    want = np.setdiff1d(s("merge join", "and"), s("slow"), assume_unique=True)
+    assert np.array_equal(got, want)
+
+    # bare string == lucene OR
+    assert np.array_equal(json_query_docs(r, "merge join"), s("merge join"))
+
+    # nested bool inside must_not
+    got = json_query_docs(
+        r,
+        {"bool": {"must": ["merge"],
+                  "must_not": [{"bool": {"should": ["slow", "fast"]}}]}},
+    )
+    want = np.setdiff1d(
+        s("merge"), np.union1d(s("slow"), s("fast")), assume_unique=True
+    )
+    assert np.array_equal(got, want)
+
+    # pure should union (no mm) and mm=2
+    got = json_query_docs(r, {"bool": {"should": ["merge", "fast"]}})
+    assert np.array_equal(got, np.union1d(s("merge"), s("fast")))
+    got = json_query_docs(
+        r, {"bool": {"should": ["merge", "fast", "slow"],
+                     "minimum_should_match": 2}}
+    )
+    m1, m2, m3 = s("merge"), s("fast"), s("slow")
+    base = np.union1d(np.union1d(m1, m2), m3)
+    hits = (
+        np.isin(base, m1).astype(int)
+        + np.isin(base, m2).astype(int)
+        + np.isin(base, m3).astype(int)
+    )
+    assert np.array_equal(got, base[hits >= 2])
+
+    # phrase leaf
+    got = json_query_docs(r, {"phrase": {"query": "merge join"}})
+    assert np.array_equal(got, np.sort(r.match_docs_phrase("merge join")))
+
+    # unknown parser / malformed node raise
+    with _pytest.raises(JsonQueryError):
+        json_query_docs(r, {"nope": {}})
+    with _pytest.raises(JsonQueryError):
+        json_query_docs(r, {"bool": {}, "extra": {}})
