@@ -191,6 +191,10 @@ class TextToVectorProcessor:
 def text_to_vector(ds, model: HashingTextToVectorModel, input_field: str,
                    output_field: str, concurrency: int = 4):
     """Attach an embedding column to every row (the ingest-chain stage)."""
+    # autoscaling pool with min=1: a FIXED pool of size == cluster CPUs
+    # deadlocks small sessions (all CPUs pinned by idle actors, upstream
+    # read / downstream shuffle tasks starve) — min 1 always leaves the
+    # scheduler room, max still saturates big clusters
     return ds.map_batches(
         TextToVectorProcessor,
         fn_constructor_kwargs={
@@ -199,7 +203,7 @@ def text_to_vector(ds, model: HashingTextToVectorModel, input_field: str,
             "output_field": output_field,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -234,5 +238,7 @@ def text_to_vector_topk(ds, store_path: str, model_name: str, qtext: str,
             dots = mat @ self.qv
             return pa.table({id_field: t.column(id_field), "dot": pa.array(dots)})
 
-    scored = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=4)
+    # (1, 4): a fixed pool of 4 deadlocks a 4-CPU session — the pool pins
+    # every CPU and the Sort downstream never gets a slot
+    scored = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
     return scored.sort(["dot", id_field], descending=[True, False]).limit(k)
