@@ -1721,6 +1721,80 @@ def spell_suggest(sf_dir: str):
     return cands.sort(["ttf", "term"], descending=[True, False]).limit(5)
 
 
+_COLLATE_MISSPELLED = ["mergr", "joim", "tabl"]
+
+
+@q(
+    "spellcheck_collate",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    agg AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    c0 AS (SELECT term FROM agg WHERE levenshtein(term, 'mergr') <= 1
+           ORDER BY df DESC, term LIMIT 1),
+    c1 AS (SELECT term FROM agg WHERE levenshtein(term, 'joim') <= 1
+           ORDER BY df DESC, term LIMIT 1),
+    c2 AS (SELECT term FROM agg WHERE levenshtein(term, 'tabl') <= 1
+           ORDER BY df DESC, term LIMIT 1),
+    t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+    sel AS (SELECT (SELECT term FROM c0) AS t0, (SELECT term FROM c1) AS t1,
+                   (SELECT term FROM c2) AS t2)
+    SELECT sel.t0 || ' ' || sel.t1 || ' ' || sel.t2 AS collation, h.hits
+    FROM sel CROSS JOIN (
+      SELECT count(*) AS hits FROM t CROSS JOIN sel s2
+      WHERE list_contains(toks, s2.t0) AND list_contains(toks, s2.t1)
+        AND list_contains(toks, s2.t2)) h
+    """,
+)
+def spellcheck_collate(sf_dir: str):
+    """Spellcheck collation (reference
+    solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator.java:
+    ``spellcheck.collate`` replaces every misspelled query term with its
+    best correction, then RE-QUERIES the index to report the collation's
+    verified hit count — a suggestion is only useful if the corrected
+    query actually matches). Query: 'mergr joim tabl'. Per term the
+    vocabulary stays a Dataset (the termdf sidecar): vectorized edit-
+    distance-1 prefilters + exact check per batch, distributed sort by
+    (df desc, term) picks the best correction; the collation's hits come
+    from a conjunctive posting-set intersection (`match_docs` AND) —
+    exactly the collator's internal re-query."""
+    import ray
+
+    from apache___solr_ray.pipelines.indexq import ensure_doc_index
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+
+    corrections: list[str] = []
+    for miss in _COLLATE_MISSPELLED:
+        td = ray.data.read_parquet(os.path.join(index_dir, "termdf"))
+
+        def cand(df: pd.DataFrame, _q=miss) -> pd.DataFrame:
+            m = (df["term"].str.len() - len(_q)).abs() <= 1
+            m &= (df["term"].str[0] == _q[0]) | (df["term"].str[-1] == _q[-1])
+            sub = df[m]
+            if len(sub) == 0:
+                return sub
+            return sub[[_levenshtein1(t, _q) for t in sub["term"]]]
+
+        best = (
+            td.map_batches(cand, batch_format="pandas")
+            .sort(["df", "term"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )
+        corrections.append(best[0]["term"] if best else miss)
+
+    collation = " ".join(corrections)
+    r = IndexReader(index_dir)
+    hits = len(r.match_docs(collation, mode="and"))
+    return pa.table(
+        {
+            "collation": pa.array([collation], pa.string()),
+            "hits": pa.array([hits], pa.int64()),
+        }
+    )
+
+
 @q("csv_loader_roundtrip")  # rows-only: loader surface demo; equality pytest-asserted
 def csv_loader_roundtrip(sf_dir: str):
     """CSVLoader analog (reference CSVLoaderBase.java): export events to CSV,
