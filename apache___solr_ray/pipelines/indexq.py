@@ -732,6 +732,58 @@ def index_boolean_and_match(sf_dir: str):
 
 
 @q(
+    "facet_query_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS toks
+               FROM documents)
+    SELECT 'merge_and_join' AS facet_query,
+           count(*) FILTER (len(list_intersect(toks, ['merge','join'])) = 2) AS n
+    FROM t
+    UNION ALL
+    SELECT 'fast_or_slow',
+           count(*) FILTER (len(list_intersect(toks, ['fast','slow'])) >= 1)
+    FROM t
+    UNION ALL
+    SELECT 'lang_en_with_vector',
+           count(*) FILTER (lang = 'en' AND list_contains(toks, 'vector'))
+    FROM t
+    """,
+)
+def facet_query_buckets(sf_dir: str):
+    """facet.query (reference SimpleFacets.java `getFacetQueryCounts` —
+    arbitrary named query buckets counted over the match domain, the
+    classic-facets companion to field/range facets). Three buckets:
+    a conjunction, a disjunction, and a term+sidecar-filter combination —
+    each evaluated as posting-set algebra (match_docs / json DSL), with
+    counts of LIVE docs only."""
+    from apache___solr_ray.jsonquery import json_query_docs
+    from apache___solr_ray.query import IndexReader
+
+    r = IndexReader(ensure_doc_index(sf_dir))
+    n1 = len(r.match_docs("merge join", mode="and"))
+    n2 = len(r.match_docs("fast slow", mode="or"))
+    n3 = len(
+        json_query_docs(
+            r,
+            {
+                "bool": {
+                    "must": [{"field": {"f": "text", "query": "vector"}}],
+                    "filter": [{"field": {"f": "lang", "query": "en"}}],
+                }
+            },
+        )
+    )
+    return pa.table(
+        {
+            "facet_query": pa.array(
+                ["merge_and_join", "fast_or_slow", "lang_en_with_vector"], pa.string()
+            ),
+            "n": pa.array([n1, n2, n3], pa.int64()),
+        }
+    )
+
+
+@q(
     "json_query_bool_docs",
     f"""
     WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS dl,
