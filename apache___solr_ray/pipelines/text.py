@@ -1721,6 +1721,85 @@ def spell_suggest(sf_dir: str):
     return cands.sort(["ttf", "term"], descending=[True, False]).limit(5)
 
 
+def _soundex(term: str) -> str:
+    """American Soundex with h/w transparency (reference
+    solr/core analysis PhoneticFilterFactory.java with the
+    commons-codec Soundex encoder — encoder table documented there):
+    first letter kept, h/w transparent, vowels separate, adjacent equal
+    codes collapse (including across the first letter), pad to 4."""
+    import re
+
+    first = term[0]
+    rest = term[1:].replace("h", "").replace("w", "")
+    tbl = str.maketrans("bfpvcgjkqsxzdtlmnraeiouyhw", "11112222222233455600000000")
+    coded = (first + rest).translate(tbl)
+    coded = re.sub(r"(.)\1+", r"\1", coded)  # collapse adjacent duplicates
+    digits = coded[1:].replace("0", "")[:3]
+    return (first.upper() + digits).ljust(4, "0")
+
+
+@q(
+    "phonetic_soundex_codes",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    td AS (SELECT DISTINCT term FROM toks WHERE regexp_matches(term, '^[a-z]+$')),
+    enc AS (SELECT term,
+      upper(substr(term, 1, 1)) ||
+      rpad(substr(replace(substr(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(
+          translate(substr(term, 1, 1) || translate(substr(term, 2), 'hw', ''),
+                    'bfpvcgjkqsxzdtlmnraeiouyhw',
+                    '11112222222233455600000000'),
+          '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'),
+          '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g'),
+        2), '0', ''), 1, 3), 3, '0') AS code
+      FROM td)
+    SELECT code, count(*) AS n_terms FROM enc GROUP BY code
+    """,
+)
+def phonetic_soundex_codes(sf_dir: str):
+    """Phonetic analysis (reference PhoneticFilterFactory.java — Soundex/
+    Metaphone token encoding so 'smith' and 'smyth' co-match). Encodes the
+    DISTINCT alphabetic vocabulary (the termdf sidecar stays a Dataset —
+    per batch the encoder is pure string table lookups) and reports every
+    code with its distinct-term count — terms sharing a code are the
+    classes a phonetic field conflates at query time, and hashing ALL
+    codes oracle-checks the encoder on the whole vocabulary. Oracle
+    mirrors the encoder with the same translate/collapse/pad pipeline in
+    SQL."""
+    import ray
+
+    from apache___solr_ray.pipelines.indexq import ensure_doc_index
+    from ray.data.aggregate import Sum
+
+    index_dir = ensure_doc_index(sf_dir)
+    td = ray.data.read_parquet(os.path.join(index_dir, "termdf"))
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        terms = [t for t in df["term"] if t.isalpha()]
+        codes = pd.Series([_soundex(t) for t in terms], dtype=object)
+        g = codes.groupby(codes, sort=False).size().reset_index()
+        g.columns = ["code", "n_terms"]
+        g["n_terms"] = g["n_terms"].astype(np.int64)
+        return g
+
+    agg = (
+        td.map_batches(enc, batch_format="pandas")
+        .groupby("code")
+        .aggregate(Sum("n_terms", alias_name="n_terms"))
+    )
+
+    def trim(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("n_terms"),
+            "n_terms",
+            t.column("n_terms").cast(pa.int64()),
+        )
+
+    return agg.map_batches(trim, batch_format="pyarrow")
+
+
 _COLLATE_MISSPELLED = ["mergr", "joim", "tabl"]
 
 

@@ -166,3 +166,21 @@ def test_token_filter_factories():
     for tok, want in cases.items():
         assert minimal_plural_stem(tok) == want, tok
     assert stem_filter(["dogs", "glass"]) == ["dog", "glass"]
+
+
+def test_soundex_published_vectors():
+    """The Soundex encoder must reproduce the classic published test
+    vectors, including the h/w-transparency cases (Ashcraft) and the
+    adjacent-code collapse across the first letter (Pfister)."""
+    from apache___solr_ray.pipelines.text import _soundex
+
+    vectors = {
+        "robert": "R163", "rupert": "R163",
+        "ashcraft": "A261", "ashcroft": "A261",
+        "tymczak": "T522", "pfister": "P236", "honeyman": "H555",
+        "white": "W300", "wright": "W623",
+        "smith": "S530", "smyth": "S530",
+        "a": "A000", "gauss": "G200", "jackson": "J250",
+    }
+    for term, want in vectors.items():
+        assert _soundex(term) == want, term
