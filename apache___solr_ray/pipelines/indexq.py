@@ -19,6 +19,7 @@ from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 QUERIES: dict = {}
@@ -175,6 +176,19 @@ def _term_df_table(index_dir: str) -> pa.Table:
     )
 
 
+def termdf_dataset(index_dir: str):
+    """The committed term dictionary as a Dataset of GLOBAL (term, df)
+    rows. The ``termdf`` sidecar holds one row per (term, segment part) —
+    partial df per doc-disjoint part — so consumers must combine partials
+    first: one groupby-Sum here (doc parts are disjoint, salted
+    sub-segments split by doc range, so Sum is the exact combine)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    td = ray.data.read_parquet(os.path.join(index_dir, "termdf"))
+    return td.groupby("term").aggregate(Sum("df", alias_name="df"))
+
+
 @q(
     "index_luke_field_summary",
     f"""
@@ -203,7 +217,7 @@ def index_luke_field_summary(sf_dir: str):
     index_dir = ensure_doc_index(sf_dir)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
-    td = ray.data.read_parquet(os.path.join(index_dir, "termdf"))
+    td = termdf_dataset(index_dir)
     n_terms = td.count()
     top5 = td.sort(["df", "term"], descending=[True, False]).limit(5).take_all()
     metrics = ["num_docs", "num_terms", "sum_total_tf"] + [

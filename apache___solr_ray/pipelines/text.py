@@ -1768,13 +1768,12 @@ def phonetic_soundex_codes(sf_dir: str):
     codes oracle-checks the encoder on the whole vocabulary. Oracle
     mirrors the encoder with the same translate/collapse/pad pipeline in
     SQL."""
-    import ray
-
-    from apache___solr_ray.pipelines.indexq import ensure_doc_index
     from ray.data.aggregate import Sum
 
+    from apache___solr_ray.pipelines.indexq import ensure_doc_index, termdf_dataset
+
     index_dir = ensure_doc_index(sf_dir)
-    td = ray.data.read_parquet(os.path.join(index_dir, "termdf"))
+    td = termdf_dataset(index_dir)  # global (term, df): one row per term
 
     def enc(df: pd.DataFrame) -> pd.DataFrame:
         terms = [t for t in df["term"] if t.isalpha()]
@@ -1843,9 +1842,11 @@ def spellcheck_collate(sf_dir: str):
 
     index_dir = ensure_doc_index(sf_dir)
 
+    from apache___solr_ray.pipelines.indexq import termdf_dataset
+
     corrections: list[str] = []
     for miss in _COLLATE_MISSPELLED:
-        td = ray.data.read_parquet(os.path.join(index_dir, "termdf"))
+        td = termdf_dataset(index_dir)  # global df (sidecar rows are per-part partials)
 
         def cand(df: pd.DataFrame, _q=miss) -> pd.DataFrame:
             m = (df["term"].str.len() - len(_q)).abs() <= 1

@@ -860,3 +860,19 @@ def test_json_query_dsl_algebra(built):
         json_query_docs(r, {"nope": {}})
     with _pytest.raises(JsonQueryError):
         json_query_docs(r, {"bool": {}, "extra": {}})
+
+
+def test_termdf_dataset_returns_global_df(built):
+    """The termdf sidecar stores one row per (term, part) with PARTIAL df
+    (regression: consumers that read it raw double-count at any scale
+    with >1 doc part). termdf_dataset must return one row per term whose
+    df equals the segment-summed global term dictionary."""
+    from apache___solr_ray.pipelines.indexq import _term_df_table, termdf_dataset
+
+    idx, _cfg, _man = built
+    got = termdf_dataset(idx).to_pandas().sort_values("term").reset_index(drop=True)
+    assert got["term"].is_unique
+    want = _term_df_table(idx).to_pandas()
+    merged = got.merge(want[["term", "df"]], on="term", suffixes=("", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["df"] == merged["df_want"]).all()
