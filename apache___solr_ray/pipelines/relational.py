@@ -2434,32 +2434,37 @@ def facet_uniqueblock_returnflag(sf_dir: str):
 
     Scale shape: per-batch (bucket, parent) dedup shrinks the stream
     BEFORE the shuffle (a parent's children arrive together in practice —
-    exactly the contiguous-block assumption UniqueBlockAgg exploits), one
-    (bucket, parent) groupby finishes the dedup, then per-batch bucket
-    partials + one tiny groupby count parents. No count-distinct sketch,
-    no driver materialization."""
-    from ray.data.aggregate import Count, Sum
+    exactly the contiguous-block assumption UniqueBlockAgg exploits),
+    then ONE (bucket, parent)-hash grouped_map partition finishes the
+    dedup and counts parents per bucket with pandas C kernels — the
+    repo's measured fast path (Ray's sort-based Aggregate burned ~2,400
+    task-CPU-seconds on the same 600k dedup keys; the hash shuffle is
+    linear). A tiny groupby sums the per-partition partials. No
+    count-distinct sketch, no driver materialization."""
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.pipelines.common import grouped_map
 
     ds = load(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
 
     def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["l_returnflag", "l_orderkey"])
 
-    uniq = (
-        ds.map_batches(dedup_partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_orderkey"])
-        .aggregate(Count(alias_name="c"))
-    )
-
-    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_returnflag", sort=False).size().reset_index(name="parents")
+    def count_parents(df: pd.DataFrame) -> pd.DataFrame:
+        # every (bucket, parent) key lands whole in this partition
+        u = df.drop_duplicates(["l_returnflag", "l_orderkey"])
+        g = u.groupby("l_returnflag", sort=False).size().reset_index(name="parents")
         g.columns = ["bucket", "parents"]
         g["parents"] = g["parents"].astype(np.int64)
         return g
 
+    partials = grouped_map(
+        ds.map_batches(dedup_partial, batch_format="pandas"),
+        ["l_returnflag", "l_orderkey"],
+        count_parents,
+    )
     return (
-        uniq.map_batches(bucket_partial, batch_format="pandas")
-        .groupby("bucket")
+        partials.groupby("bucket")
         .aggregate(Sum("parents", alias_name="parents"))
         .map_batches(
             lambda t: t.set_column(
