@@ -2256,7 +2256,7 @@ def facet_pivot_status_priority_year(sf_dir: str):
     the DuckDB oracle can express it relationally."""
     from ray.data.aggregate import Sum
 
-    from apache___solr_ray.pipelines.common import grouped_map
+    from apache___solr_ray.pipelines.common import combine_partials, grouped_map
 
     ds = load(
         sf_dir,
@@ -2279,10 +2279,11 @@ def facet_pivot_status_priority_year(sf_dir: str):
             n=("n", "sum"), rc=("rc", "sum")
         )
 
-    leaf = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["s", "p", "y"])
-        .aggregate(Sum("n", alias_name="n"), Sum("rc", alias_name="rc"))
+    leaf = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["s", "p", "y"],
+        [Sum("n", alias_name="n"), Sum("rc", alias_name="rc")],
+        sum_cols=["n", "rc"],
     )
 
     def build_tree(g: pd.DataFrame) -> pd.DataFrame:
@@ -2372,7 +2373,7 @@ def facet_domain_multiselect(sf_dir: str):
     in a grouped_map whose input is already bucket-level (tiny)."""
     from ray.data.aggregate import Sum
 
-    from apache___solr_ray.pipelines.common import grouped_map
+    from apache___solr_ray.pipelines.common import combine_partials, grouped_map
 
     ds = load(sf_dir, "events", columns=["event_type", "user_id", "value"])
 
@@ -2400,10 +2401,11 @@ def facet_domain_multiselect(sf_dir: str):
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["facet", "bucket"])
-        .aggregate(Sum("n", alias_name="n"))
+    agg = combine_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["facet", "bucket"],
+        [Sum("n", alias_name="n")],
+        sum_cols=["n"],
     )
 
     def trim(g: pd.DataFrame) -> pd.DataFrame:
