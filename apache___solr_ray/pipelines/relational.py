@@ -2597,3 +2597,59 @@ def facet_range_other_value(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+@q(
+    "facet_block_children_domain",
+    """
+    SELECT l.l_returnflag AS bucket, count(*) AS n,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def facet_block_children_domain(sf_dir: str):
+    """JSON Facet ``domain: {blockChildren: ...}`` (reference
+    FacetRequest.java domain parsing + BlockJoin domain changes,
+    json-facet-api.adoc 'Block Join Domain Changes'): start from a PARENT
+    query (urgent orders), switch the facet domain to those parents'
+    CHILD docs, facet the children. Parent keys resolve first (pruned
+    orders scan), broadcast ONCE via ray.put, and each lineitem batch
+    filters with the C-level ``pc.is_in`` probe (`semi_join_filter`) —
+    no shuffle join; the facet is the standard partial+combine count."""
+    from apache___solr_ray.pipelines.common import partial_sum_count, semi_join_filter
+
+    parents = (
+        load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("o_orderpriority"), "1-URGENT")
+            ).select(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    children = semi_join_filter(
+        load(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"]),
+        "l_orderkey",
+        parents.tolist(),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t.column("l_returnflag"),
+                "qty": t.column("l_quantity").cast(pa.int64()),
+            }
+        )
+
+    return partial_sum_count(
+        children.map_batches(prep, batch_format="pyarrow"),
+        "bucket",
+        [("qty", "sum_qty")],
+        count_alias="n",
+    )

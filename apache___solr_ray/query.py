@@ -1497,3 +1497,64 @@ def scatter_gather_topk(index_dir: str, query: str, k: int, n_shards: int = 4):
         if hi > lo
     ]
     return merge_topk(ray.get(futs), k)
+
+
+def timed_partial_topk(
+    index_dir: str, query: str, k: int, time_allowed_s: float | None, n_shards: int = 4
+):
+    """``timeAllowed`` / partialResults (reference: SolrIndexSearcher wraps
+    collectors in Lucene's TimeLimitingCollector when ``timeAllowed`` is
+    set; an expired budget returns what was collected with
+    ``partialResults=true`` in the header — common-query-parameters.adoc).
+
+    Distributed form: the doc-range shards of ``scatter_gather_topk`` are
+    dispatched in parallel, but the coordinator stops WAITING once the
+    budget expires (ray.wait with the remaining timeout) and merges only
+    the shards that finished — exactly Solr's partial-results contract
+    where late shards are dropped from the merged page. At least one
+    shard is always awaited so a tiny budget still returns results.
+    Returns (doc_ids, scores, partial: bool, shards_scored: int).
+    """
+    import time
+
+    import ray
+
+    reader = IndexReader(index_dir)
+    n_parts = reader.n_doc_parts
+    reader.close()
+    n_shards = max(1, min(n_shards, n_parts))
+    bounds = np.linspace(0, n_parts, n_shards + 1).astype(int)
+
+    @ray.remote
+    def score_shard(lo: int, hi: int):
+        r = IndexReader(index_dir)
+        try:
+            return r.topk_range(query, k, lo, hi)
+        finally:
+            r.close()
+
+    futs = [
+        score_shard.remote(int(lo), int(hi))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    if time_allowed_s is None:
+        results = ray.get(futs)
+        d, s = merge_topk(results, k)
+        return d, s, False, len(results)
+
+    deadline = time.monotonic() + time_allowed_s
+    ready, pending = ray.wait(futs, num_returns=1)  # always await one shard
+    while pending:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        r2, pending = ray.wait(
+            pending, num_returns=len(pending), timeout=remaining
+        )
+        ready += r2
+    for f in pending:
+        ray.cancel(f, force=True)
+    results = ray.get(ready)
+    d, s = merge_topk(results, k)
+    return d, s, bool(pending), len(results)

@@ -876,3 +876,30 @@ def test_termdf_dataset_returns_global_df(built):
     merged = got.merge(want[["term", "df"]], on="term", suffixes=("", "_want"))
     assert len(merged) == len(want)
     assert (merged["df"] == merged["df_want"]).all()
+
+
+def test_time_allowed_partial_results(built):
+    """timeAllowed semantics: no budget -> full result identical to the
+    scatter-gather merge with partial=False; zero budget -> partial=True
+    with >= 1 shard merged and every returned doc a real match."""
+    import numpy as np
+
+    from apache___solr_ray.query import scatter_gather_topk, timed_partial_topk
+
+    idx, _cfg, _man = built
+    full_d, full_s = scatter_gather_topk(idx, "merge join", 10, n_shards=4)
+
+    d, s, partial, n = timed_partial_topk(idx, "merge join", 10, None, n_shards=4)
+    assert not partial and n >= 1
+    assert np.array_equal(d, full_d) and np.array_equal(s, full_s)
+
+    d2, s2, partial2, n2 = timed_partial_topk(idx, "merge join", 10, 0.0, n_shards=4)
+    assert n2 >= 1  # at least one shard is always awaited
+    assert len(d2) == len(s2)
+    # a partial page may even be empty (the surviving shard had no
+    # matches) — that is Solr's partialResults contract; what must hold:
+    # every returned doc also appears in the full merge's candidate set
+    full_all, _ = scatter_gather_topk(idx, "merge join", 10_000, n_shards=4)
+    assert set(map(int, d2)) <= set(map(int, full_all))
+    if not partial2:  # every shard beat the (zero) budget: full equality
+        assert np.array_equal(d2, full_d)
