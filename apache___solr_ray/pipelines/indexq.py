@@ -1021,6 +1021,42 @@ def index_min_match_2of3(sf_dir: str):
 
 
 @q(
+    "index_mm_spec_docs",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_intersect(toks, ['merge', 'spark', 'vector', 'window'])) >= 3
+    """,
+)
+def index_mm_spec_docs(sf_dir: str):
+    """edismax ``mm`` spec language (reference SolrPluginUtils.java:635
+    calculateMinShouldMatch — integers, negatives, percentages and
+    conditional ``upper<spec`` chains). Query: 4 should terms with
+    ``mm=2<-25%`` — above 2 clauses, leave 25% unmatched → mm resolves
+    to 3-of-4 (the port is vector-tested against the reference's own
+    unit-test table). Same one-bincount evaluation as mm=2."""
+    from apache___solr_ray.query import IndexReader, calculate_min_should_match
+
+    terms = ("merge", "spark", "vector", "window")
+    mm = calculate_min_should_match(len(terms), "2<-25%")
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    sets = []
+    for term in terms:
+        tp = r.term_postings(term)
+        if tp is not None:
+            sets.append(tp.decode_all()[0])
+    if not sets:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    allc = np.concatenate(sets)
+    uniq, cnt = np.unique(allc, return_counts=True)
+    hits = uniq[cnt >= mm]
+    ids = sorted(idmap[int(d)] for d in hits)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+@q(
     "index_stats_over_match",
     f"""
     WITH t AS (SELECT doc_id, len({_TOKS}) AS dl, list_distinct({_TOKS}) AS toks

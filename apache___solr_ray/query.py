@@ -1558,3 +1558,43 @@ def timed_partial_topk(
     results = ray.get(ready)
     d, s = merge_topk(results, k)
     return d, s, bool(pending), len(results)
+
+
+def calculate_min_should_match(optional_clause_count: int, spec: str) -> int:
+    """Solr's ``mm`` spec language (reference
+    solr/core/src/java/org/apache/solr/util/SolrPluginUtils.java:635
+    ``calculateMinShouldMatch`` — ported op-for-op): plain integers,
+    negatives ("leave this many unmatched"), percentages (negative
+    percentages likewise subtract, truncating toward zero exactly like
+    the reference's ``(int) calc`` cast), and conditional
+    ``upper<spec`` chains evaluated left to right, where the first
+    condition with clause-count <= upperBound short-circuits to the
+    running result."""
+    import re
+
+    result = optional_clause_count
+    spec = spec.strip()
+
+    if "<" in spec:
+        spec = re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec)
+        for s in spec.split(" "):
+            parts = s.split("<")
+            if len(parts) < 2 or not parts[0]:
+                raise ValueError(f"Invalid 'mm' spec: {s!r}")
+            upper = int(parts[0])
+            if optional_clause_count <= upper:
+                return result
+            result = calculate_min_should_match(optional_clause_count, parts[1])
+        return result
+
+    if "%" in spec:
+        percent = int(spec[: spec.index("%")])
+        calc = (result * percent) / 100.0
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+
+    if optional_clause_count < result:
+        return optional_clause_count
+    return 0 if result < 0 else result

@@ -903,3 +903,27 @@ def test_time_allowed_partial_results(built):
     assert set(map(int, d2)) <= set(map(int, full_all))
     if not partial2:  # every shard beat the (zero) budget: full equality
         assert np.array_equal(d2, full_d)
+
+
+def test_mm_spec_calculator_reference_vectors(ray_session):
+    """calculate_min_should_match must reproduce the reference's own
+    SolrPluginUtilsTest table (integers, negatives, percentages,
+    conditional chains)."""
+    import pytest as _pytest
+
+    from apache___solr_ray.query import calculate_min_should_match as f
+
+    cases = [
+        (3, "3", 3), (4, "-2", 2), (4, "50%", 2), (5, "50%", 2),
+        (4, "-25%", 3), (3, "2<-25%", 3), (4, "2<-25%", 3),
+        (5, "2<-25%", 4), (1, "2<-25%", 1),
+        (10, "3<-1 5<-2 7<50%", 5), (4, "3<-1 5<-2 7<50%", 3),
+        (6, "3<-1 5<-2 7<50%", 4), (2, "3<-1 5<-2 7<50%", 2),
+        (8, "3<-1 5<-2 7<50%", 4),
+        (5, "100%", 5), (5, "-100%", 0), (3, "0", 0), (3, "5", 3),
+        (3, " 3 < -25% ", 3),  # the spec language tolerates spaces around <
+    ]
+    for n, spec, want in cases:
+        assert f(n, spec) == want, (n, spec)
+    with _pytest.raises(ValueError):
+        f(3, "<2")
