@@ -2447,3 +2447,116 @@ def training_mix_quota_sample(sf_dir: str):
         return keep[["doc_id", "source", "n_tokens"]]
 
     return grouped_map(ds.map_batches(prep, batch_format="pyarrow"), "source", budget_scan)
+
+
+_CONTAM_GRAM = 3  # shingle width; production decontamination uses 8-13
+# (3 here so the synthetic corpus, whose text is short random phrases,
+#  actually exhibits overlap — the plan is width-independent)
+
+
+@q(
+    "benchmark_contamination_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= {_CONTAM_GRAM}
+               THEN list_transform(range(1, len(toks) - {_CONTAM_GRAM} + 2),
+                    i -> array_to_string(toks[i:i+{_CONTAM_GRAM}-1], ' '))
+               ELSE [] END AS grams
+      FROM t),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 199 = 0),
+    corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 199 <> 0),
+    hits AS (
+      SELECT c.doc_id,
+             count(*) AS n_grams,
+             count(*) FILTER (c.gram IN (SELECT gram FROM bench)) AS n_hit
+      FROM corpus c GROUP BY c.doc_id)
+    SELECT doc_id, n_grams, n_hit,
+           floor(n_hit * 10000.0 / n_grams + 0.5) / 10000.0 AS contamination
+    FROM hits WHERE n_hit > 0
+    """,
+)
+def benchmark_contamination_stats(sf_dir: str):
+    """Benchmark decontamination (the training-data-pipeline op behind
+    GPT-3/Llama data prep: drop or flag training docs sharing long
+    n-grams with an evaluation set; same shape as the reference's
+    cross-collection JoinQParser semi-join, JoinQParserPlugin.java).
+    'Benchmark' = every doc with doc_id % 199 == 0 (deterministic
+    held-out slice); for every OTHER doc, count its {n}-token shingles
+    that appear in the benchmark shingle set and report the contaminated
+    docs with their overlap fraction.
+
+    Scale shape: the benchmark gram set is the SMALL side — built with
+    one pruned pass + local dedup, broadcast ONCE via ray.put as an
+    Arrow string array; each corpus batch shingles its docs, probes the
+    broadcast set with the C-level ``pc.is_in`` kernel over the
+    flattened gram column, and segment-sums hits per doc (np.add.reduceat
+    — no per-gram Python). One streaming pass over the corpus, no
+    shuffle at all.""".replace("{n}", str(_CONTAM_GRAM))
+    import ray
+
+    from apache___solr_ray.analyze import simple_tokenize
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_grams(toks: list[str]) -> list[str]:
+        if len(toks) < _CONTAM_GRAM:
+            return []
+        return [
+            " ".join(toks[i : i + _CONTAM_GRAM])
+            for i in range(len(toks) - _CONTAM_GRAM + 1)
+        ]
+
+    # small side: benchmark grams (pruned read + per-batch dedup, tiny)
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        sel = ids % 199 == 0
+        grams: set[str] = set()
+        for txt in t.filter(pa.array(sel)).column("text").to_pylist():
+            grams.update(doc_grams(simple_tokenize(txt or "")))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    bench = set()
+    for b in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        bench.update(b.column("gram").to_pylist())
+    bench_ref = ray.put(pa.array(sorted(bench), pa.string()))
+
+    class Prober:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            keep = ids % 199 != 0
+            ids = ids[keep]
+            texts = t.filter(pa.array(keep)).column("text").to_pylist()
+            per_doc = [doc_grams(simple_tokenize(x or "")) for x in texts]
+            counts = np.array([len(g) for g in per_doc], dtype=np.int64)
+            flat = pa.array(
+                [g for gs in per_doc for g in gs], pa.string()
+            )
+            hit = pc.is_in(flat, value_set=self.bench).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            offs = np.zeros(len(per_doc) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            nz = counts > 0
+            hits = np.zeros(len(per_doc), dtype=np.int64)
+            if nz.any() and len(hit):
+                hits[nz] = np.add.reduceat(hit, offs[:-1][nz])
+            m = hits > 0
+            contam = np.floor(hits[m] * 10000.0 / counts[m] + 0.5) / 10000.0
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[m], pa.int64()),
+                    "n_grams": pa.array(counts[m], pa.int64()),
+                    "n_hit": pa.array(hits[m], pa.int64()),
+                    "contamination": pa.array(contam, pa.float64()),
+                }
+            )
+
+    return ds.map_batches(Prober, batch_format="pyarrow", concurrency=(1, 8))
