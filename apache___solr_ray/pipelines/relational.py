@@ -2653,3 +2653,50 @@ def facet_block_children_domain(sf_dir: str):
         [("qty", "sum_qty")],
         count_alias="n",
     )
+
+
+@q(
+    "facet_range_date_monthly",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket,
+           count(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def facet_range_date_monthly(sf_dir: str):
+    """Date range facet with a date-math gap (reference
+    RangeFacetProcessor + FacetRangeGenerator: ``facet.range.gap=+1MONTH``
+    strings are evaluated by DateMathParser per bucket edge, which is how
+    Solr gets true calendar months rather than fixed 30-day windows).
+    start=1996-01-01, end=1997-01-01, gap=+1MONTH: the 13 bucket EDGES
+    are produced by iterating ``parse_date_math('NOW+1MONTH')`` from the
+    start anchor — resolved ONCE on the driver — then every batch buckets
+    its rows with one vectorized ``np.searchsorted`` against the edge
+    array. Counts flow through the standard partial+combine path."""
+    from datetime import datetime
+
+    from apache___solr_ray.datemath import parse_date_math
+    from apache___solr_ray.pipelines.common import partial_sum_count
+
+    start = datetime(1996, 1, 1)
+    end = datetime(1997, 1, 1)
+    edges = [start]
+    while edges[-1] < end:
+        edges.append(parse_date_math("NOW+1MONTH", edges[-1]))
+    edges_np = np.array(edges, dtype="datetime64[us]")
+
+    ds = load(sf_dir, "orders", columns=["o_orderdate"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy()
+        m = (d >= edges_np[0]) & (d < edges_np[-1])
+        d = d[m]
+        idx = np.searchsorted(edges_np, d, side="right") - 1
+        return pa.table({"bucket": pa.array(edges_np[idx])})
+
+    return partial_sum_count(
+        ds.map_batches(bucket, batch_format="pyarrow"), "bucket", [], count_alias="n"
+    )

@@ -2560,3 +2560,64 @@ def benchmark_contamination_stats(sf_dir: str):
             )
 
     return ds.map_batches(Prober, batch_format="pyarrow", concurrency=(1, 8))
+
+
+@q(
+    "suggest_freetext_next",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    agg AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
+    SELECT substr(bigram, 6) AS suggestion, n FROM agg
+    WHERE bigram LIKE 'fast %'
+    ORDER BY n DESC, suggestion LIMIT 5
+    """,
+)
+def suggest_freetext_next(sf_dir: str):
+    """FreeText suggester (reference
+    solr/core/src/java/org/apache/solr/spelling/suggest/fst/FreeTextLookupFactory.java
+    — Lucene FreeTextSuggester: an n-gram language model over the corpus
+    proposes the next token for a typed context). Context 'fast': top-5
+    next tokens by bigram frequency (ties lexicographic). The bigram LM
+    is the ShingleFilter partial+combine pipeline; the context filter
+    prunes INSIDE the partial pass so only 'fast *' rows ever reach the
+    shuffle."""
+    from collections import Counter as _C
+
+    from ray.data.aggregate import Sum
+
+    from apache___solr_ray.analyze import simple_tokenize
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: _C = _C()
+        for txt in t.column("text").to_pylist():
+            toks = simple_tokenize(txt or "")
+            for a, b in zip(toks, toks[1:]):
+                if a == "fast":
+                    c[b] += 1
+        items = sorted(c.items())
+        return pa.table(
+            {
+                "suggestion": pa.array([k for k, _ in items], pa.string()),
+                "pn": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("suggestion")
+        .aggregate(Sum("pn", alias_name="n"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("n"), "n", t.column("n").cast(pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort(["n", "suggestion"], descending=[True, False]).limit(5)
