@@ -1847,6 +1847,54 @@ _LTR_WINDOW = 50
 _LTR_W = (0.6, 1.5, -0.01)  # originalScore, solrFeature('hash join'), doc_len
 
 
+def _rerank_multiply_oracle_sql() -> str:
+    base = _rerank_oracle_sql()
+    old = f"rr AS (SELECT doc_id, s1 + {_RERANK_WEIGHT}*s2 AS b FROM top)"
+    new = (
+        f"rr AS (SELECT doc_id, CASE WHEN s2 > 0 THEN s1 * {_RERANK_WEIGHT} * s2 "
+        "ELSE s1 END AS b FROM top)"
+    )
+    assert old in base
+    return base.replace(old, new)
+
+
+@q("index_rerank_multiply_topk", _rerank_multiply_oracle_sql())
+def index_rerank_multiply_topk(sf_dir: str):
+    """reRankOperator=multiply (reference ReRankScaler.java:245-246 /
+    ReRankOperator.java: combined = original * weight * rerank; docs the
+    rerank query does NOT match keep their first-pass score, exactly like
+    Lucene's QueryRescorer combine). Same window and queries as
+    ``index_rerank_topk``, operator swapped — the oracle differs only in
+    the one CASE expression, generated from the SAME base SQL."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, _RERANK_MAIN + _RERANK_SECOND)
+    s1 = cols[_RERANK_MAIN[0]].copy()
+    for t in _RERANK_MAIN[1:]:
+        s1 = s1 + cols[t]
+    s2 = cols[_RERANK_SECOND[0]].copy()
+    for t in _RERANK_SECOND[1:]:
+        s2 = s2 + cols[t]
+    cand = s1 > 0
+    ids_c, s1_c, s2_c = ids[cand], s1[cand], s2[cand]
+    top = np.lexsort((ids_c, -s1_c))[:_RERANK_DOCS]
+    st1, st2 = s1_c[top], s2_c[top]
+    blended = np.where(st2 > 0, st1 * _RERANK_WEIGHT * st2, st1)
+    final = np.lexsort((ids_c[top], -blended))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids_c[top][final], pa.int64()),
+            "score": pa.array(
+                np.floor(blended[final] * 10000 + 0.5) / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
 def _ltr_prefix_sql() -> str:
     """The WITH-body shared by every LTR oracle: analyzed tokens → doc
     lengths → quantized-norm lookup → per-(doc,term) f64 BM25 partial

@@ -71,3 +71,36 @@ def test_chained_expression():
 def test_bad_expressions_raise(bad):
     with pytest.raises(DateMathError):
         parse_date_math(bad, NOW)
+
+
+def test_datemath_random_chains_match_duckdb():
+    """Property check: random op chains must match DuckDB's date_trunc /
+    INTERVAL arithmetic op-for-op (both clamp day-of-month on month/year
+    shifts), across 300 seeded cases."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20240819)
+    con = duckdb.connect()
+    units_sql = {"DAY": "day", "HOUR": "hour", "MINUTE": "minute",
+                 "MONTH": "month", "YEAR": "year", "SECOND": "second"}
+    for _ in range(300):
+        y, mo = rng.randint(2020, 2026), rng.randint(1, 12)
+        d = rng.randint(1, 28 if mo == 2 else 30)
+        anchor = datetime(y, mo, d, rng.randint(0, 23), rng.randint(0, 59),
+                          rng.randint(0, 59))
+        expr_parts, sql = [], f"TIMESTAMP '{anchor.isoformat(sep=' ')}'"
+        for _ in range(rng.randint(1, 4)):
+            u = rng.choice(list(units_sql))
+            if rng.random() < 0.4:
+                expr_parts.append(f"/{u}")
+                sql = f"date_trunc('{units_sql[u]}', {sql})"
+            else:
+                n = rng.randint(1, 30)
+                op = rng.choice("+-")
+                expr_parts.append(f"{op}{n}{u}S")
+                sql = f"({sql} {op} INTERVAL {n} {units_sql[u]})"
+        got = parse_date_math("NOW" + "".join(expr_parts), anchor)
+        want = con.execute(f"SELECT CAST({sql} AS TIMESTAMP)").fetchone()[0]
+        assert got == want, ("NOW" + "".join(expr_parts), anchor, got, want)
