@@ -1895,6 +1895,81 @@ def index_rerank_multiply_topk(sf_dir: str):
     )
 
 
+def _rerank_scaled_oracle_sql() -> str:
+    base = _rerank_oracle_sql()
+    head, _, _ = base.partition("rr AS (")
+    return (
+        head
+        + """mm AS (SELECT min(s1) AS mn, max(s1) AS mx FROM top),
+    rmm AS (SELECT min(s2) AS rn, max(s2) AS rx FROM top WHERE s2 > 0),
+    sc2 AS (SELECT doc_id, s2, rn, rx,
+             CASE WHEN mn = mx THEN 5.0
+                  ELSE 10.0 * ((s1 - mn) / (mx - mn)) END AS m1
+            FROM top CROSS JOIN mm CROSS JOIN rmm),
+    rr AS (SELECT doc_id,
+             CASE WHEN s2 > 0 THEN m1 +
+               (CASE WHEN rn = rx THEN 50.0
+                     ELSE 100.0 * ((s2 - rn) / (rx - rn)) END)
+             ELSE m1 END AS b FROM sc2)
+    SELECT CAST(row_number() OVER (ORDER BY b DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(b*10000 + 0.5)/10000.0 AS score
+    FROM rr ORDER BY b DESC, doc_id LIMIT 10
+    """
+    )
+
+
+@q("index_rerank_scaled_topk", _rerank_scaled_oracle_sql())
+def index_rerank_scaled_topk(sf_dir: str):
+    """reRankScale / reRankMainScale (reference ReRankScaler.java:154
+    ``scaleScores`` + MinMaxExplain.scale at :328-340: min-max scale the
+    first-pass scores into ``reRankMainScale=0-10`` over the WINDOW and
+    the rerank scores into ``reRankScale=0-100`` over the rerank-matching
+    subset — a degenerate min==max range collapses to the midpoint — then
+    combine with the operator; non-matching docs keep their scaled main
+    score). Window/queries as ``index_rerank_topk``, operator=add,
+    weight=1."""
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+    ids, cols = _f64_term_score_cols(r, idmap, _RERANK_MAIN + _RERANK_SECOND)
+    s1 = cols[_RERANK_MAIN[0]].copy()
+    for t in _RERANK_MAIN[1:]:
+        s1 = s1 + cols[t]
+    s2 = cols[_RERANK_SECOND[0]].copy()
+    for t in _RERANK_SECOND[1:]:
+        s2 = s2 + cols[t]
+    cand = s1 > 0
+    ids_c, s1_c, s2_c = ids[cand], s1[cand], s2[cand]
+    top = np.lexsort((ids_c, -s1_c))[:_RERANK_DOCS]
+    st1, st2 = s1_c[top], s2_c[top]
+
+    def scale(vals: np.ndarray, lo: float, hi: float, mask=None) -> np.ndarray:
+        dom = vals if mask is None else vals[mask]
+        mn, mx = float(dom.min()), float(dom.max())
+        if mn == mx:
+            return np.full(len(vals), (lo + hi) / 2.0)
+        return (hi - lo) * ((vals - mn) / (mx - mn)) + lo
+
+    m1 = scale(st1, 0.0, 10.0)
+    has2 = st2 > 0
+    blended = m1.copy()
+    if has2.any():
+        m2 = scale(st2, 0.0, 100.0, mask=has2)
+        blended[has2] = m1[has2] + m2[has2]
+    final = np.lexsort((ids_c[top], -blended))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids_c[top][final], pa.int64()),
+            "score": pa.array(
+                np.floor(blended[final] * 10000 + 0.5) / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
 def _ltr_prefix_sql() -> str:
     """The WITH-body shared by every LTR oracle: analyzed tokens → doc
     lengths → quantized-norm lookup → per-(doc,term) f64 BM25 partial

@@ -2700,3 +2700,95 @@ def facet_range_date_monthly(sf_dir: str):
     return partial_sum_count(
         ds.map_batches(bucket, batch_format="pyarrow"), "bucket", [], count_alias="n"
     )
+
+
+@q(
+    "facet_field_index_page",
+    """
+    WITH f AS (
+      SELECT CAST(user_id AS VARCHAR) AS bucket, count(*) AS n
+      FROM events WHERE value >= 100 GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT bucket, n FROM f ORDER BY bucket ASC LIMIT 5 OFFSET 3
+    """,
+)
+def facet_field_index_page(sf_dir: str):
+    """Classic facet paging params (reference SimpleFacets.java /
+    FacetParams: ``facet.sort=index`` — lexicographic bucket order —
+    with ``facet.offset``/``facet.limit`` pages and ``facet.mincount``
+    pruning). Domain value>=100, facet user_id, mincount=2, page
+    offset=3 limit=5 in index order. Partial counts + one combine; the
+    page slice runs on the bucket-level result via distributed
+    sort+limit(offset+limit) — never a full materialization."""
+    from apache___solr_ray.pipelines.common import partial_sum_count
+
+    ds = load(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("value"), 100.0))
+        return pa.table(
+            {"bucket": pc.cast(t.column("user_id"), pa.string())}
+        )
+
+    agg = partial_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"), "bucket", [], count_alias="n"
+    )
+    paged = (
+        agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n"), 2)),
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+        .limit(3 + 5)
+    )
+    tbl = pa.Table.from_pandas(paged.to_pandas(), preserve_index=False)
+    page = tbl.slice(3, 5)
+    return pa.table(
+        {
+            "bucket": page.column("bucket"),
+            "n": page.column("n").cast(pa.int64()),
+        }
+    )
+
+
+@q(
+    "fl_pseudo_fields_orders",
+    """
+    SELECT o_orderkey AS id,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           o_orderpriority AS pri
+    FROM orders WHERE o_orderstatus = 'F' AND o_totalprice >= 300000
+    """,
+)
+def fl_pseudo_fields_orders(sf_dir: str):
+    """``fl`` pseudo-fields (reference: field aliasing ``fl=id:o_orderkey``
+    and function pseudo-fields ``fl=price:mul(o_totalprice,100)`` resolved
+    by ReturnFields.java + the ValueSource DocTransformer chain,
+    common-query-parameters.adoc#fl): aliased columns and computed
+    columns projected in ONE vectorized pass over the pruned scan — the
+    engine's select+compute shape, no shuffle at all."""
+    ds = load(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus", "o_orderpriority"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        from apache___solr_ray.pipelines.common import cents
+
+        m = pc.and_(
+            pc.equal(t.column("o_orderstatus"), "F"),
+            pc.greater_equal(t.column("o_totalprice"), 300000.0),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "id": t.column("o_orderkey"),
+                "price_cents": cents(t.column("o_totalprice")),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "pri": t.column("o_orderpriority"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
