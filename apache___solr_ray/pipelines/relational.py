@@ -2792,3 +2792,90 @@ def fl_pseudo_fields_orders(sf_dir: str):
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+@q(
+    "group_ngroups_matches",
+    """
+    SELECT count(*) AS matches,
+           count(DISTINCT user_id) AS ngroups
+    FROM events WHERE value >= 200
+    """,
+)
+def group_ngroups_matches(sf_dir: str):
+    """Grouping header numbers (reference Grouping.java: with
+    ``group.ngroups=true`` the response carries ``matches`` — total docs
+    in the domain — and ``ngroups`` — number of distinct groups; the
+    ngroups count is exactly the AllGroupsCollector). matches is a
+    partial+sum count; ngroups is the two-level distinct (per-batch dedup
+    partial, one groupby over the shrunk pair stream) — never a global
+    sort, never a driver materialization of the group keys."""
+    from ray.data.aggregate import Count
+
+    ds = load(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("value"), 200.0)).select(
+            ["user_id"]
+        )
+
+    dom = ds.map_batches(prep, batch_format="pyarrow")
+    matches = dom.count()
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id"])
+
+    ngroups = (
+        dom.map_batches(dedup, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    return pa.table(
+        {
+            "matches": pa.array([matches], pa.int64()),
+            "ngroups": pa.array([ngroups], pa.int64()),
+        }
+    )
+
+
+@q(
+    "child_transformer_docs",
+    """
+    SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+           CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING max(l_quantity) >= 50
+    )
+    """,
+)
+def child_transformer_docs(sf_dir: str):
+    """[child] doc transformer (reference
+    solr/core/src/java/org/apache/solr/response/transform/ChildDocTransformerFactory.java:
+    ``fl=*,[child]`` re-attaches ALL child documents of every matched
+    parent from the block structure). Parents matched by a child
+    predicate (any item with qty >= 50), then every child of the
+    surviving parents is emitted. One (parent)-hash grouped_map: each
+    block lands whole, the parent predicate is a vectorized per-block
+    max, children of passing blocks are emitted as-is — the nesting IS
+    the co-location, no join."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    ds = load(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def emit_children(df: pd.DataFrame) -> pd.DataFrame:
+        mx = df.groupby("l_orderkey", sort=False)["l_quantity"].transform("max")
+        keep = df[mx >= 50]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["l_orderkey"].to_numpy(),
+                "l_linenumber": keep["l_linenumber"].to_numpy(),
+                "qty": keep["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return grouped_map(ds, "l_orderkey", emit_children)
