@@ -1970,6 +1970,94 @@ def index_rerank_scaled_topk(sf_dir: str):
     )
 
 
+def _extfile_oracle_sql() -> str:
+    from apache___solr_ray.lucene import LENGTH_TABLE
+
+    vals = ", ".join(f"({int(v)})" for v in sorted({int(x) for x in LENGTH_TABLE}))
+    terms = ["fast", "join"]
+    in_list = ", ".join(repr(t) for t in terms)
+    case_cols = ",\n        ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN s END), 0) AS s_{t}" for t in terms
+    )
+    s1 = " + ".join(f"s_{t}" for t in terms)
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, count(*) AS n FROM dl),
+    lut(v) AS (VALUES {vals}),
+    qd AS (SELECT doc_id, (SELECT max(v) FROM lut WHERE v <= dl.dl) AS qdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({in_list}) GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({in_list}) GROUP BY term),
+    sc AS (SELECT t.doc_id, t.term,
+            ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) * t.tf
+              / (t.tf + 1.2*(0.25 + 0.75*qd.qdl/st.avgdl)) AS s
+           FROM tf t JOIN df USING (term) JOIN qd ON qd.doc_id = t.doc_id
+           CROSS JOIN st),
+    pd AS (SELECT doc_id, {case_cols} FROM sc GROUP BY doc_id),
+    fp AS (SELECT doc_id, {s1} AS s1 FROM pd WHERE {s1} > 0),
+    b AS (SELECT doc_id,
+           s1 * (((doc_id * 7919) % 100) / 100.0 + 0.5) AS b FROM fp)
+    SELECT CAST(row_number() OVER (ORDER BY b DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, floor(b*10000 + 0.5)/10000.0 AS score
+    FROM b ORDER BY b DESC, doc_id LIMIT 10
+    """
+
+
+@q("external_file_boost_topk", _extfile_oracle_sql())
+def external_file_boost_topk(sf_dir: str):
+    """ExternalFileField boost (reference ExternalFileField.java +
+    FileFloatSource.java: per-doc floats in an ``external_<field>``
+    ``key=value`` file — reloadable ranking signals like pagerank/CTR —
+    consumed via function queries, ``boost=product(query, field(ext))``).
+    The file is GENERATED here keyed by url with the deterministic value
+    ``((doc_id*7919) % 100)/100 + 0.5``, then the query path exercises
+    the real loading contract: ``external.load_external_floats`` parses
+    it (last-wins, skip-malformed), the map broadcasts once, and the
+    f64 first-pass scores of 'fast join' are multiplied by each
+    candidate's file value. The oracle recomputes the same value from
+    doc_id — what it checks is that the file round-trip and the boost
+    application are exact."""
+    from apache___solr_ray.external import load_external_floats, write_external_floats
+    from apache___solr_ray.query import IndexReader
+
+    index_dir = ensure_doc_index(sf_dir)
+    r = IndexReader(index_dir)
+    idmap = _doc_id_map(index_dir)
+
+    ext_path = os.path.join(index_dir, "external_boost.txt")
+    if not os.path.exists(ext_path):
+        ext_ids = sorted(idmap.values())
+        write_external_floats(
+            ext_path,
+            (
+                (f"doc://{d:012d}", ((d * 7919) % 100) / 100.0 + 0.5)
+                for d in ext_ids
+            ),
+        )
+    ext = load_external_floats(ext_path)
+
+    ids, cols = _f64_term_score_cols(r, idmap, ["fast", "join"])
+    s1 = cols["fast"] + cols["join"]
+    m = s1 > 0
+    ids_c, s1_c = ids[m], s1[m]
+    boost = np.array(
+        [ext.get(f"doc://{int(d):012d}", 0.0) for d in ids_c], dtype=np.float64
+    )
+    b = s1_c * boost
+    final = np.lexsort((ids_c, -b))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int64)),
+            "doc_id": pa.array(ids_c[final], pa.int64()),
+            "score": pa.array(
+                np.floor(b[final] * 10000 + 0.5) / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
 def _ltr_prefix_sql() -> str:
     """The WITH-body shared by every LTR oracle: analyzed tokens → doc
     lengths → quantized-norm lookup → per-(doc,term) f64 BM25 partial

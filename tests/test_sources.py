@@ -173,3 +173,19 @@ def test_urp_last_timestamp_template():
 
     out = template_field("title", "doc-{k}: {name}!")(t)
     assert out.column("title").to_pylist() == ["doc-1: n1!", "doc-2: !", "doc-3: n3!"]
+
+
+def test_external_file_floats_reference_semantics(tmp_path):
+    """FileFloatSource parsing contract: last value wins for duplicate
+    keys, malformed lines and comments are skipped, values are floats."""
+    from apache___solr_ray.external import load_external_floats, write_external_floats
+
+    p = str(tmp_path / "external_f.txt")
+    with open(p, "w") as f:
+        f.write("a=1.5\n# comment\n\nb=2\nnotakv\nc=oops\na=9.25\n=3\nd=1e-3\n")
+    got = load_external_floats(p)
+    assert got == {"a": 9.25, "b": 2.0, "d": 0.001}
+
+    # writer round-trips exactly (repr-exact floats)
+    write_external_floats(p, [("x", 0.123456789012345), ("y", 3.0)])
+    assert load_external_floats(p) == {"x": 0.123456789012345, "y": 3.0}
