@@ -2879,3 +2879,102 @@ def child_transformer_docs(sf_dir: str):
         )
 
     return grouped_map(ds, "l_orderkey", emit_children)
+
+
+_EVENT_SEVERITY = ["purchase", "signup", "click", "view", "error"]  # enum order
+
+
+@q(
+    "enum_severity_sorted_counts",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(CASE event_type
+             WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+             WHEN 'view' THEN 3 WHEN 'error' THEN 4 ELSE 99 END AS BIGINT)
+             AS severity_ord
+    FROM events GROUP BY event_type
+    ORDER BY severity_ord
+    """,
+)
+def enum_severity_sorted_counts(sf_dir: str):
+    """EnumFieldType (reference
+    solr/core/src/java/org/apache/solr/schema/EnumFieldType.java: string
+    values sort/range by their POSITION in the enumsConfig xml, not
+    lexicographically — 'view' < 'error' here because the config says
+    so). The enum table broadcasts as a tiny dict; each batch attaches
+    the ordinal vectorized (pandas categorical codes); counts flow
+    partial+combine and the final order is the ENUM order."""
+    from apache___solr_ray.pipelines.common import partial_sum_count
+
+    ds = load(sf_dir, "events", columns=["event_type"])
+    ordmap = {v: i for i, v in enumerate(_EVENT_SEVERITY)}
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy()})
+        out["severity_ord"] = (
+            out["event_type"].map(ordmap).fillna(99).astype(np.int64)
+        )
+        return out
+
+    agg = partial_sum_count(
+        ds.map_batches(attach, batch_format="pandas"),
+        ["event_type", "severity_ord"],
+        [],
+        count_alias="n",
+    )
+    return agg.sort("severity_ord").map_batches(
+        lambda t: t.select(["event_type", "n", "severity_ord"]),
+        batch_format="pyarrow",
+    )
+
+
+_FX_RATES = {"USD": 1.0, "EUR": 0.92, "JPY": 149.5}  # currency.xml analog
+
+
+@q(
+    "currency_converted_orders",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 0.92 * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS eur_cents
+    FROM orders
+    WHERE o_totalprice * 0.92 >= 250000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def currency_converted_orders(sf_dir: str):
+    """CurrencyFieldType (reference
+    solr/core/src/java/org/apache/solr/schema/CurrencyFieldType.java +
+    ExchangeRateProvider / FileExchangeRateProvider reading currency.xml:
+    monetary values stored in a base currency, converted through the rate
+    table at query time so range filters run in the REQUESTED currency).
+    Orders priced in USD, filtered and aggregated in EUR through the
+    broadcast rate table; sums as exact integer cents after conversion
+    (same discipline as every money column here)."""
+    from apache___solr_ray.pipelines.common import partial_sum_count
+
+    rate = _FX_RATES["EUR"]
+    ds = load(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def convert(t: pa.Table) -> pa.Table:
+        eur = pc.multiply(t.column("o_totalprice"), rate)
+        t = t.append_column("eur", eur).filter(
+            pc.greater_equal(eur, 250000.0)
+        )
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("eur"), 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "eur_cents": cents,
+            }
+        )
+
+    return partial_sum_count(
+        ds.map_batches(convert, batch_format="pyarrow"),
+        "o_orderpriority",
+        [("eur_cents", "eur_cents")],
+        count_alias="n",
+    )
