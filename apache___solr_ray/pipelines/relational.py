@@ -2978,3 +2978,41 @@ def currency_converted_orders(sf_dir: str):
         [("eur_cents", "eur_cents")],
         count_alias="n",
     )
+
+
+@q(
+    "func_scale_value_hist",
+    """
+    WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    sc AS (SELECT CAST(least(floor(((value - mn) / (mx - mn)) * 10), 9) AS BIGINT)
+             AS bin
+           FROM events CROSS JOIN mm)
+    SELECT bin, count(*) AS n FROM sc GROUP BY bin
+    """,
+)
+def func_scale_value_hist(sf_dir: str):
+    """scale() function query (reference ScaleFloatFunction — Lucene
+    ValueSource ``scale(field,min,max)``: min-max scale a field to a
+    target range; inherently TWO passes because the global extremes must
+    be known before any row can be scaled). Pass 1: min/max via the
+    metadata-cheap distributed aggregate (per-batch partials, one tiny
+    combine). Pass 2: broadcast the two scalars, scale every row
+    vectorized and histogram into 10 bins (the top bin closed, matching
+    SQL's least(...,9)). Counts partial+combine as usual."""
+    from ray.data.aggregate import Max, Min
+
+    from apache___solr_ray.pipelines.common import partial_sum_count
+
+    ds = load(sf_dir, "events", columns=["value"])
+    mm = ds.aggregate(Min("value"), Max("value"))
+    mn, mx = float(mm["min(value)"]), float(mm["max(value)"])
+
+    def bin_scale(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy()
+        scaled = (v - mn) / (mx - mn)
+        bins = np.minimum(np.floor(scaled * 10), 9).astype(np.int64)
+        return pa.table({"bin": pa.array(bins, pa.int64())})
+
+    return partial_sum_count(
+        ds.map_batches(bin_scale, batch_format="pyarrow"), "bin", [], count_alias="n"
+    )
