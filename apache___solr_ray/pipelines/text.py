@@ -2621,3 +2621,70 @@ def suggest_freetext_next(sf_dir: str):
         )
     )
     return out.sort(["n", "suggestion"], descending=[True, False]).limit(5)
+
+
+@q(
+    "training_corpus_prep_decontaminated",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks,
+             regexp_replace(text, '[0-9]+', '#', 'g') AS red
+      FROM documents),
+    f AS (
+      SELECT * FROM t
+      WHERE len(toks) >= 10 AND 10 * len(list_distinct(toks)) >= 5 * len(toks)),
+    d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY red),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(toks) >= {_CONTAM_GRAM}
+               THEN list_transform(range(1, len(toks) - {_CONTAM_GRAM} + 2),
+                    i -> array_to_string(toks[i:i+{_CONTAM_GRAM}-1], ' '))
+               ELSE [] END AS grams
+      FROM t),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 199 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 199 <> 0)
+      WHERE gram IN (SELECT gram FROM bench))
+    SELECT f.doc_id, f.lang,
+           CAST(len(f.toks) AS BIGINT) AS n_tokens,
+           CAST(length(f.red) AS BIGINT) AS n_chars_red
+    FROM f JOIN d USING (doc_id)
+    WHERE f.doc_id % 199 <> 0
+      AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def training_corpus_prep_decontaminated(sf_dir: str):
+    """The composed LLM-corpus pipeline WITH decontamination: quality
+    gate → digit-redact → exact-dedup (``training_corpus_prep``) then
+    drop (a) the benchmark slice itself and (b) every doc the n-gram
+    overlap pass flags (``benchmark_contamination_stats``) — the standard
+    GPT-3/Llama data-prep ordering. The contaminated id set is small by
+    construction (docs sharing long n-grams with a benchmark); it and
+    the benchmark filter apply as one vectorized anti-join mask per
+    batch. At 100 TB the id set would flow through the same
+    hash-partition anti-join used by ``anti_join_customers_without_orders``
+    instead of a broadcast — the composition is unchanged."""
+    import pyarrow.compute as _pc
+
+    prep = training_corpus_prep(sf_dir)
+    contaminated = benchmark_contamination_stats(sf_dir).select_columns(["doc_id"])
+    bad = set(
+        int(r["doc_id"]) for b in contaminated.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    import ray
+
+    bad_ref = ray.put(pa.array(sorted(bad), pa.int64()))
+
+    def drop(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        idv = ids.to_numpy(zero_copy_only=False)
+        keep = (
+            ~_pc.is_in(ids, value_set=ray.get(bad_ref)).to_numpy(
+                zero_copy_only=False
+            )
+        ) & (idv % 199 != 0)
+        return t.filter(pa.array(keep))
+
+    return prep.map_batches(drop, batch_format="pyarrow")
