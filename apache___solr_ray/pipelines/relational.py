@@ -3016,3 +3016,39 @@ def func_scale_value_hist(sf_dir: str):
     return partial_sum_count(
         ds.map_batches(bin_scale, batch_format="pyarrow"), "bin", [], count_alias="n"
     )
+
+
+@q(
+    "terms_qparser_filter",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE user_id % 7 = 3 AND user_id < 3500
+    GROUP BY event_type
+    """,
+)
+def terms_qparser_filter(sf_dir: str):
+    """{!terms} query parser (reference
+    solr/core/src/java/org/apache/solr/search/TermsQParserPlugin.java:
+    filter by an EXPLICIT possibly-huge value list — the documented
+    replacement for a 500-clause boolean OR, with method=termsFilter /
+    docValuesTermsFilter picking the evaluation strategy). The id list
+    here is the ~500 deterministic keys ``{u : u%7==3, u<3500}``,
+    materialized as an explicit list exactly as a client would POST it,
+    ``ray.put`` once, and evaluated per batch with the C-level
+    ``pc.is_in`` probe (the docValuesTermsFilter strategy); counts
+    partial+combine."""
+    from apache___solr_ray.pipelines.common import partial_sum_count, semi_join_filter
+
+    id_list = [u for u in range(3500) if u % 7 == 3]  # the client's explicit list
+    ds = semi_join_filter(
+        load(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id",
+        id_list,
+    )
+    return partial_sum_count(
+        ds.map_batches(lambda t: t.select(["event_type"]), batch_format="pyarrow"),
+        "event_type",
+        [],
+        count_alias="n",
+    )
