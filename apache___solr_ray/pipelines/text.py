@@ -1875,11 +1875,16 @@ def spellcheck_collate(sf_dir: str):
     )
 
 
-@q("csv_loader_roundtrip")  # rows-only: loader surface demo; equality pytest-asserted
+@q(
+    "csv_loader_roundtrip",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
 def csv_loader_roundtrip(sf_dir: str):
     """CSVLoader analog (reference CSVLoaderBase.java): export events to CSV,
-    re-read with ray.data.read_csv, aggregate — loader correctness is
-    asserted against the parquet source in tests/test_sources.py."""
+    re-read with ray.data.read_csv, aggregate. The oracle aggregates the
+    PARQUET source — matching it proves the CSV write→parse round-trip
+    loses nothing; per-cell equality is additionally pytest-asserted in
+    tests/test_sources.py."""
     import duckdb
 
     from ray.data.aggregate import Count
@@ -1898,10 +1903,14 @@ def csv_loader_roundtrip(sf_dir: str):
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
-@q("json_loader_roundtrip")  # rows-only: loader surface demo
+@q(
+    "json_loader_roundtrip",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
 def json_loader_roundtrip(sf_dir: str):
     """JsonLoader analog (reference JsonLoader.java, NDJSON update stream):
-    export events to NDJSON, re-read with ray.data.read_json, aggregate."""
+    export events to NDJSON, re-read with ray.data.read_json, aggregate —
+    the parquet-derived oracle proves the NDJSON round-trip exact."""
     import duckdb
 
     from ray.data.aggregate import Count
