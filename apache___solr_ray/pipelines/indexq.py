@@ -236,6 +236,73 @@ def index_luke_field_summary(sf_dir: str):
     )
 
 
+_TTL_CACHE: dict[str, str] = {}
+
+
+@q(
+    "ttl_expired_live_term_df",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+                  WHERE doc_id % 60 >= 31)
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+    FROM toks GROUP BY term
+    """,
+)
+def ttl_expired_live_term_df(sf_dir: str):
+    """Document TTL expiration (reference
+    solr/core/src/java/org/apache/solr/update/processor/DocExpirationUpdateProcessorFactory.java:
+    an ``_expire_at_`` date computed per doc from a TTL date-math string
+    at ingest; a periodic sweep issues deleteByQuery for expired docs,
+    which a later merge physically reclaims). Here each doc's
+    ``_expire_at_`` = 2024-01-01 ``+<doc_id%%60>DAYS`` (date-math
+    evaluated per distinct TTL bucket via ``parse_date_math``); the sweep
+    runs with NOW = 2024-02-01: expired docs (expire_at < NOW/DAY, i.e.
+    doc_id%%60 < 31) are tombstoned through ``deletes.delete_by_url`` and
+    a ``purge_deletes`` tiered merge reclaims them — the oracle recounts
+    the term dictionary over the SURVIVORS only, so what is checked is
+    the full TTL → tombstone → purge-merge → live-stats path. The sweep
+    operates on a backup/restore CLONE of the shared index (snapshots are
+    how you'd run destructive maintenance against a live index anyway)."""
+    from datetime import datetime
+
+    from apache___solr_ray import backup as bk
+    from apache___solr_ray.datemath import parse_date_math
+    from apache___solr_ray.deletes import delete_by_url
+    from apache___solr_ray.merge import merge_segments
+
+    hit = _TTL_CACHE.get(sf_dir)
+    if hit is None:
+        index_dir = ensure_doc_index(sf_dir)
+        base = os.path.dirname(os.path.normpath(index_dir))
+        bdir = os.path.join(base, "backups")
+        clone = os.path.join(base, "index_ttl")
+        bk.create_backup(index_dir, bdir, "ttl_base")
+        if os.path.exists(clone):
+            import shutil
+
+            shutil.rmtree(clone)
+        bk.restore_backup(bdir, "ttl_base", clone)
+
+        idmap = _doc_id_map(clone)
+        anchor = datetime(2024, 1, 1)
+        now = datetime(2024, 2, 1)
+        cutoff = parse_date_math("NOW/DAY", now)
+        # one date-math evaluation per distinct TTL bucket (60), never per doc
+        expired_bucket = [
+            parse_date_math(f"NOW+{b}DAYS", anchor) < cutoff for b in range(60)
+        ]
+        expired_urls = [
+            f"doc://{ext:012d}"
+            for ext in idmap.values()
+            if expired_bucket[ext % 60]
+        ]
+        n = delete_by_url(clone, expired_urls)
+        assert n > 0
+        merge_segments(clone, target_per_tkey=1, merge_factor=4, purge_deletes=True)
+        _TTL_CACHE[sf_dir] = hit = clone
+    return _term_df_table(hit)
+
+
 _RESTORED_CACHE: dict[str, str] = {}
 
 
