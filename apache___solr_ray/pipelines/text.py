@@ -2697,3 +2697,105 @@ def training_corpus_prep_decontaminated(sf_dir: str):
         return t.filter(pa.array(keep))
 
     return prep.map_batches(drop, batch_format="pyarrow")
+
+
+@q(
+    "perplexity_bucket_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+    tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    lp AS (SELECT t.doc_id,
+             floor(avg(ln(tf.c / tot.n)) * 10000 + 0.5) / 10000 AS lp
+           FROM toks t JOIN tf USING (term) CROSS JOIN tot GROUP BY t.doc_id),
+    j AS (SELECT d.lang, lp.doc_id, lp.lp
+          FROM lp JOIN documents d USING (doc_id)),
+    b AS (SELECT lang, doc_id, lp,
+                 ntile(3) OVER (PARTITION BY lang ORDER BY lp, doc_id) AS bucket
+          FROM j)
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+           CAST(sum(CAST(round(lp * 10000) AS BIGINT)) AS BIGINT) AS lp_sum_e4
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def perplexity_bucket_stats(sf_dir: str):
+    """CCNet head/middle/tail split (Wenzek et al. 2020 — the reference
+    LLM-corpus recipe: per-language, rank documents by LM score and cut
+    the corpus into perplexity terciles; 'head' trains, 'tail' is
+    filtered). LM score = the oracle-checked unigram logprob
+    (``doc_unigram_logprob``); ranking is per-lang (score, doc_id) and
+    the tercile is SQL's NTILE(3) reproduced exactly (first n%%3 buckets
+    take the extra doc). Emits per (lang, bucket) the doc count AND the
+    order-sensitive integer checksum of member scores — equal counts
+    with wrong membership cannot pass.
+
+    Distributed shape: logprob rows cogroup with (doc_id, lang) via ONE
+    doc-hash grouped_map (tagged-union merge — the lang column is
+    corpus-sized, so it is NEVER broadcast), then a lang-hash grouped_map
+    ranks each language's docs with vectorized numpy and emits bucket
+    partials. Two hash exchanges total, both key-pruned columns only."""
+    from apache___solr_ray.pipelines.common import grouped_map
+
+    lp_ds = doc_unigram_logprob(sf_dir)
+
+    def tag_lp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lp": t.column("logprob"),
+                "lang": pa.array([None] * t.num_rows, pa.string()),
+            }
+        )
+
+    lang_ds = load(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def tag_lang(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lp": pa.array([None] * t.num_rows, pa.float64()),
+                "lang": t.column("lang"),
+            }
+        )
+
+    union = lp_ds.map_batches(tag_lp, batch_format="pyarrow").union(
+        lang_ds.map_batches(tag_lang, batch_format="pyarrow")
+    )
+
+    def merge_doc(df: pd.DataFrame) -> pd.DataFrame:
+        # groupby.first skips nulls: each doc has one lp row + one lang row
+        g = df.groupby("doc_id", sort=False).agg(
+            lp=("lp", "first"), lang=("lang", "first")
+        )
+        g = g.dropna().reset_index()
+        return g
+
+    joined = grouped_map(union, "doc_id", merge_doc)
+
+    def buckets(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values(["lp", "doc_id"], kind="mergesort")
+            n = len(g)
+            q, r = divmod(n, 3)
+            pos = np.arange(n)
+            if q == 0:
+                bucket = pos + 1
+            else:
+                first = r * (q + 1)
+                bucket = np.where(
+                    pos < first, pos // (q + 1) + 1, r + (pos - first) // q + 1
+                )
+            e4 = np.round(g["lp"].to_numpy() * 10000).astype(np.int64)
+            sub = pd.DataFrame({"bucket": bucket.astype(np.int64), "e4": e4})
+            agg = sub.groupby("bucket", as_index=False).agg(
+                n_docs=("e4", "size"), lp_sum_e4=("e4", "sum")
+            )
+            agg.insert(0, "lang", lang)
+            rows.append(agg)
+        out = pd.concat(rows, ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["lp_sum_e4"] = out["lp_sum_e4"].astype(np.int64)
+        return out
+
+    return grouped_map(joined, "lang", buckets)
